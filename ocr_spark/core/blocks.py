@@ -1,0 +1,207 @@
+"""Hierarchical block segmentation + text-density boilerplate classification.
+
+Reference analog: line segmentation by horizontal projection profile
+(/root/reference/utils.py:47-127) followed by per-character CNN
+classification (/root/reference/ocr_project/ocr_app/services/func.py:19-31).
+Here the "lines" are DOM text blocks delimited by block-level elements and
+the "classifier" is a deterministic shallow-text-feature rule in the style
+of Boilerpipe's NumWordsRulesClassifier (Kohlschütter et al., "Boilerplate
+Detection using Shallow Text Features", WSDM 2010 — public method).
+
+All thresholds are fixed constants; classification is pure and total.
+"""
+
+from __future__ import annotations
+
+import html as _htmlmod
+import re
+from dataclasses import dataclass
+
+from ocr_spark.core.dom import Node
+
+# Elements whose subtree contributes no visible text.
+SKIP_TAGS = frozenset({
+    "script", "style", "noscript", "template", "head", "svg", "math",
+    "iframe", "object", "select", "datalist", "title", "textarea",
+})
+
+# Elements that open a new text block.
+BLOCK_TAGS = frozenset({
+    "html", "body", "div", "main", "section", "article", "aside", "nav",
+    "header", "footer", "p", "h1", "h2", "h3", "h4", "h5", "h6", "li",
+    "dt", "dd", "td", "th", "tr", "table", "thead", "tbody", "tfoot",
+    "ul", "ol", "dl", "blockquote", "pre", "figure", "figcaption",
+    "form", "fieldset", "address", "center", "caption", "summary",
+    "details", "hr", "br",
+})
+
+# Ancestor tags that force a block to boilerplate.
+BOILER_CONTAINERS = frozenset({"nav", "header", "footer", "aside", "form"})
+
+HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+
+# Canonical whitespace normalization: explicit ASCII class so the exact
+# semantics are reproducible in Spark/DuckDB regexes (SURVEY.md §7).
+_WS_RE = re.compile(r"[ \t\n\r\f\v]+")
+
+# Classifier constants (NumWordsRulesClassifier).
+MAX_LINK_DENSITY = 1.0 / 3.0
+PREV_LINK_DENSITY_HIGH = 0.555556
+CURR_WORDS_HIGH = 40
+NEXT_WORDS_HIGH_AFTER_LINKY = 17
+CURR_WORDS_MIN = 16
+NEXT_WORDS_MIN = 15
+PREV_WORDS_MIN = 4
+
+
+def normalize_ws(text: str) -> str:
+    """Collapse runs of ASCII whitespace to single spaces and strip."""
+    return _WS_RE.sub(" ", text).strip()
+
+
+@dataclass
+class Block:
+    """One segmented text block with shallow features.
+
+    Analog of the reference's character-candidate record
+    {mask,x,y,w,h,area,centroid} (/root/reference/utils.py:164-172):
+    a span plus the statistics the classifier consumes.
+    """
+
+    block_id: int
+    tag: str            # nearest enclosing block-level tag
+    depth: int          # DOM depth of that element
+    text: str           # whitespace-normalized, entity-unescaped
+    n_chars: int
+    n_words: int
+    anchor_words: int
+    link_density: float
+    in_boiler_container: bool
+    is_content: bool = False
+
+
+def _words(text: str) -> int:
+    return len(text.split()) if text else 0
+
+
+def segment_blocks(root: Node) -> list[Block]:
+    """Walk the DOM emitting text blocks in document order.
+
+    A block accumulates inline text between block-level boundaries. Text
+    under <a> is tallied separately for link density. Subtrees under
+    SKIP_TAGS are excluded entirely (analog: morphological noise removal,
+    /root/reference/hebrew-letter-segmentation.py:30-31).
+    """
+    blocks: list[Block] = []
+    frags: list[str] = []          # raw fragments of the current block
+    anchor_frags: list[str] = []   # subset that sits under an <a>
+    # block-context stack: (tag, depth, boiler); base covers stray text
+    ctx: list[tuple[str, int, bool]] = [("body", 0, False)]
+
+    def flush() -> None:
+        nonlocal frags, anchor_frags
+        if frags:
+            raw = "".join(frags)
+            text = normalize_ws(raw)
+            if text:
+                tag, depth, boiler = ctx[-1]
+                n_words = _words(text)
+                a_words = _words(normalize_ws("".join(anchor_frags)))
+                a_words = min(a_words, n_words)
+                blocks.append(Block(
+                    block_id=len(blocks),
+                    tag=tag,
+                    depth=depth,
+                    text=text,
+                    n_chars=len(text),
+                    n_words=n_words,
+                    anchor_words=a_words,
+                    link_density=(a_words / n_words) if n_words else 0.0,
+                    in_boiler_container=boiler,
+                ))
+        frags = []
+        anchor_frags = []
+
+    # Iterative DFS with explicit enter/exit events; recursion would blow
+    # the Python stack on nested-div-soup fixtures (FIXTURES.md template 3).
+    events: list[tuple[str, Node, int, bool]] = [("enter", root, 0, False)]
+    while events:
+        ev, node, anchor_depth, boiler = events.pop()
+        if ev == "exit":
+            flush()
+            ctx.pop()
+            continue
+        tag = node.tag
+        if tag == "#text":
+            data = _htmlmod.unescape(node.text or "")
+            if data:
+                frags.append(data)
+                if anchor_depth > 0:
+                    anchor_frags.append(data)
+            continue
+        if tag in SKIP_TAGS:
+            continue
+        child_boiler = boiler or (tag in BOILER_CONTAINERS)
+        child_anchor = anchor_depth + (1 if tag == "a" else 0)
+        if tag in ("br", "hr"):
+            flush()  # pure separators (void, no subtree)
+            continue
+        if tag in BLOCK_TAGS:
+            flush()
+            ctx.append((tag, node.depth, child_boiler))
+            events.append(("exit", node, 0, False))
+        for child in reversed(node.children):
+            events.append(("enter", child, child_anchor, child_boiler))
+
+    flush()
+    return blocks
+
+
+def classify_blocks(blocks: list[Block]) -> list[Block]:
+    """Mark each block content/boilerplate in place and return the list.
+
+    Rule set (fixed, order matters):
+      1. block in a nav/header/footer/aside/form subtree -> boilerplate;
+      2. link_density > 1/3 -> boilerplate;
+      3. context rule over (prev, curr, next) word counts as in
+         NumWordsRulesClassifier;
+      4. heading promotion: a heading block otherwise rejected by rule 3
+         becomes content if the next block is content (title attaches to
+         its article — analog of line-offset rebasing,
+         /root/reference/hebrew-letter-segmentation.py:164-166).
+    """
+    n = len(blocks)
+    # Context sequence excludes boiler-container blocks: a <nav> must not
+    # poison the prev/next features of the adjacent article text.
+    cand = [i for i, b in enumerate(blocks) if not b.in_boiler_container]
+    pos_in_cand = {bi: j for j, bi in enumerate(cand)}
+    for i, b in enumerate(blocks):
+        if b.in_boiler_container:
+            b.is_content = False
+            continue
+        j = pos_in_cand[i]
+        prev_b = blocks[cand[j - 1]] if j > 0 else None
+        next_b = blocks[cand[j + 1]] if j + 1 < len(cand) else None
+        if b.link_density > MAX_LINK_DENSITY:
+            b.is_content = False
+            continue
+        prev_ld = prev_b.link_density if prev_b else 0.0
+        prev_w = prev_b.n_words if prev_b else 0
+        next_w = next_b.n_words if next_b else 0
+        if prev_ld > PREV_LINK_DENSITY_HIGH:
+            b.is_content = (b.n_words > CURR_WORDS_HIGH
+                            or next_w > NEXT_WORDS_HIGH_AFTER_LINKY)
+        else:
+            b.is_content = (b.n_words > CURR_WORDS_MIN
+                            or next_w > NEXT_WORDS_MIN
+                            or prev_w > PREV_WORDS_MIN)
+
+    # Heading promotion pass (right-to-left so chains of headings resolve).
+    for i in range(n - 2, -1, -1):
+        b = blocks[i]
+        if (not b.is_content and b.tag in HEADING_TAGS
+                and not b.in_boiler_container
+                and b.link_density <= MAX_LINK_DENSITY
+                and blocks[i + 1].is_content):
+            b.is_content = True
+    return blocks

@@ -1,0 +1,173 @@
+"""Streaming HTML tokenizer — a total, deterministic state machine.
+
+Written from scratch (no bs4/lxml/html5lib in the environment, and the
+north rule demands from-scratch). The design is the analog of the
+reference's sliding-window ink scan (/root/reference/overflow/
+test_sliding_window.py:37-92): a single forward pass with explicit open/
+close state transitions, emitting interval-shaped tokens.
+
+Scanning is `str.find`-based rather than per-character so a 10 MB document
+costs O(#tags) Python-level iterations, not O(#chars) — the hot inner work
+stays in C string primitives (the "vectorized inner math" discipline of
+BASELINE.json:6).
+
+Token kinds: ("start", tag, attrs, self_closing), ("end", tag),
+("text", data), ("comment", data), ("doctype", data).
+
+Totality: malformed input NEVER raises. Unterminated constructs at EOF are
+consumed silently (dropped); a lone '<' that opens no construct is literal
+text. Recovery events are counted in TokenStream.recoveries for the
+metrics table.
+"""
+
+from __future__ import annotations
+
+import re
+
+# RAWTEXT elements: content is character data until the matching close tag.
+RAWTEXT_TAGS = frozenset({"script", "style", "textarea", "title", "xmp"})
+
+_TAG_NAME_RE = re.compile(r"[a-zA-Z][a-zA-Z0-9:_\-]*")
+_END_TAG_RE = re.compile(r"</\s*([a-zA-Z][a-zA-Z0-9:_\-]*)[^>]*>")
+_ATTR_RE = re.compile(
+    r"""([a-zA-Z_:][a-zA-Z0-9_:.\-]*)"""
+    r"""(?:\s*=\s*("([^"]*)"|'([^']*)'|[^\s>]*))?"""
+)
+# A start tag: name then attribute soup where quoted values may contain '>'.
+# The soup group is LAZY so a '/' immediately before '>' is captured as the
+# self-closing marker (fixed rule: trailing '/' is a marker, not part of an
+# unquoted attribute value).
+_START_TAG_RE = re.compile(
+    r"""<([a-zA-Z][a-zA-Z0-9:_\-]*)"""
+    r"""((?:"[^"]*"|'[^']*'|[^>"'])*?)"""
+    r"""\s*(/?)>"""
+)
+
+
+class TokenStream:
+    """Result of tokenize(): the token list plus recovery diagnostics."""
+
+    __slots__ = ("tokens", "recoveries")
+
+    def __init__(self, tokens: list[tuple], recoveries: int) -> None:
+        self.tokens = tokens
+        self.recoveries = recoveries
+
+
+def _parse_attrs(attr_src: str) -> list[tuple[str, str]]:
+    """Attribute soup -> ordered [(name, value)] list, first occurrence wins
+    downstream. Unquoted / valueless attributes handled; order preserved so
+    consumers are deterministic."""
+    attrs: list[tuple[str, str]] = []
+    for m in _ATTR_RE.finditer(attr_src):
+        name = m.group(1).lower()
+        if m.group(3) is not None:
+            value = m.group(3)
+        elif m.group(4) is not None:
+            value = m.group(4)
+        elif m.group(2):
+            value = m.group(2)
+        else:
+            value = ""
+        attrs.append((name, value))
+    return attrs
+
+
+def tokenize(html: str) -> TokenStream:
+    """One forward pass over the document; returns TokenStream. Total."""
+    tokens: list[tuple] = []
+    recoveries = 0
+    n = len(html)
+    i = 0
+    lower = html.lower()
+
+    while i < n:
+        lt = html.find("<", i)
+        if lt < 0:
+            if i < n:
+                tokens.append(("text", html[i:]))
+            break
+        if lt > i:
+            tokens.append(("text", html[i:lt]))
+
+        # Comment
+        if html.startswith("<!--", lt):
+            end = html.find("-->", lt + 4)
+            if end < 0:  # unterminated comment: swallow to EOF
+                recoveries += 1
+                break
+            tokens.append(("comment", html[lt + 4 : end]))
+            i = end + 3
+            continue
+
+        # CDATA (emitted as text per the XML-ish convention)
+        if html.startswith("<![CDATA[", lt):
+            end = html.find("]]>", lt + 9)
+            if end < 0:
+                recoveries += 1
+                break
+            tokens.append(("text", html[lt + 9 : end]))
+            i = end + 3
+            continue
+
+        # Doctype / bogus markup declaration
+        if html.startswith("<!", lt) or html.startswith("<?", lt):
+            end = html.find(">", lt + 2)
+            if end < 0:
+                recoveries += 1
+                break
+            tokens.append(("doctype", html[lt + 2 : end]))
+            i = end + 1
+            continue
+
+        # End tag
+        if html.startswith("</", lt):
+            m = _END_TAG_RE.match(html, lt)
+            if m is None:
+                # "</" followed by non-letter: HTML5 calls this a bogus
+                # comment; consume to '>' (or EOF).
+                end = html.find(">", lt + 2)
+                recoveries += 1
+                if end < 0:
+                    break
+                i = end + 1
+                continue
+            tokens.append(("end", m.group(1).lower()))
+            i = m.end()
+            continue
+
+        # Start tag
+        m = _START_TAG_RE.match(html, lt)
+        if m is None:
+            nxt = html[lt + 1 : lt + 2]
+            if nxt and _TAG_NAME_RE.match(nxt):
+                # Looks like a tag but unterminated at EOF: drop remainder.
+                recoveries += 1
+                break
+            # Literal '<' in text.
+            tokens.append(("text", "<"))
+            i = lt + 1
+            continue
+
+        tag = m.group(1).lower()
+        attrs = _parse_attrs(m.group(2))
+        self_closing = m.group(3) == "/"
+        tokens.append(("start", tag, attrs, self_closing))
+        i = m.end()
+
+        # RAWTEXT mode: consume verbatim until the matching close tag.
+        if tag in RAWTEXT_TAGS and not self_closing:
+            close = lower.find("</" + tag, i)
+            if close < 0:
+                # Unterminated rawtext: content runs to EOF, no close token.
+                recoveries += 1
+                tokens.append(("text", html[i:]))
+                tokens.append(("end", tag))
+                break
+            tokens.append(("text", html[i:close]))
+            gt = html.find(">", close)
+            tokens.append(("end", tag))
+            i = (gt + 1) if gt >= 0 else n
+            continue
+
+    return TokenStream(tokens, recoveries)

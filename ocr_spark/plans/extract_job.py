@@ -1,0 +1,195 @@
+"""The flagship extraction job: pages -> results + lineage + metrics.
+
+Plan shape (SURVEY.md §3.1 "Spark mapping"): the whole extraction chain is
+ONE fused pandas UDF over a single explicit repartition — scan ->
+exchange(bucket, salt) -> ArrowEvalPython -> project -> write. No other
+shuffle touches the html blobs; lineage/metrics aggregate the (tiny)
+per-row stats columns, never the blobs.
+
+Vectorization discipline (BASELINE.json:6): the UDF is an Arrow-batched
+scalar pandas UDF — one Python call per ~64-row record batch (the
+reference's batch-predict pattern, /root/reference/ocr_project/ocr_app/
+services/func.py:34-60 — NOT its per-row loop, func.py:207-211).
+
+Resume (north rule "resumes idempotently from snapshot checkpoints"):
+buckets are processed in groups; each group's results land via dynamic
+partition overwrite (idempotent), then the bucket is marked done in the
+manifest. A restarted job anti-joins pending = all buckets \\ done and
+reproduces byte-identical output (tests/test_resume.py).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType, IntegerType, LongType, StringType, StructField, StructType,
+)
+
+from ocr_spark.core.extract import extract
+from ocr_spark.functions.bucketing import (
+    DEFAULT_SALT_N, SKEW_FACTOR, host_of, hot_hosts, salted_partition_key,
+)
+from ocr_spark.sources.io import CheckpointManifest, TableIO
+
+EXTRACT_RESULT_TYPE = StructType([
+    StructField("extracted_text", StringType()),
+    StructField("content_kind", StringType()),
+    StructField("encoding", StringType()),
+    StructField("n_blocks", IntegerType()),
+    StructField("n_content_blocks", IntegerType()),
+    StructField("recoveries", IntegerType()),
+    StructField("link_density", DoubleType()),
+    StructField("extract_us", LongType()),
+])
+
+
+@F.pandas_udf(EXTRACT_RESULT_TYPE)
+def extract_udf(html: pd.Series, lang: pd.Series) -> pd.DataFrame:
+    """Arrow-batched extraction: one call per record batch; the loop over
+    rows inside is plain Python over already-materialized Arrow buffers
+    (the per-document state machines are inherently sequential, exactly
+    like the reference's per-image pipeline — batching is at transport
+    and scheduling level)."""
+    rows = []
+    for data, lg in zip(html, lang):
+        t0 = time.perf_counter_ns()
+        r = extract(bytes(data) if data is not None else None, lg)
+        dt = (time.perf_counter_ns() - t0) // 1000
+        rows.append((r.text, r.kind, r.encoding, r.n_blocks,
+                     r.n_content_blocks, r.recoveries, r.link_density, dt))
+    return pd.DataFrame(rows, columns=[f.name for f in EXTRACT_RESULT_TYPE])
+
+
+def extract_pages(
+    pages: DataFrame,
+    n_buckets: int = 32,
+    salt_n: int = DEFAULT_SALT_N,
+    hot: DataFrame | None = None,
+) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) -> results DataFrame.
+
+    ``hot`` is the (host, cnt) skew table; computed from the input when not
+    supplied (at production scale: from crawl stats, refreshed per run).
+    """
+    if hot is None:
+        hot = hot_hosts(pages, SKEW_FACTOR)
+    flagged = (
+        pages
+        .withColumn("_host", host_of(F.col("url")))
+        .join(F.broadcast(hot.withColumn("_is_hot", F.lit(True))
+                          .withColumnRenamed("host", "_host")
+                          .drop("cnt")),
+              on="_host", how="left")
+        .withColumn("_is_hot", F.coalesce(F.col("_is_hot"), F.lit(False)))
+    )
+    bucket, salt = salted_partition_key(
+        F.col("url"), F.col("_is_hot"), n_buckets, salt_n)
+    parted = (
+        flagged
+        .withColumn("bucket", bucket)
+        .withColumn("salt", salt)
+        .repartition("bucket", "salt")
+    )
+    res = parted.withColumn("_r", extract_udf(F.col("html"), F.col("lang")))
+    return res.select(
+        "url", "warc_ts", "lang",
+        F.col("_r.extracted_text").alias("extracted_text"),
+        F.col("_r.content_kind").alias("content_kind"),
+        F.col("_r.encoding").alias("encoding"),
+        F.col("_r.n_blocks").alias("n_blocks"),
+        F.col("_r.n_content_blocks").alias("n_content_blocks"),
+        F.col("_r.recoveries").alias("recoveries"),
+        F.col("_r.link_density").alias("link_density"),
+        F.col("_r.extract_us").alias("extract_us"),
+        F.octet_length("html").alias("input_bytes"),
+        "bucket", "salt",
+    )
+
+
+def lineage_of(results: DataFrame, attempt: int, snapshot_id: str) -> DataFrame:
+    """Per-(bucket, salt) lineage rows (FIXTURES.md §3)."""
+    return results.groupBy("bucket", "salt").agg(
+        F.count(F.lit(1)).alias("input_rows"),
+        F.sum(F.when(F.length("extracted_text") > 0, 1).otherwise(0))
+        .alias("output_rows"),
+        F.sum("input_bytes").alias("input_bytes"),
+        (F.sum("extract_us") / F.lit(1000.0)).alias("wall_ms"),
+    ).withColumn("attempt", F.lit(attempt)) \
+     .withColumn("snapshot_id", F.lit(snapshot_id))
+
+
+def metrics_of(results: DataFrame) -> DataFrame:
+    """Per-bucket extraction metrics (analog of the reference's per-doc
+    verify counts, /root/reference/overflow/
+    segment_according_to_sentence.py:216-224)."""
+    return results.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.when(F.length("extracted_text") == 0, 1).otherwise(0))
+        .alias("empty_docs"),
+        F.sum(F.when(F.col("content_kind") == "pdf", 1).otherwise(0))
+        .alias("pdf_docs"),
+        F.avg(F.length("extracted_text")).alias("avg_text_len"),
+        F.avg("link_density").alias("avg_link_density"),
+        F.sum("recoveries").alias("tokenizer_recoveries"),
+    )
+
+
+def run_extract_job(
+    spark: SparkSession,
+    pages_path: str,
+    out_dir: str,
+    n_buckets: int = 32,
+    salt_n: int = DEFAULT_SALT_N,
+    group_size: int = 8,
+    fail_after_groups: int | None = None,
+) -> dict:
+    """Resumable driver loop: process pending buckets in groups.
+
+    Each group is one Spark job over a bucket-pruned scan; results are
+    written with dynamic partition overwrite (idempotent), lineage/metrics
+    appended, then the manifest marks the group's buckets done.
+    ``fail_after_groups`` simulates a crash for the resume test.
+    """
+    io = TableIO(spark, out_dir)
+    manifest = CheckpointManifest(os.path.join(out_dir, "_checkpoints"))
+    snapshot_id = uuid.uuid4().hex[:12]
+
+    pages = spark.read.parquet(pages_path)
+    # Skew stats once per run, over the url column only.
+    hot = hot_hosts(pages, SKEW_FACTOR).cache()
+    hot.count()
+
+    done = manifest.done_buckets()
+    pending = [b for b in range(n_buckets) if b not in done]
+    groups = [pending[i:i + group_size]
+              for i in range(0, len(pending), group_size)]
+
+    n_done = 0
+    for gi, group in enumerate(groups):
+        if fail_after_groups is not None and gi >= fail_after_groups:
+            return {"completed": False, "buckets_done": sorted(
+                manifest.done_buckets()), "snapshot_id": snapshot_id}
+        bucket, _ = salted_partition_key(
+            F.col("url"), F.lit(False), n_buckets, salt_n)
+        subset = pages.where(bucket.isin(group))
+        results = extract_pages(subset, n_buckets, salt_n, hot=hot).cache()
+        io.overwrite_partitions(
+            results.drop("extract_us", "input_bytes", "salt"),
+            "results", ["bucket"])
+        attempt = max(manifest.attempt_of(b) for b in group)
+        io.append(lineage_of(results, attempt, snapshot_id), "lineage")
+        io.append(metrics_of(results), "metrics")
+        results.unpersist()
+        for b in group:
+            manifest.mark_done(b, {"snapshot_id": snapshot_id})
+        n_done += len(group)
+
+    hot.unpersist()
+    return {"completed": True, "buckets_done": sorted(manifest.done_buckets()),
+            "snapshot_id": snapshot_id, "groups_run": n_done}

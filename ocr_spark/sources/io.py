@@ -1,0 +1,90 @@
+"""Iceberg-shaped table IO with a parquet fallback.
+
+Production target is an Iceberg catalog (``spark.read.format("iceberg")``,
+snapshot isolation, MERGE). The sandbox ships no Iceberg jars (verified —
+SURVEY.md "Environment facts"), so the same interface is implemented over
+parquet directories + a manifest file that stands in for snapshot
+metadata. All call sites go through :class:`TableIO`, so flipping
+``format="iceberg"`` is a one-line change on a real cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TableIO:
+    """Read/write tables by name under a warehouse root."""
+
+    def __init__(self, spark: SparkSession, warehouse: str,
+                 fmt: str = "parquet") -> None:
+        self.spark = spark
+        self.warehouse = warehouse
+        self.fmt = fmt
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.warehouse, table)
+
+    def exists(self, table: str) -> bool:
+        return os.path.isdir(self.path(table))
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.format(self.fmt).load(self.path(table))
+
+    def overwrite_partitions(self, df: DataFrame, table: str,
+                             partition_cols: list[str]) -> None:
+        """Idempotent per-partition overwrite (Iceberg: dynamic overwrite /
+        MERGE by partition). Requires partitionOverwriteMode=dynamic, set
+        by ocr_spark.session.get_spark."""
+        (df.write.format(self.fmt).mode("overwrite")
+         .partitionBy(*partition_cols).save(self.path(table)))
+
+    def append(self, df: DataFrame, table: str,
+               partition_cols: list[str] | None = None) -> None:
+        w = df.write.format(self.fmt).mode("append")
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.save(self.path(table))
+
+
+class CheckpointManifest:
+    """Snapshot-checkpoint stand-in: one marker file per completed bucket
+    group, so a restarted job resumes exactly after the last durable write
+    (Iceberg analog: snapshot ids on the results table).
+
+    Marker writes are atomic (write temp + rename), so a crash mid-write
+    never yields a half-committed marker.
+    """
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def done_buckets(self) -> set[int]:
+        out: set[int] = set()
+        for name in os.listdir(self.root):
+            if name.startswith("bucket-") and name.endswith(".done"):
+                out.add(int(name[len("bucket-"):-len(".done")]))
+        return out
+
+    def mark_done(self, bucket: int, info: dict) -> None:
+        tmp = os.path.join(self.root, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump({"bucket": bucket, "ts": time.time(), **info}, f)
+        os.replace(tmp, os.path.join(self.root, f"bucket-{bucket}.done"))
+
+    def attempt_of(self, bucket: int) -> int:
+        """Next attempt number for a bucket (counts prior attempt files)."""
+        p = os.path.join(self.root, f"bucket-{bucket}.attempts")
+        n = 0
+        if os.path.exists(p):
+            with open(p) as f:
+                n = int(f.read().strip() or 0)
+        with open(p, "w") as f:
+            f.write(str(n + 1))
+        return n + 1

@@ -1,0 +1,331 @@
+"""Deterministic synthetic web corpus + golden fixtures (FIXTURES.md).
+
+Seeded generator (seed 42 by default) — the analog of the reference's own
+synthetic dataset generator (/root/reference/hebrew-ocr-cnn.py:469-517):
+render documents from templates with controlled noise, then derive the
+golden expected output with the same core the pipeline uses.
+
+NO wall-clock, NO external data, NO numpy randomness — only
+``random.Random(seed)`` so the corpus is reproducible bit-for-bit within a
+run. Hosts follow a zipf(a=1.3) distribution over ~50 hosts so a few hosts
+are hot (exercises the salting policy, SURVEY.md §7 step 6).
+"""
+
+from __future__ import annotations
+
+import random
+import zlib
+from datetime import datetime, timedelta
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ocr_spark.core.extract import extract
+
+EPOCH = datetime(2025, 1, 1, 0, 0, 0)
+TS_STEP = timedelta(seconds=137)
+
+LANGS = ["en", "de", "es", "fr", "zh", "he"]
+
+WORDS = (
+    "data query table spark batch stream filter join merge sort hash scan "
+    "row column value index shuffle partition bucket salt skew broadcast "
+    "window frame session group order limit parse token block text link "
+    "density score content boiler plate extract decode page host path crawl "
+    "archive snapshot lineage metric bench cluster executor driver memory "
+    "spill codegen arrow pandas vector kernel engine plan rule cost stats "
+    "read write commit resume golden oracle byte identical total fixed rule "
+    "deep nested soup farm anchor nav footer header aside main article world "
+    "signal noise sample seed grain weight level depth span char word line"
+).split()
+
+NAV_WORDS = "home about contact login search news archive tags".split()
+
+HOSTS = [f"site{k:02d}.example.org" for k in range(50)]
+_ZIPF_A = 1.3
+_HOST_WEIGHTS = [1.0 / ((k + 1) ** _ZIPF_A) for k in range(len(HOSTS))]
+
+
+def _sentence(rng: random.Random, n: int) -> str:
+    return " ".join(rng.choice(WORDS) for _ in range(n))
+
+
+def _para(rng: random.Random, lo: int = 18, hi: int = 60) -> str:
+    return _sentence(rng, rng.randint(lo, hi))
+
+
+# ---------------------------------------------------------------- templates
+
+def _tmpl_article(rng: random.Random) -> bytes:
+    nav = " ".join(f'<a href="/{w}">{w}</a>' for w in NAV_WORDS[: rng.randint(3, 8)])
+    paras = "\n".join(f"<p>{_para(rng)}</p>" for _ in range(rng.randint(2, 8)))
+    title = _sentence(rng, rng.randint(3, 7))
+    charset, enc = rng.choice(
+        [("utf-8", "utf-8"), ("utf-8", "utf-8"), ("utf-8", "utf-8"),
+         ("iso-8859-1", "latin-1")]
+    )
+    doc = (
+        f"<!DOCTYPE html><html><head><meta charset={charset}>"
+        f"<title>{title}</title><style>body{{margin:0}}</style></head><body>"
+        f"<nav>{nav}</nav><header><a href='/'>logo</a> {_sentence(rng, 2)}</header>"
+        f"<h1>{title}</h1>\n<article>{paras}</article>"
+        f"<footer>copyright 2025 {_sentence(rng, 3)} <a href='/tos'>tos</a></footer>"
+        f"</body></html>"
+    )
+    return doc.encode(enc, errors="replace")
+
+
+def _tmpl_linkfarm(rng: random.Random) -> bytes:
+    links = "\n".join(
+        f'<li><a href="/{i}">{_sentence(rng, rng.randint(2, 5))}</a></li>'
+        for i in range(rng.randint(20, 60))
+    )
+    doc = (
+        "<html><head><title>links</title></head><body>"
+        f"<ul>{links}</ul>"
+        f"<div>{_sentence(rng, rng.randint(1, 4))}</div></body></html>"
+    )
+    return doc.encode("utf-8")
+
+
+def _tmpl_nested_divs(rng: random.Random) -> bytes:
+    depth = rng.randint(20, 200)
+    content_at = rng.randint(5, depth - 1)
+    parts = ["<html><body>"]
+    for d in range(depth):
+        parts.append(f'<div class="d{d}">')
+        if d == content_at:
+            parts.append(f"<p>{_para(rng)}</p>")
+    parts.append(_sentence(rng, 2))
+    parts.append("</div>" * depth)
+    parts.append("</body></html>")
+    return "".join(parts).encode("utf-8")
+
+
+def _tmpl_misnested(rng: random.Random) -> bytes:
+    doc = (
+        "<html><body><p>first part <b>bold <i>both</b> italic?</i> tail "
+        f"{_para(rng)}"
+        f"<p>{_para(rng)}</div></strong>"
+        f"<p>unclosed final {_sentence(rng, 20)}"
+        "</body>"
+    )
+    return doc.encode("utf-8")
+
+
+def _tmpl_script_heavy(rng: random.Random) -> bytes:
+    doc = (
+        "<html><head><script>var a = '<p>fake</p>'; if (a<b) {}</script>"
+        "<style>.x > .y { content: '</style>ish' }</style></head><body>"
+        f"<!-- comment with <p>markup</p> inside -->"
+        f"<p>{_para(rng)}</p>"
+        f"<script type='text/javascript'>document.write('<div>no</div>')</script>"
+        f"<![CDATA[ raw <not-a-tag> cdata ]]>"
+        f"<p>{_para(rng)}</p>"
+        "</body></html>"
+    )
+    return doc.encode("utf-8")
+
+
+def _tmpl_tables(rng: random.Random) -> bytes:
+    rows = "\n".join(
+        f"<tr><td>{_sentence(rng, 2)}</td><td>{rng.randint(0, 999)}</td>"
+        for _ in range(rng.randint(3, 10))
+    )
+    doc = (
+        "<html><body>"
+        f"<table><thead><tr><th>name</th><th>qty</th></thead>{rows}</table>"
+        f"<ul><li>{_sentence(rng, 3)}<li>{_sentence(rng, 4)}</ul>"
+        f"<div id=main><p>{_para(rng, 30, 80)}</p><p>{_para(rng)}</p></div>"
+        "</body></html>"
+    )
+    return doc.encode("utf-8")
+
+
+def _tmpl_huge(rng: random.Random, target_mb: float = 5.0) -> bytes:
+    paras = []
+    size = 0
+    target = int(target_mb * 1024 * 1024)
+    while size < target:
+        p = f"<p>{_para(rng, 40, 120)}</p>"
+        paras.append(p)
+        size += len(p)
+    doc = "<html><body><article>" + "\n".join(paras) + "</article></body></html>"
+    return doc.encode("utf-8")
+
+
+def _tmpl_degenerate(rng: random.Random, variant: int) -> bytes:
+    if variant == 0:
+        return b""
+    if variant == 1:
+        return b"   \n\t  "
+    if variant == 2:
+        return bytes(rng.randrange(128, 256) for _ in range(64))  # broken bytes
+    if variant == 3:
+        return ("<div>" * 50).encode()  # tags, no text
+    return ("plain text with no tags at all " + _sentence(rng, 30)).encode()
+
+
+# ------------------------------------------------------------------ pdf gen
+
+def make_pdf(lines: list[str], two_column: bool = False) -> bytes:
+    """Minimal single-page PDF with a FlateDecode content stream."""
+
+    def esc(s: str) -> str:
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    ops = ["BT", "/F1 12 Tf"]
+    if two_column:
+        half = (len(lines) + 1) // 2
+        ops.append("72 720 Td")
+        for i, ln in enumerate(lines[:half]):
+            if i:
+                ops.append("0 -14 Td")
+            ops.append(f"({esc(ln)}) Tj")
+        ops.append("ET")
+        ops.append("BT")
+        ops.append("/F1 12 Tf")
+        ops.append("320 720 Td")
+        for i, ln in enumerate(lines[half:]):
+            if i:
+                ops.append("0 -14 Td")
+            ops.append(f"({esc(ln)}) Tj")
+    else:
+        ops.append("72 720 Td")
+        ops.append("14 TL")
+        for i, ln in enumerate(lines):
+            if i:
+                ops.append("T*")
+            ops.append(f"({esc(ln)}) Tj")
+    ops.append("ET")
+    content = zlib.compress("\n".join(ops).encode("latin-1"))
+
+    objs: list[bytes] = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length " + str(len(content)).encode() + b" /Filter /FlateDecode >>"
+        b"\nstream\n" + content + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def _tmpl_pdf(rng: random.Random, two_column: bool = False) -> bytes:
+    lines = [_sentence(rng, rng.randint(4, 9)) for _ in range(rng.randint(4, 14))]
+    return make_pdf(lines, two_column=two_column)
+
+
+# ----------------------------------------------------------------- corpus
+
+_TEMPLATES = [
+    ("article", _tmpl_article, 52),
+    ("linkfarm", _tmpl_linkfarm, 10),
+    ("nested", _tmpl_nested_divs, 10),
+    ("misnested", _tmpl_misnested, 8),
+    ("scripty", _tmpl_script_heavy, 8),
+    ("tables", _tmpl_tables, 7),
+    ("pdf", None, 5),          # handled specially
+]
+
+
+def make_pages(n: int, seed: int = 42) -> list[dict]:
+    """Generate n page rows (url, warc_ts, html, text, lang).
+
+    Deterministic in (n, seed). Includes one huge doc, one two-column PDF
+    and a fixed block of degenerate rows per corpus.
+    """
+    rng = random.Random(seed)
+    names = [t[0] for t in _TEMPLATES]
+    weights = [t[2] for t in _TEMPLATES]
+    fns = {t[0]: t[1] for t in _TEMPLATES}
+    rows: list[dict] = []
+    for i in range(n):
+        host = rng.choices(HOSTS, weights=_HOST_WEIGHTS, k=1)[0]
+        url = f"https://{host}/page-{i:07d}"
+        lang = rng.choice(LANGS)
+        if i == 0 and n >= 100:
+            html = _tmpl_huge(rng, target_mb=5.0)
+            kind = "huge"
+        elif i == 1 and n >= 100:
+            html = _tmpl_pdf(rng, two_column=True)
+            kind = "pdf2col"
+        elif 2 <= i < 7 and n >= 100:
+            html = _tmpl_degenerate(rng, i - 2)
+            kind = "degenerate"
+        else:
+            kind = rng.choices(names, weights=weights, k=1)[0]
+            if kind == "pdf":
+                html = _tmpl_pdf(rng)
+            else:
+                html = fns[kind](rng)
+        rows.append({
+            "url": url,
+            "warc_ts": EPOCH + TS_STEP * i,
+            "html": html,
+            "text": _sentence(rng, rng.randint(5, 30)),  # noisy crawler text
+            "lang": lang,
+        })
+    return rows
+
+
+def make_golden(pages: list[dict]) -> list[dict]:
+    """Run the single-node oracle extractor over the pages."""
+    out = []
+    for p in pages:
+        res = extract(p["html"], p["lang"])
+        out.append({
+            "url": p["url"],
+            "expected_text": res.text.encode("utf-8"),
+            "expected_kind": res.kind,
+        })
+    return out
+
+
+_PAGES_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("warc_ts", pa.timestamp("us")),
+    ("html", pa.binary()),
+    ("text", pa.string()),
+    ("lang", pa.string()),
+])
+
+_GOLDEN_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("expected_text", pa.binary()),
+    ("expected_kind", pa.string()),
+])
+
+
+def write_corpus(outdir: str, n: int, seed: int = 42) -> tuple[str, str]:
+    """Write pages.parquet + golden.parquet under outdir; returns paths."""
+    import os
+
+    os.makedirs(outdir, exist_ok=True)
+    pages = make_pages(n, seed)
+    golden = make_golden(pages)
+    pages_path = os.path.join(outdir, "pages.parquet")
+    golden_path = os.path.join(outdir, "golden.parquet")
+    pq.write_table(
+        pa.Table.from_pylist(pages, schema=_PAGES_SCHEMA), pages_path,
+        row_group_size=512,
+    )
+    pq.write_table(
+        pa.Table.from_pylist(golden, schema=_GOLDEN_SCHEMA), golden_path,
+    )
+    return pages_path, golden_path

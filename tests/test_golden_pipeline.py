@@ -1,0 +1,70 @@
+"""End-to-end golden test: Spark pipeline output must be byte-identical
+per url to the single-node oracle extractor (BASELINE.json correctness
+gate). Reference analog: verify_characters against the golden parasha
+text (/root/reference/overflow/segment_according_to_sentence.py:203-236).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.plans.extract_job import extract_pages
+from ocr_spark.synth import write_corpus
+
+N_PAGES = 250
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    pages_path, golden_path = write_corpus(str(d), N_PAGES, seed=42)
+    return pages_path, golden_path
+
+
+def test_byte_identical_extraction(spark, corpus):
+    pages_path, golden_path = corpus
+    pages = spark.read.parquet(pages_path)
+    golden = spark.read.parquet(golden_path)
+
+    results = extract_pages(pages, n_buckets=8, salt_n=4)
+    joined = (
+        results.select("url",
+                       F.encode("extracted_text", "utf-8").alias("got"),
+                       "content_kind")
+        .join(golden, on="url", how="full_outer")
+    ).collect()
+
+    assert len(joined) == N_PAGES
+    mismatches = []
+    for row in joined:
+        got = bytes(row["got"]) if row["got"] is not None else None
+        exp = bytes(row["expected_text"]) if row["expected_text"] is not None else None
+        if got != exp:
+            # first-divergence offset for debuggability (SURVEY.md §5.1)
+            off = next((i for i, (a, b) in enumerate(zip(got or b"", exp or b""))
+                        if a != b), min(len(got or b""), len(exp or b"")))
+            mismatches.append((row["url"], off, (got or b"")[off:off + 40],
+                               (exp or b"")[off:off + 40]))
+    assert not mismatches, f"{len(mismatches)} urls diverge; first: {mismatches[0]}"
+
+
+def test_kind_matches_oracle(spark, corpus):
+    pages_path, golden_path = corpus
+    pages = spark.read.parquet(pages_path)
+    golden = spark.read.parquet(golden_path)
+    results = extract_pages(pages, n_buckets=8, salt_n=4)
+    bad = (results.join(golden, "url")
+           .where(F.col("content_kind") != F.col("expected_kind"))
+           .count())
+    assert bad == 0
+
+
+def test_huge_doc_survives_arrow_batching(spark, corpus):
+    """The ~5 MB doc (page-0000000) must extract, not OOM or truncate."""
+    pages_path, golden_path = corpus
+    pages = spark.read.parquet(pages_path)
+    res = (extract_pages(pages.where(F.col("url").endswith("page-0000000")),
+                         n_buckets=2, salt_n=2)
+           .select(F.length("extracted_text").alias("n")).collect())
+    assert res and res[0]["n"] > 1_000_000
