@@ -1,0 +1,172 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Exact (hash-groupBy), MinHash+LSH (shingle -> minhash -> band -> bucket
+join), SimHash, and n-gram Jaccard — all as compositions of DataFrame
+expressions (higher-order array functions + hash aggregates), so the
+whole thing stays in whole-stage codegen; no Python UDFs anywhere.
+
+Scale notes:
+  * minhash signatures: one explode to (doc, shingle) — a narrow map — then
+    ONE hash-agg shuffle keyed by doc_id to min-reduce all n_hashes lanes
+    at once (seed lanes are an array column, not an exploded dimension).
+  * LSH pairing shuffles on (band, band_hash) — bounded fan-out because
+    bucket sizes are capped by the band width choice, and AQE handles the
+    residual skew of degenerate buckets (e.g. empty-text docs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+import random
+
+from ocr_spark.operators.hashing import MOD_P, md5long
+
+DEFAULT_N_HASHES = 16
+DEFAULT_BAND_SIZE = 2
+DEFAULT_SHINGLE_K = 3
+
+
+def minhash_coeffs(n_hashes: int, seed: int = 2024) -> list[tuple[int, int]]:
+    """Universal-hash coefficients (a, b) for the minhash lanes: lane_s(h) =
+    (a_s*h + b_s) mod p with h < p < 2^30, so a_s*h < 2^60 never overflows
+    int64 in either engine. ONE md5 per shingle feeds all lanes (vs a naive
+    md5-per-lane — 16x fewer hash evaluations, the dominant cost)."""
+    rng = random.Random(seed)
+    return [(rng.randrange(1, MOD_P), rng.randrange(0, MOD_P))
+            for _ in range(n_hashes)]
+
+
+def exact_dedup_survivors(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: one survivor (min id) per identical text."""
+    return (df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+            .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("copies")))
+
+
+def word_shingles(text: Column, k: int = DEFAULT_SHINGLE_K) -> Column:
+    """Distinct k-word shingles of a text column (array<string>)."""
+    words = F.split(text, " ", -1)
+    n = F.size(words)
+    shingled = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + j) for j in range(k)]),
+    )
+    return F.array_distinct(F.when(n >= k, shingled).otherwise(
+        F.array(F.concat_ws(" ", words))))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str,
+    n_hashes: int = DEFAULT_N_HASHES, shingle_k: int = DEFAULT_SHINGLE_K,
+) -> DataFrame:
+    """(id, seed, minhash) — n_hashes rows per doc.
+
+    Plan: explode distinct shingles (narrow), compute all seed lanes per
+    shingle as an array, then a single groupBy(id) with element-wise
+    array-min via zip_with reduction in the agg (expressed as per-lane
+    min aggregates to keep partial aggregation effective).
+    """
+    shingles = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("shingle"),
+    )
+    coeffs = minhash_coeffs(n_hashes)
+    h = (md5long(F.col("shingle")) % MOD_P).alias("h")
+    lanes = shingles.select(id_col, h).select(
+        id_col,
+        *[((F.lit(a) * F.col("h") + F.lit(b)) % MOD_P).alias(f"h{s}")
+          for s, (a, b) in enumerate(coeffs)],
+    )
+    agg = lanes.groupBy(id_col).agg(
+        *[F.min(f"h{s}").alias(f"h{s}") for s in range(n_hashes)])
+    # unpivot to long form (id, seed, minhash)
+    pairs = F.array(*[
+        F.struct(F.lit(s).alias("seed"), F.col(f"h{s}").alias("minhash"))
+        for s in range(n_hashes)])
+    return (agg.select(id_col, F.explode(pairs).alias("p"))
+            .select(id_col, F.col("p.seed").alias("seed"),
+                    F.col("p.minhash").alias("minhash")))
+
+
+def lsh_band_buckets(sig: DataFrame, id_col: str,
+                     band_size: int = DEFAULT_BAND_SIZE) -> DataFrame:
+    """(id, band, band_hash): hash of the concatenated minhashes per band."""
+    banded = sig.withColumn(
+        "band", (F.col("seed") / band_size).cast("int"))
+    return (banded.groupBy(id_col, "band")
+            .agg(md5long(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("seed", "minhash"))),
+                    lambda s: s["minhash"].cast("string")),
+                ",")).alias("band_hash")))
+
+
+def lsh_candidate_pairs(buckets: DataFrame, id_col: str) -> DataFrame:
+    """Self-join band buckets -> candidate near-dup pairs (a < b) with the
+    number of bands in which they collide."""
+    a = buckets.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    b = buckets.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    return (a.join(b, ["band", "band_hash"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("shared_bands")))
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str,
+            n_bits: int = 32) -> DataFrame:
+    """(id, simhash): sign-aggregated word-hash bits.
+
+    Expressed as one explode over distinct words and a conditional-sum
+    aggregate per bit lane — partial aggregation applies, so the shuffle
+    carries n_bits small longs per doc, not the words.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(
+            F.split(F.col(text_col), " ", -1))).alias("w"),
+    ).where(F.col("w") != "")
+    h = md5long(F.col("w"))
+    lanes = words.select(
+        id_col,
+        *[F.when(F.shiftright(h, b).bitwiseAND(F.lit(1).cast("long")) == 1,
+                 F.lit(1)).otherwise(F.lit(-1)).alias(f"b{b}")
+          for b in range(n_bits)],
+    )
+    agg = lanes.groupBy(id_col).agg(
+        *[F.sum(f"b{b}").alias(f"b{b}") for b in range(n_bits)])
+    sim = None
+    for b in range(n_bits):
+        term = F.when(F.col(f"b{b}") > 0,
+                      F.shiftleft(F.lit(1).cast("long"), b)) \
+                .otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return agg.select(id_col, sim.alias("simhash"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        shingle_k: int = DEFAULT_SHINGLE_K,
+                        threshold: float = 0.01) -> DataFrame:
+    """All-pairs n-gram Jaccard via inverted shingle index (only pairs
+    sharing >= 1 shingle are materialized — never the full cross join)."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("shingle"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (a.join(b, "shingle").where(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    sa = sizes.select(F.col(id_col).alias("id_a"),
+                      F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"),
+                      F.col("n_sh").alias("n_b"))
+    return (inter.join(sa, "id_a").join(sb, "id_b")
+            .select("id_a", "id_b",
+                    F.round(F.col("inter")
+                            / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+                            4).alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))

@@ -1,0 +1,94 @@
+"""Text-analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting. Pure column expressions (array higher-order
+functions + regex) — no UDFs, oracle-mirrorable in ANSI SQL."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.hashing import MOD_P, md5long
+
+# Small fixed per-language marker lexicons (n-gram-heuristic language ID).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "es": ("el", "la", "los", "que", "de", "y", "es"),
+    "fr": ("le", "la", "les", "et", "est", "que", "des"),
+}
+
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "data", "value",
+             "table", "row")
+
+
+def words_of(text: Column) -> Column:
+    return F.filter(F.split(text, " ", -1), lambda w: w != "")
+
+
+def marker_hits(text: Column, markers: tuple[str, ...]) -> Column:
+    ms = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(words_of(text), lambda w: F.array_contains(ms, w)))
+
+
+def lang_id(text: Column) -> Column:
+    """argmax over marker-hit counts; deterministic tie-break by fixed
+    language order; 'und' (undetermined) when no marker hits at all."""
+    scores = [(lg, marker_hits(text, ms)) for lg, ms in LANG_MARKERS.items()]
+    best = None
+    for lg, sc in scores:
+        best = sc if best is None else F.greatest(best, sc)
+    pred = F.lit("und")
+    for lg, sc in reversed(scores):  # earlier langs win ties
+        pred = F.when(sc == best, F.lit(lg)).otherwise(pred)
+    return F.when(best > 0, pred).otherwise(F.lit("und"))
+
+
+def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc shallow quality features + a fixed combined score."""
+    t = F.col(text_col)
+    ws = words_of(t)
+    n_words = F.size(ws)
+    n_chars = F.length(t)
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_ratio = F.size(F.filter(ws, lambda w: F.array_contains(stop, w))) \
+        / F.greatest(n_words, F.lit(1))
+    punct_ratio = (n_chars - F.length(F.regexp_replace(t, r"[^\w ]", ""))) \
+        / F.greatest(n_chars, F.lit(1))
+    avg_wlen = F.length(F.regexp_replace(t, " ", "")) \
+        / F.greatest(n_words, F.lit(1))
+    score = (F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
+             + stop_ratio * 0.3
+             + (1.0 - punct_ratio) * 0.2
+             + F.least(avg_wlen / F.lit(8.0), F.lit(1.0)) * 0.1)
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(avg_wlen, 4).alias("avg_word_len"),
+        F.round(score, 4).alias("quality"))
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace tokens + BPE-ish subword estimate (alpha runs + digits +
+    punctuation marks each count as a token)."""
+    t = F.col(text_col)
+    ws_tokens = F.size(words_of(t))
+    bpe_ish = F.size(F.regexp_extract_all(t, F.lit(r"[a-z]{1,4}|[0-9]|[^\w ]"),
+                                          F.lit(0)))
+    return df.select(F.col(id_col),
+                     ws_tokens.alias("ws_tokens"),
+                     bpe_ish.alias("bpe_tokens"))
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Two fingerprints: md5 of whitespace-normalized text and a rolling
+    31-polynomial word hash mod 1e9+7 (order-sensitive)."""
+    norm = F.trim(F.regexp_replace(F.col(text_col), r"[ \t\n\r\f\v]+", " "))
+    rolling = F.aggregate(
+        F.transform(words_of(norm), lambda w: md5long(w) % MOD_P),
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * 31 + h) % MOD_P)
+    return df.select(F.col(id_col),
+                     F.md5(norm).alias("md5_fp"),
+                     rolling.alias("rolling_fp"))

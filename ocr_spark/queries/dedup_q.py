@@ -1,0 +1,128 @@
+"""Dedup operator queries + DuckDB oracles over the documents table.
+
+The oracle SQL mirrors the exact hash/shingle/band construction (shared
+md5-derived 60-bit hash, ocr_spark/operators/hashing.py), so the driver
+verifies sketch VALUES — minhash signatures, simhash bits, jaccard — not
+just row counts.
+"""
+
+from __future__ import annotations
+
+from ocr_spark.operators import dedup as D
+from ocr_spark.operators.hashing import MOD_P, sql_md5long
+from ocr_spark.queries import QuerySpec, load
+
+QUERIES: list[QuerySpec] = []
+
+N_HASHES = 16
+BAND_SIZE = 2
+_COEFFS = D.minhash_coeffs(N_HASHES)
+
+# Shared CTE: distinct 3-word shingles per doc (mirror of word_shingles).
+_SH_CTE = (
+    "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+    "sh AS (SELECT DISTINCT doc_id, shingle FROM ("
+    "SELECT doc_id, unnest(CASE WHEN len(ws) >= 3 THEN "
+    "list_transform(range(1, len(ws) - 1), "
+    "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) "
+    "ELSE [array_to_string(ws, ' ')] END) AS shingle FROM w)) "
+)
+
+# Universal-hash lanes over ONE md5 per shingle (mirror of
+# minhash_signatures): lane_s(h) = (a_s*h + b_s) % p.
+_LANES_SQL = ", ".join(
+    f"(({a} * h + {b}) % {MOD_P}) AS h{s}"
+    for s, (a, b) in enumerate(_COEFFS))
+_SIG_LONG = " UNION ALL ".join(
+    f"SELECT doc_id, {s} AS seed, min(h{s}) AS minhash "
+    f"FROM lanes GROUP BY doc_id" for s in range(N_HASHES))
+
+_SIG_CTE = (
+    ", hashes AS (SELECT doc_id, " + sql_md5long("shingle")
+    + f" % {MOD_P} AS h FROM sh), "
+    "lanes AS (SELECT doc_id, " + _LANES_SQL + " FROM hashes), "
+    "sig AS (" + _SIG_LONG + ") "
+)
+
+_SIG_SQL = (
+    _SH_CTE + _SIG_CTE +
+    "SELECT doc_id, CAST(seed AS INT) AS seed, minhash FROM sig"
+)
+
+_BANDS_CTE = (
+    ", bands AS (SELECT doc_id, CAST(seed // " + str(BAND_SIZE) + " AS INT) "
+    "AS band, " +
+    sql_md5long("string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)")
+    + " AS band_hash FROM sig GROUP BY doc_id, band) "
+)
+
+
+def q(name, sql, note=""):
+    def deco(fn):
+        QUERIES.append(QuerySpec(name, fn, sql, note))
+        return fn
+    return deco
+
+
+@q("dedup_exact",
+   "SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, "
+   "count(*) AS copies FROM documents GROUP BY md5(text)",
+   "exact dedup: hash-groupBy survivors")
+def dedup_exact(spark, sf):
+    return D.exact_dedup_survivors(load(spark, sf, "documents"),
+                                   "doc_id", "text")
+
+
+@q("dedup_minhash_signatures", _SIG_SQL,
+   "minhash: shingle -> 16 seeded hash lanes -> per-doc min (values "
+   "verified against oracle)")
+def minhash_sigs(spark, sf):
+    return D.minhash_signatures(load(spark, sf, "documents"),
+                                "doc_id", "text", N_HASHES)
+
+
+@q("dedup_minhash_lsh_pairs",
+   _SH_CTE + _SIG_CTE + _BANDS_CTE +
+   "SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_bands "
+   "FROM bands a JOIN bands b ON a.band = b.band "
+   "AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id "
+   "GROUP BY 1, 2",
+   "LSH: band -> bucket join -> candidate pairs")
+def minhash_lsh(spark, sf):
+    d = load(spark, sf, "documents")
+    sig = D.minhash_signatures(d, "doc_id", "text", N_HASHES)
+    buckets = D.lsh_band_buckets(sig, "doc_id", BAND_SIZE)
+    return (D.lsh_candidate_pairs(buckets, "doc_id")
+            .withColumnRenamed("id_a", "id_a"))
+
+
+@q("dedup_simhash",
+   "WITH wd AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) "
+   "AS word FROM documents), "
+   "wf AS (SELECT doc_id, " + sql_md5long("word") + " AS h FROM wd "
+   "WHERE word <> ''), "
+   "bits AS (SELECT doc_id, b, sum(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 "
+   "THEN 1 ELSE -1 END) AS s FROM wf CROSS JOIN "
+   "(SELECT unnest(range(32)) AS b) GROUP BY doc_id, b) "
+   "SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN "
+   "(CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) "
+   "AS simhash FROM bits GROUP BY doc_id",
+   "simhash: sign-aggregated 32-bit word-hash sketch")
+def simhash_q(spark, sf):
+    return D.simhash(load(spark, sf, "documents"), "doc_id", "text")
+
+
+@q("dedup_ngram_jaccard",
+   _SH_CTE +
+   ", sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), "
+   "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i "
+   "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+   "GROUP BY 1, 2) "
+   "SELECT id_a, id_b, ROUND(i / (sa.n_sh + sb.n_sh - i), 4) AS jaccard "
+   "FROM inter JOIN sizes sa ON sa.doc_id = id_a "
+   "JOIN sizes sb ON sb.doc_id = id_b "
+   "WHERE ROUND(i / (sa.n_sh + sb.n_sh - i), 4) >= 0.01",
+   "n-gram Jaccard via inverted shingle index (no cross join)")
+def ngram_jaccard(spark, sf):
+    return D.ngram_jaccard_pairs(load(spark, sf, "documents"),
+                                 "doc_id", "text", threshold=0.01)

@@ -1,0 +1,91 @@
+"""Text-analysis queries + DuckDB oracles over the documents table."""
+
+from __future__ import annotations
+
+from ocr_spark.operators import textstats as T
+from ocr_spark.operators.hashing import MOD_P, sql_md5long
+from ocr_spark.queries import QuerySpec, load
+
+QUERIES: list[QuerySpec] = []
+
+
+def q(name, sql, note=""):
+    def deco(fn):
+        QUERIES.append(QuerySpec(name, fn, sql, note))
+        return fn
+    return deco
+
+
+def _sql_list(vals) -> str:
+    return "[" + ", ".join(f"'{v}'" for v in vals) + "]"
+
+
+_STOP = _sql_list(T.STOPWORDS)
+
+
+@q("text_quality_score",
+   "WITH f AS (SELECT doc_id, text, "
+   "list_filter(string_split(text, ' '), w -> w <> '') AS ws, "
+   "length(text) AS n_chars FROM documents), "
+   "g AS (SELECT doc_id, len(ws) AS n_words, n_chars, "
+   "len(list_filter(ws, w -> list_contains(" + _STOP + ", w))) AS stops, "
+   "n_chars - length(regexp_replace(text, '[^\\w ]', '', 'g')) AS punct, "
+   "length(replace(text, ' ', '')) AS alpha FROM f) "
+   "SELECT doc_id, n_words, "
+   "ROUND(stops / greatest(n_words, 1), 4) AS stop_ratio, "
+   "ROUND(punct / greatest(n_chars, 1), 4) AS punct_ratio, "
+   "ROUND(alpha / greatest(n_words, 1), 4) AS avg_word_len, "
+   "ROUND(least(n_words / 100.0, 1.0) * 0.4 "
+   "+ (stops / greatest(n_words, 1)) * 0.3 "
+   "+ (1.0 - punct / greatest(n_chars, 1)) * 0.2 "
+   "+ least((alpha / greatest(n_words, 1)) / 8.0, 1.0) * 0.1, 4) "
+   "AS quality FROM g",
+   "quality scoring: length/punct/stopword shallow features")
+def quality(spark, sf):
+    return T.quality_features(load(spark, sf, "documents"),
+                              "doc_id", "text")
+
+
+def _lang_sql() -> str:
+    scores = {lg: f"len(list_filter(string_split(text, ' '), "
+                  f"w -> list_contains({_sql_list(ms)}, w)))"
+              for lg, ms in T.LANG_MARKERS.items()}
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in scores) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN s_{lg} = {best} THEN '{lg}'" for lg in scores) + " END"
+    inner = ", ".join(f"{expr} AS s_{lg}" for lg, expr in scores.items())
+    return (f"WITH s AS (SELECT doc_id, {inner} FROM documents) "
+            f"SELECT {case} AS pred_lang, count(*) AS cnt FROM s GROUP BY 1")
+
+
+@q("text_lang_id", _lang_sql(),
+   "marker-lexicon language ID with deterministic tie-break")
+def lang_id_q(spark, sf):
+    from pyspark.sql import functions as F
+    d = load(spark, sf, "documents")
+    return (d.select(T.lang_id(F.col("text")).alias("pred_lang"))
+            .groupBy("pred_lang").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+@q("text_token_counts",
+   "SELECT doc_id, "
+   "len(list_filter(string_split(text, ' '), w -> w <> '')) AS ws_tokens, "
+   "len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]|[^\\w ]')) AS bpe_tokens "
+   "FROM documents",
+   "token counting: whitespace + BPE-ish regex estimate")
+def tokens(spark, sf):
+    return T.token_counts(load(spark, sf, "documents"), "doc_id", "text")
+
+
+@q("text_fingerprint",
+   "WITH n AS (SELECT doc_id, "
+   "trim(regexp_replace(text, '[ \\t\\n\\r\\f\\v]+', ' ', 'g')) AS norm "
+   "FROM documents) "
+   "SELECT doc_id, md5(norm) AS md5_fp, "
+   "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+   "list_transform(list_filter(string_split(norm, ' '), w -> w <> ''), "
+   "w -> " + sql_md5long("w") + f" % {MOD_P})), "
+   f"(acc, h) -> (acc * 31 + h) % {MOD_P}) AS rolling_fp FROM n",
+   "document fingerprinting: md5 + order-sensitive rolling hash")
+def fingerprint_q(spark, sf):
+    return T.fingerprint(load(spark, sf, "documents"), "doc_id", "text")

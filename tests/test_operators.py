@@ -1,0 +1,138 @@
+"""Unit tests for dedup/similarity/textstats operators on tiny in-memory
+frames (semantics pinned independently of the DuckDB oracle)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.operators import dedup as D
+from ocr_spark.operators import similarity as S
+from ocr_spark.operators import textstats as T
+from ocr_spark.operators.multimodal import _decode_image_bytes, decode_media_meta
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),   # exact dup
+        (3, "the quick brown fox jumps over the lazy cat"),   # near dup
+        (4, "completely different words here about spark engines"),
+        (5, "a"),                                             # < shingle_k
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    surv = D.exact_dedup_survivors(docs, "doc_id", "text").collect()
+    assert len(surv) == 4  # 1&2 merged
+    by_copies = {r["doc_id"]: r["copies"] for r in surv}
+    assert by_copies[1] == 2
+
+
+def test_minhash_identical_docs_identical_sigs(docs):
+    sig = D.minhash_signatures(docs, "doc_id", "text", n_hashes=8)
+    pdf = sig.toPandas().pivot(index="doc_id", columns="seed",
+                               values="minhash")
+    assert list(pdf.loc[1]) == list(pdf.loc[2])
+    # near-dup shares most minhashes, disjoint doc shares none
+    shared_near = sum(a == b for a, b in zip(pdf.loc[1], pdf.loc[3]))
+    shared_far = sum(a == b for a, b in zip(pdf.loc[1], pdf.loc[4]))
+    assert shared_near > shared_far
+
+
+def test_lsh_pairs_find_duplicates(docs):
+    sig = D.minhash_signatures(docs, "doc_id", "text", n_hashes=8)
+    pairs = D.lsh_candidate_pairs(
+        D.lsh_band_buckets(sig, "doc_id", band_size=2), "doc_id").collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found
+
+
+def test_simhash_hamming(docs):
+    import numpy as np
+    sh = {r["doc_id"]: r["simhash"]
+          for r in D.simhash(docs, "doc_id", "text").collect()}
+    assert sh[1] == sh[2]
+    ham_near = bin(sh[1] ^ sh[3]).count("1")
+    ham_far = bin(sh[1] ^ sh[4]).count("1")
+    assert ham_near < ham_far
+
+
+def test_ngram_jaccard(docs):
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text",
+                                  threshold=0.01).collect()
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert j[(1, 2)] == 1.0
+    assert 0.0 < j[(1, 3)] < 1.0
+
+
+@pytest.fixture()
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    return df.withColumn(
+        "embedding", F.col("embedding").cast("array<float>"))
+
+
+def test_cosine_topk(vecs):
+    top = S.cosine_topk(vecs.where("vec_id <> 0"), "vec_id", "embedding",
+                        [1.0, 0.0, 0.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in top] == [1, 2]
+    assert top[0]["cos"] > 0.99
+
+
+def test_ann_bucket_excludes_opposite(vecs):
+    planes = S.hyperplanes(2, 4, seed=5)
+    res = S.ann_search(vecs, "vec_id", "embedding",
+                       [1.0, 0.0, 0.0, 0.0], planes, k=4).collect()
+    ids = [r["vec_id"] for r in res]
+    assert 0 in ids or 1 in ids  # same-direction vectors in query bucket
+
+
+def test_lang_id(spark):
+    rows = [(1, "the cat and the dog of the house"),
+            (2, "der hund und die katze ist nicht da"),
+            (3, "xyzzy qwerty")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["pred"] for r in df.select(
+        "doc_id", T.lang_id(F.col("text")).alias("pred")).collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "und"
+
+
+def test_quality_and_tokens(spark):
+    df = spark.createDataFrame([(1, "the data of value!!")],
+                               ["doc_id", "text"])
+    feat = T.quality_features(df, "doc_id", "text").collect()[0]
+    assert feat["n_words"] == 4
+    assert feat["punct_ratio"] > 0
+    tok = T.token_counts(df, "doc_id", "text").collect()[0]
+    assert tok["ws_tokens"] == 4
+    assert tok["bpe_tokens"] >= 5
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta alpha")], ["doc_id", "text"])
+    fp = {r["doc_id"]: (r["md5_fp"], r["rolling_fp"])
+          for r in T.fingerprint(df, "doc_id", "text").collect()}
+    assert fp[1][0] != fp[2][0]
+    assert fp[1][1] != fp[2][1]
+
+
+def test_multimodal_stub_and_plumbing(spark):
+    assert _decode_image_bytes(b"abcd")["n_bytes"] == 4
+    with pytest.raises(NotImplementedError):
+        _decode_image_bytes(b"x", real_codec=True)
+    df = spark.createDataFrame([(1, bytearray(b"x" * 100)),
+                                (2, None)], ["doc_id", "blob"])
+    out = {r["doc_id"]: r for r in
+           decode_media_meta(df, "doc_id", "blob").collect()}
+    assert out[1]["n_bytes"] == 100 and out[1]["width"] == 116
+    assert out[2]["n_bytes"] == 0

@@ -1,0 +1,65 @@
+"""Structured Streaming analogs: incremental extract must match the batch
+pipeline byte-for-byte (stateless, so append mode emits everything);
+sessionization runs bounded with availableNow."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.plans.extract_job import extract_pages
+from ocr_spark.streaming.sessionize import (
+    run_incremental_extract, streaming_session_counts,
+)
+from ocr_spark.synth import write_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream_corpus")
+    write_corpus(str(d), 80, seed=3)
+    return str(d)
+
+
+def test_incremental_extract_matches_batch(spark, corpus_dir, tmp_path):
+    # file stream source requires a directory of files
+    pages = str(tmp_path / "pages_dir")
+    spark.read.parquet(f"{corpus_dir}/pages.parquet").write.parquet(pages)
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+    run_incremental_extract(spark, pages, out, ckpt)
+    got = (spark.read.parquet(out)
+           .select("url", "extracted_text").orderBy("url").collect())
+    exp = (extract_pages(spark.read.parquet(pages), n_buckets=4, salt_n=2)
+           .select("url", "extracted_text").orderBy("url").collect())
+    assert len(got) == len(exp) == 80
+    assert all(g["extracted_text"] == e["extracted_text"]
+               for g, e in zip(got, exp))
+
+    # rerun with same checkpoint: no new files -> no new rows (exactly-once)
+    run_incremental_extract(spark, pages, out, ckpt)
+    assert spark.read.parquet(out).count() == 80
+
+
+def test_streaming_sessionize_runs(spark, tmp_path):
+    from datetime import datetime, timedelta
+    base = datetime(2025, 1, 1)
+    rows = []
+    for u in range(3):
+        for s in range(2):          # two sessions per user, 2h apart
+            for i in range(4):
+                rows.append((u, base + timedelta(hours=2 * s, minutes=i),
+                             float(i)))
+    src = str(tmp_path / "events")
+    spark.createDataFrame(rows, ["user_id", "ts", "value"]) \
+        .write.parquet(src)
+    out = str(tmp_path / "sessions")
+    ckpt = str(tmp_path / "sckpt")
+    streaming_session_counts(spark, src, out, ckpt, gap="30 minutes",
+                             watermark="0 seconds")
+    got = spark.read.parquet(out)
+    # append mode emits sessions closed before the final watermark: at
+    # minimum every user's FIRST session (2h older than max ts) is out.
+    assert got.count() >= 3
+    r = got.where((F.col("user_id") == 0)).orderBy("session_start").first()
+    assert r["events"] == 4
