@@ -46,9 +46,12 @@ HEADLINE = [
     "t3_global_topk",
     "dedup_minhash_signatures",
     "dedup_simhash",
+    "dedup_embedding_cosine",
     "sim_cosine_topk",
+    "sim_ivf_topk",
     "text_quality_score",
     "f10_array_explode_topwords",
+    "multimodal_frame_sample",
 ]
 
 
@@ -78,9 +81,15 @@ def run_default() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = specs[name]
-        t0 = time.perf_counter()
-        _force(spec.spark(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # min of 2 runs: the sandbox host shows large external CPU-noise
+        # spikes (identical warmed plans vary 5-10x); min is the robust
+        # statistic for "what the plan actually costs".
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _force(spec.spark(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     # Extraction throughput segment over the synthetic page corpus.
     from ocr_spark.plans.extract_job import extract_pages

@@ -68,3 +68,97 @@ def decode_media_meta(df: DataFrame, id_col: str = "doc_id",
                 metas, columns=[f.name for f in MEDIA_META_SCHEMA.fields])
 
     return df.select(id_col, blob_col).mapInPandas(run, MEDIA_META_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("resized_w", IntegerType()),
+    StructField("resized_h", IntegerType()),
+])
+
+
+def _resize_dims(w: int, h: int, target: int) -> tuple[int, int]:
+    """DETERMINISTIC FAKE resize: integer long-side downscale to `target`
+    (never upscale) — the arithmetic a real thumbnailer would do; the
+    pixel resample itself would plug in here (PIL absent in container)."""
+    long_side = max(w, h)
+    if long_side <= target:
+        return w, h
+    return (w * target) // long_side, (h * target) // long_side
+
+
+def resize_meta(df: DataFrame, id_col: str = "doc_id",
+                blob_col: str = "blob", target: int = 224) -> DataFrame:
+    """binary -> (orig dims, resized dims) via mapInPandas; same fake
+    decode as decode_media_meta, then long-side integer downscale."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                m = _decode_image_bytes(bytes(blob) if blob is not None
+                                        else b"")
+                rw, rh = _resize_dims(m["width"], m["height"], target)
+                rows.append((int(doc_id), m["width"], m["height"], rw, rh))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZE_SCHEMA.fields])
+
+    return df.select(id_col, blob_col).mapInPandas(run, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("frame_bytes", LongType()),
+])
+
+
+def sample_frames(df: DataFrame, id_col: str = "doc_id",
+                  blob_col: str = "blob", stride: int = 7) -> DataFrame:
+    """Video frame sampling plumbing: 1 blob -> n rows (every stride-th
+    frame index below the fake-decoded n_frames) — the UDTF shape a real
+    ffmpeg frame extractor produces. frame_bytes is the fake per-frame
+    payload size (n_bytes // n_frames)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                b = bytes(blob) if blob is not None else b""
+                m = _decode_image_bytes(b)
+                per_frame = m["n_bytes"] // m["n_frames"]
+                for idx in range(0, m["n_frames"], stride):
+                    rows.append((int(doc_id), idx, per_frame))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return df.select(id_col, blob_col).mapInPandas(run, FRAME_SCHEMA)
+
+
+FEATURE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("dim", IntegerType()),
+    StructField("feat", LongType()),
+])
+
+
+def extract_features(df: DataFrame, id_col: str = "doc_id",
+                     blob_col: str = "blob", n_dims: int = 8) -> DataFrame:
+    """Feature extraction plumbing: blob -> n_dims (doc_id, dim, feat)
+    rows. DETERMINISTIC FAKE featurizer (byte-length arithmetic mod a
+    prime); a real model forward pass plugs in here as a per-executor
+    lazy singleton (SURVEY.md S8)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                n = len(bytes(blob)) if blob is not None else 0
+                for j in range(1, n_dims + 1):
+                    rows.append((int(doc_id), j, (n * j) % 997))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    return df.select(id_col, blob_col).mapInPandas(run, FEATURE_SCHEMA)

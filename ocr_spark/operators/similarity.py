@@ -83,3 +83,67 @@ def ann_search(df: DataFrame, id_col: str, vec_col: str,
     with_b = lsh_buckets(df, id_col, vec_col, planes)
     cands = df.join(with_b.where(F.col("bucket") == qbucket), id_col)
     return cosine_topk(cands, id_col, vec_col, query_vec, k, round_to)
+
+
+def ivf_assign(df: DataFrame, id_col: str, vec_col: str,
+               centroids: list[list[float]]) -> DataFrame:
+    """(id, centroid): IVF coarse quantizer — nearest centroid by cosine,
+    1-based index, ties broken toward the lowest index (array_position
+    returns the FIRST position of the max).
+
+    All-expression (no UDF, no shuffle): per row, an array of n_centroids
+    cosines + argmax. At scale the centroid list is a broadcast-sized
+    literal (k ~ thousands at most), so assignment stays a narrow map.
+    """
+    v = F.col(vec_col)
+    cs = F.array(*[cosine(v, lit_vector(c)) for c in centroids])
+    centroid = F.array_position(cs, F.array_max(cs)).cast("int")
+    return df.select(F.col(id_col), centroid.alias("centroid"))
+
+
+def nearest_centroid(query_vec: list[float],
+                     centroids: list[list[float]]) -> int:
+    """Driver-side mirror of ivf_assign for the query vector (1-based)."""
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return d / (na * nb)
+    sims = [cos(query_vec, c) for c in centroids]
+    return sims.index(max(sims)) + 1
+
+
+def ivf_search(df: DataFrame, id_col: str, vec_col: str,
+               query_vec: list[float], centroids: list[list[float]],
+               k: int = 5, round_to: int = 4) -> DataFrame:
+    """IVF ANN (nprobe=1): exact cosine ranking restricted to the query's
+    centroid cell. The scan prunes to ~N/n_centroids rows before any
+    ranking; ranking itself is TakeOrderedAndProject (per-partition heap)."""
+    cell = nearest_centroid(query_vec, centroids)
+    assigned = ivf_assign(df, id_col, vec_col, centroids)
+    cands = df.join(assigned.where(F.col("centroid") == cell), id_col)
+    return cosine_topk(cands, id_col, vec_col, query_vec, k, round_to)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame, id_col: str, vec_col: str,
+    planes: list[list[float]], threshold: float,
+    round_to: int = 4,
+) -> DataFrame:
+    """(id_a, id_b, cos) pairs with cosine >= threshold, candidate-limited
+    to same-LSH-bucket pairs — the embedding analog of MinHash-LSH dedup:
+    never the O(N^2) cross join, only the within-bucket joins (expected
+    N^2 / 2^n_planes pairs). Shuffle key is the bucket id; AQE splits any
+    degenerate bucket."""
+    b = lsh_buckets(df, id_col, vec_col, planes)
+    withb = df.select(id_col, vec_col).join(b, id_col)
+    a = withb.select(F.col(id_col).alias("id_a"),
+                     F.col(vec_col).alias("_va"), "bucket")
+    bb = withb.select(F.col(id_col).alias("id_b"),
+                      F.col(vec_col).alias("_vb"), "bucket")
+    return (a.join(bb, "bucket")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.round(cosine(F.col("_va"), F.col("_vb")),
+                            round_to).alias("cos"))
+            .where(F.col("cos") >= threshold))

@@ -142,17 +142,25 @@ def j2(spark, sf):
    "ON a.user_id = b.user_id AND b.event_id <> a.event_id "
    "AND b.ts BETWEEN a.ts - INTERVAL 60 SECOND AND a.ts "
    "GROUP BY a.user_id",
-   "J3 interval-overlap analog: equi+range self-join")
+   "J3 interval-overlap analog: bucketed range join — probe side explodes "
+   "to the 2 candidate 60s bins, equi-join on (user_id, bin), exact range "
+   "filter after. Bounds per-group work even for hot users (the plain "
+   "equi+range SMJ is quadratic within a user's group at scale).")
 def j3(spark, sf):
     e = load(spark, sf, "events")
-    a, b = e.alias("a"), e.alias("b")
-    cond = ((F.col("a.user_id") == F.col("b.user_id"))
-            & (F.col("b.event_id") != F.col("a.event_id"))
-            & (F.col("b.ts") >= F.col("a.ts") - F.expr("INTERVAL 60 SECONDS"))
-            & (F.col("b.ts") <= F.col("a.ts")))
-    return (a.join(b, cond)
-             .groupBy(F.col("a.user_id").alias("user_id"))
-             .agg(F.count(F.lit(1)).alias("pair_cnt")))
+    bin_col = F.floor(F.unix_timestamp("ts") / 60).cast("long")
+    b = e.select(F.col("user_id"), F.col("event_id").alias("b_event_id"),
+                 F.col("ts").alias("b_ts"), bin_col.alias("bin"))
+    a = e.select(F.col("user_id"), F.col("event_id").alias("a_event_id"),
+                 F.col("ts").alias("a_ts"),
+                 F.explode(F.array(bin_col, bin_col - 1)).alias("bin"))
+    pairs = (a.join(b, ["user_id", "bin"])
+             .where((F.col("b_event_id") != F.col("a_event_id"))
+                    & (F.col("b_ts")
+                       >= F.col("a_ts") - F.expr("INTERVAL 60 SECONDS"))
+                    & (F.col("b_ts") <= F.col("a_ts"))))
+    return (pairs.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("pair_cnt")))
 
 
 @q("j4_fullouter_alignment",
@@ -448,6 +456,20 @@ def set_intersect(spark, sf):
     b = e.where(F.col("event_type") == "purchase") \
          .select("user_id").distinct()
     return a.intersect(b)
+
+
+@q("set_union",
+   "SELECT DISTINCT user_id FROM events WHERE event_type = 'click' "
+   "UNION SELECT DISTINCT o_custkey AS user_id FROM orders "
+   "WHERE o_orderstatus = 'F'",
+   "UNION (distinct) across heterogeneous sources")
+def set_union(spark, sf):
+    e = (load(spark, sf, "events")
+         .where(F.col("event_type") == "click").select("user_id"))
+    o = (load(spark, sf, "orders")
+         .where(F.col("o_orderstatus") == "F")
+         .select(F.col("o_custkey").alias("user_id")))
+    return e.union(o).distinct()
 
 
 # -------------------------------------------------- scalar functions (§2.8)

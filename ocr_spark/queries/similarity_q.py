@@ -122,3 +122,101 @@ def _make_ann_spec() -> QuerySpec:
 
 
 QUERIES.append(_make_ann_spec())
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse quantizer = 4 centroids taken from fixed
+# vec_ids (deterministic, no training step), nprobe=1. Same sf dir on both
+# sides via scalar subqueries.
+# ---------------------------------------------------------------------------
+
+N_CENTROIDS = 4
+
+_V = "CAST(embedding AS DOUBLE[])"
+
+
+def _sql_cvec(j: int) -> str:
+    return (f"(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings "
+            f"WHERE vec_id = {j})")
+
+
+def _sql_cos(v: str, c: str) -> str:
+    return (f"(list_dot_product({v}, {c}) / (sqrt(list_dot_product({v}, {v}))"
+            f" * sqrt(list_dot_product({c}, {c}))))")
+
+
+def _sql_centroid_of(v: str) -> str:
+    cs = "[" + ", ".join(
+        _sql_cos(v, _sql_cvec(j)) for j in range(1, N_CENTROIDS + 1)) + "]"
+    return f"CAST(list_position({cs}, list_max({cs})) AS INT)"
+
+
+def _centroids(spark, sf) -> list[list[float]]:
+    rows = (load(spark, sf, "embeddings")
+            .where(F.col("vec_id").isin(list(range(1, N_CENTROIDS + 1))))
+            .orderBy("vec_id").select("embedding").collect())
+    return [[float(x) for x in r["embedding"]] for r in rows]
+
+
+@q("sim_ivf_assign_histogram",
+   "WITH a AS (SELECT vec_id, " + _sql_centroid_of(_V)
+   + " AS centroid FROM embeddings) "
+   "SELECT centroid, count(*) AS cnt FROM a GROUP BY centroid",
+   "IVF coarse quantizer: nearest-centroid assignment (cell histogram); "
+   "narrow map, ties -> lowest index on both engines")
+def ivf_histogram(spark, sf):
+    emb = load(spark, sf, "embeddings")
+    assigned = S.ivf_assign(emb, "vec_id", "embedding",
+                            _centroids(spark, sf))
+    return assigned.groupBy("centroid").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@q("sim_ivf_topk",
+   "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings "
+   "WHERE vec_id = 0), "
+   "a AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, "
+   + _sql_centroid_of(_V) + " AS centroid FROM embeddings), "
+   "qc AS (SELECT " + _sql_centroid_of("(SELECT qe FROM q)")
+   + " AS centroid) "
+   "SELECT vec_id, ROUND(list_dot_product(v, (SELECT qe FROM q)) / "
+   "(sqrt(list_dot_product(v, v)) * sqrt((SELECT list_dot_product(qe, qe) "
+   "FROM q))), 4) AS cos "
+   "FROM a WHERE centroid = (SELECT centroid FROM qc) "
+   "ORDER BY cos DESC, vec_id LIMIT 5",
+   "IVF ANN (nprobe=1): exact ranking inside the query's centroid cell — "
+   "scan prunes to ~N/n_centroids before ranking")
+def ivf_topk(spark, sf):
+    qv = _query_vec(spark, sf)
+    emb = load(spark, sf, "embeddings")
+    return S.ivf_search(emb, "vec_id", "embedding", qv,
+                        _centroids(spark, sf), k=5)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup: the embedding analog of MinHash-LSH dedup —
+# candidate pairs restricted to the same hyperplane bucket (never the
+# O(N^2) cross join), exact cosine filter >= threshold.
+# ---------------------------------------------------------------------------
+
+NEAR_DUP_THRESHOLD = 0.3
+
+_BUCKET_EXPR = " + ".join(
+    f"(CASE WHEN {_sql_dot('embedding', p)} >= 0 "
+    f"THEN {1 << j} ELSE 0 END)" for j, p in enumerate(PLANES))
+
+
+@q("dedup_embedding_cosine",
+   f"WITH b AS (SELECT vec_id, {_V} AS v, ({_BUCKET_EXPR}) AS bucket "
+   "FROM embeddings) "
+   "SELECT * FROM ("
+   "SELECT a.vec_id AS id_a, b2.vec_id AS id_b, "
+   "ROUND(list_dot_product(a.v, b2.v) / (sqrt(list_dot_product(a.v, a.v)) "
+   "* sqrt(list_dot_product(b2.v, b2.v))), 4) AS cos "
+   "FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id) "
+   f"WHERE cos >= {NEAR_DUP_THRESHOLD}",
+   "embedding-cosine near-dup pairs, LSH-bucket candidate limiting "
+   "(within-bucket join only)")
+def embedding_near_dup(spark, sf):
+    emb = load(spark, sf, "embeddings")
+    return S.embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", PLANES, NEAR_DUP_THRESHOLD)
