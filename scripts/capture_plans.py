@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Capture physical plans (`explain formatted`) for the flagship job and
+representative operator queries into docs/PLANS.md, with the properties
+each plan must exhibit at 100 TB scale spelled out next to it.
+
+Run: PYTHONPATH=. python scripts/capture_plans.py
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF = "/root/testdata/sf0.1"
+
+# (query name, what the plan must show, why it matters at scale)
+CHECKS = {
+    "extract_flagship": (
+        "ONE Exchange (the explicit bucket/salt repartition), then "
+        "ArrowEvalPython directly over the shuffle read — no second "
+        "shuffle ever touches the html blobs; lineage/metrics aggregate "
+        "only small derived columns."),
+    "j1_broadcast_dim_join": (
+        "BroadcastHashJoin (dim side broadcast) — no shuffle of the fact "
+        "side for a 32-row dimension."),
+    "j6_large_sortmerge_join": (
+        "SortMergeJoin under AQE — the only correct strategy for two "
+        "corpus-scale relations; skew handled by AQE skewJoin."),
+    "j3_interval_range_join": (
+        "equi ShuffledHashJoin/SortMergeJoin on (user_id, bin) after the "
+        "probe-side explode — NOT a BroadcastNestedLoopJoin; candidate "
+        "set bounded by the 60s binning."),
+    "p1_column_pruning": (
+        "ReadSchema contains ONLY the selected columns (parquet column "
+        "pruning) — scanning 2 of 5 columns at 100 TB is the difference "
+        "between 40 TB and 100 TB read."),
+    "p4_range_filter": (
+        "PushedFilters shows the BETWEEN bounds reaching the parquet "
+        "scan (row-group pruning)."),
+    "t3_global_topk": (
+        "TakeOrderedAndProject — per-partition top-k heap + driver merge, "
+        "never a global sort."),
+    "a1_projection_profile_sum": (
+        "HashAggregate partial -> Exchange -> HashAggregate final: "
+        "map-side combine shrinks the shuffle to one row per key per "
+        "partition."),
+    "dedup_minhash_signatures": (
+        "single Exchange keyed by doc_id; all 16 lanes min-aggregated in "
+        "one pass with partial aggregation (the unpivot happens after "
+        "the agg, on 16 small longs per doc)."),
+    "sim_cosine_topk": (
+        "whole-stage codegen over the zip_with/aggregate dot product "
+        "(no Python), then TakeOrderedAndProject."),
+}
+
+
+def main() -> None:
+    from ocr_spark.plans.extract_job import extract_pages
+    from ocr_spark.queries import all_queries
+    from ocr_spark.session import get_spark
+
+    spark = get_spark("plans", master="local[4]", shuffle_partitions=8)
+    specs = {s.name: s for s in all_queries()}
+
+    out = ["# Physical plans (captured by scripts/capture_plans.py)",
+           "",
+           "Each plan was iterated until it is the plan we would want on a "
+           "1000-executor cluster; the property stated above each dump is "
+           "the thing to re-check after any change.", ""]
+
+    corpus = os.path.join(REPO, "BENCH", "corpus_5000_42")
+    for name, prop in CHECKS.items():
+        if name == "extract_flagship":
+            if not os.path.exists(corpus):
+                continue
+            df = extract_pages(
+                spark.read.parquet(f"{corpus}/pages.parquet"),
+                n_buckets=64, salt_n=8)
+        else:
+            df = specs[name].spark(spark, SF)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        out += [f"## {name}", "", f"**Must hold at scale:** {prop}", "",
+                "```", buf.getvalue().rstrip(), "```", ""]
+
+    path = os.path.join(REPO, "docs", "PLANS.md")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write("\n".join(out) + "\n")
+    print(f"wrote {path}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -41,6 +41,45 @@ def test_incremental_extract_matches_batch(spark, corpus_dir, tmp_path):
     assert spark.read.parquet(out).count() == 80
 
 
+def test_streaming_stateful_dedup(spark, tmp_path):
+    """applyInPandasWithState first-seen dedup: duplicates across micro-
+    batches and across restarts are suppressed via keyed state."""
+    from ocr_spark.streaming.stateful import run_streaming_dedup
+
+    pages = str(tmp_path / "dedup_pages")
+    out = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "dedup_ckpt")
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, html binary, "
+                  "text string, lang string")
+
+    import datetime as _dt
+    ts = _dt.datetime(2025, 1, 1)
+    a = bytearray(b"<p>alpha content</p>")
+    b = bytearray(b"<p>beta content</p>")
+    batch1 = [(f"https://h{i % 2}.org/p{i}", ts, a if i < 4 else b, "", "en")
+              for i in range(6)]
+    mk(batch1).coalesce(1).write.mode("append").parquet(pages)
+    run_streaming_dedup(spark, pages, out, ckpt)
+    got1 = spark.read.parquet(out)
+    # per host: content 'a' once per host (h0,h1), 'b' once per host
+    assert got1.count() == 4
+    assert got1.select("host", "content_hash").distinct().count() == 4
+
+    # second arrival: all-duplicate content + one new doc
+    c = bytearray(b"<p>gamma content</p>")
+    batch2 = [("https://h0.org/dup1", ts, a, "", "en"),
+              ("https://h1.org/dup2", ts, b, "", "en"),
+              ("https://h0.org/new1", ts, c, "", "en")]
+    mk(batch2).coalesce(1).write.mode("append").parquet(pages)
+    run_streaming_dedup(spark, pages, out, ckpt)
+    got2 = spark.read.parquet(out)
+    assert got2.count() == 5  # only the gamma doc is new
+    assert got2.where(F.col("url") == "https://h0.org/new1").count() == 1
+
+
 def test_streaming_sessionize_runs(spark, tmp_path):
     from datetime import datetime, timedelta
     base = datetime(2025, 1, 1)
