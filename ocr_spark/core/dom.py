@@ -85,9 +85,6 @@ def build_dom(tokens: list[tuple]) -> Node:
     next_id += 1
     open_stack: list[Node] = [root]
 
-    def _open_tags() -> list[str]:
-        return [n.tag for n in open_stack]
-
     for tok in tokens:
         kind = tok[0]
         if kind == "text":
@@ -125,13 +122,14 @@ def build_dom(tokens: list[tuple]) -> Node:
             tag = tok[1]
             if tag in VOID_TAGS:
                 continue  # </br> etc: ignored
-            # Find nearest matching open element (never pop the root).
-            tags = _open_tags()
-            try:
-                idx = len(tags) - 1 - tags[::-1].index(tag)
-            except ValueError:
-                continue  # stray end tag: ignored (recovery rule)
-            if idx == 0:
+            # Find nearest matching open element (never pop the root:
+            # the scan stops above index 0; stray end tags are ignored).
+            idx = None
+            for k in range(len(open_stack) - 1, 0, -1):
+                if open_stack[k].tag == tag:
+                    idx = k
+                    break
+            if idx is None:
                 continue
             del open_stack[idx:]
         # comments/doctypes contribute nothing to the tree

@@ -58,6 +58,8 @@ def _parse_attrs(attr_src: str) -> list[tuple[str, str]]:
     """Attribute soup -> ordered [(name, value)] list, first occurrence wins
     downstream. Unquoted / valueless attributes handled; order preserved so
     consumers are deterministic."""
+    if not attr_src or attr_src.isspace():
+        return []
     attrs: list[tuple[str, str]] = []
     for m in _ATTR_RE.finditer(attr_src):
         name = m.group(1).lower()
@@ -90,28 +92,32 @@ def tokenize(html: str) -> TokenStream:
         if lt > i:
             tokens.append(("text", html[i:lt]))
 
-        # Comment
-        if html.startswith("<!--", lt):
-            end = html.find("-->", lt + 4)
-            if end < 0:  # unterminated comment: swallow to EOF
-                recoveries += 1
-                break
-            tokens.append(("comment", html[lt + 4 : end]))
-            i = end + 3
-            continue
+        # Dispatch on the character after '<' (single index op instead of
+        # a chain of startswith probes — this loop runs once per tag).
+        nxt_c = html[lt + 1] if lt + 1 < n else ""
 
-        # CDATA (emitted as text per the XML-ish convention)
-        if html.startswith("<![CDATA[", lt):
-            end = html.find("]]>", lt + 9)
-            if end < 0:
-                recoveries += 1
-                break
-            tokens.append(("text", html[lt + 9 : end]))
-            i = end + 3
-            continue
+        if nxt_c == "!" or nxt_c == "?":
+            # Comment
+            if html.startswith("<!--", lt):
+                end = html.find("-->", lt + 4)
+                if end < 0:  # unterminated comment: swallow to EOF
+                    recoveries += 1
+                    break
+                tokens.append(("comment", html[lt + 4 : end]))
+                i = end + 3
+                continue
 
-        # Doctype / bogus markup declaration
-        if html.startswith("<!", lt) or html.startswith("<?", lt):
+            # CDATA (emitted as text per the XML-ish convention)
+            if html.startswith("<![CDATA[", lt):
+                end = html.find("]]>", lt + 9)
+                if end < 0:
+                    recoveries += 1
+                    break
+                tokens.append(("text", html[lt + 9 : end]))
+                i = end + 3
+                continue
+
+            # Doctype / bogus markup declaration
             end = html.find(">", lt + 2)
             if end < 0:
                 recoveries += 1
@@ -121,7 +127,7 @@ def tokenize(html: str) -> TokenStream:
             continue
 
         # End tag
-        if html.startswith("</", lt):
+        if nxt_c == "/":
             m = _END_TAG_RE.match(html, lt)
             if m is None:
                 # "</" followed by non-letter: HTML5 calls this a bogus

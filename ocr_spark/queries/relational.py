@@ -546,3 +546,77 @@ def f5(spark, sf):
         F.round(F.abs(F.col("value") - 50.0), 4).alias("dist"),
         F.floor(F.col("value") / 10).cast("long").alias("decile"),
         F.greatest(F.col("value"), F.lit(10.0)).alias("clamped"))
+
+
+@q("a2_vertical_profile",
+   "SELECT event_type, ROUND(sum(value), 4) AS ink FROM events "
+   "GROUP BY event_type",
+   "A2 vertical projection profile: same hash-agg primitive as A1 on the "
+   "other grouping axis")
+def a2(spark, sf):
+    e = load(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.sum("value"), 4).alias("ink"))
+
+
+@q("t1_sort_rtl",
+   "SELECT event_id, ts FROM events ORDER BY ts DESC, event_id LIMIT 50",
+   "T1 ordering (RTL analog: descending sort) — TakeOrderedAndProject, "
+   "no global sort")
+def t1(spark, sf):
+    e = load(spark, sf, "events")
+    return (e.select("event_id", "ts")
+            .orderBy(F.desc("ts"), "event_id").limit(50))
+
+
+@q("t5_early_exit_probe",
+   "SELECT count(*) AS found FROM "
+   "(SELECT 1 FROM events WHERE value > 99.9 LIMIT 1)",
+   "T5 early exit: LIMIT 1 existence probe (CollectLimit short-circuits "
+   "the scan)")
+def t5(spark, sf):
+    e = load(spark, sf, "events")
+    probe = e.where(F.col("value") > 99.9).select(F.lit(1)).limit(1)
+    return probe.agg(F.count(F.lit(1)).alias("found"))
+
+
+@q("f2_trim_empty_tests",
+   "SELECT doc_id, length(trim(text)) AS n FROM documents "
+   "WHERE length(trim(text)) > 0",
+   "F2 trim/length emptiness predicate")
+def f2(spark, sf):
+    d = load(spark, sf, "documents")
+    n = F.length(F.trim(F.col("text")))
+    return d.select("doc_id", n.alias("n")).where(F.col("n") > 0)
+
+
+@q("f3_substring_membership",
+   "SELECT doc_id, CAST(contains(text, 'data') AS INT) AS has_marker "
+   "FROM documents",
+   "F3 substring membership predicate")
+def f3(spark, sf):
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.col("text").contains("data").cast("int").alias("has_marker"))
+
+
+@q("f6_clamp",
+   "SELECT event_id, ROUND(GREATEST(5.0, LEAST(95.0, value)), 4) "
+   "AS clamped FROM events",
+   "F6 clamping: greatest(lo, least(hi, x)) — the pad-clamp analog")
+def f6(spark, sf):
+    e = load(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.round(F.greatest(F.lit(5.0), F.least(F.lit(95.0), F.col("value"))),
+                4).alias("clamped"))
+
+
+@q("f7_normalize",
+   "SELECT event_id, ROUND(value / 255.0, 6) AS norm FROM events",
+   "F7 normalization arithmetic (img/255 analog)")
+def f7(spark, sf):
+    e = load(spark, sf, "events")
+    return e.select(
+        "event_id", F.round(F.col("value") / 255.0, 6).alias("norm"))
