@@ -1,10 +1,12 @@
 """The flagship extraction job: pages -> results + lineage + metrics.
 
 Plan shape (SURVEY.md §3.1 "Spark mapping"): the whole extraction chain is
-ONE fused pandas UDF over a single explicit repartition — scan ->
-exchange(bucket, salt) -> ArrowEvalPython -> project -> write. No other
-shuffle touches the html blobs; lineage/metrics aggregate the (tiny)
-per-row stats columns, never the blobs.
+ONE fused pandas UDF running narrow over byte-balanced parquet scan
+splits — scan -> ArrowEvalPython -> project -> exchange(bucket, salt) ->
+write. The html blobs NEVER cross a shuffle: the single exchange sits
+after extraction and carries only url + extracted text + small stats
+(typically 5-10x smaller), clustering output for the partitioned write.
+Lineage/metrics aggregate the tiny per-row stats columns.
 
 Vectorization discipline (BASELINE.json:6): the UDF is an Arrow-batched
 scalar pandas UDF — one Python call per ~64-row record batch (the
@@ -90,13 +92,19 @@ def extract_pages(
     )
     bucket, salt = salted_partition_key(
         F.col("url"), F.col("_is_hot"), n_buckets, salt_n)
-    parted = (
-        flagged
-        .withColumn("bucket", bucket)
-        .withColumn("salt", salt)
-        .repartition("bucket", "salt")
-    )
-    res = parted.withColumn("_r", extract_udf(F.col("html"), F.col("lang")))
+    # UDF FIRST, over the byte-balanced parquet scan splits (a narrow
+    # stage: the html blobs go straight from the columnar read into the
+    # Arrow batches, never through a shuffle). Only AFTER extraction does
+    # the plan exchange — carrying url + extracted text + small stats,
+    # typically 5-10x smaller than the raw html — to cluster the output
+    # by (bucket, salt) for the partitioned write. Salting still guards
+    # the write/shuffle balance for hot hosts; UDF-stage balance comes
+    # from byte-sized input splits, which beats any hash key for
+    # heterogeneous document sizes.
+    res = (flagged
+           .withColumn("bucket", bucket)
+           .withColumn("salt", salt)
+           .withColumn("_r", extract_udf(F.col("html"), F.col("lang"))))
     return res.select(
         "url", "warc_ts", "lang",
         F.col("_r.extracted_text").alias("extracted_text"),
@@ -109,7 +117,7 @@ def extract_pages(
         F.col("_r.extract_us").alias("extract_us"),
         F.octet_length("html").alias("input_bytes"),
         "bucket", "salt",
-    )
+    ).repartition("bucket", "salt")
 
 
 def lineage_of(results: DataFrame, attempt: int, snapshot_id: str) -> DataFrame:

@@ -21,10 +21,11 @@ SF = "/root/testdata/sf0.1"
 # (query name, what the plan must show, why it matters at scale)
 CHECKS = {
     "extract_flagship": (
-        "ONE Exchange (the explicit bucket/salt repartition), then "
-        "ArrowEvalPython directly over the shuffle read — no second "
-        "shuffle ever touches the html blobs; lineage/metrics aggregate "
-        "only small derived columns."),
+        "ArrowEvalPython NARROW over the byte-balanced parquet scan (the "
+        "html blobs go straight from the columnar read into Arrow batches "
+        "and never cross a shuffle), with the ONE Exchange (bucket/salt "
+        "clustering for the partitioned write) sitting AFTER the UDF and "
+        "carrying only url + extracted text + small stats."),
     "j1_broadcast_dim_join": (
         "BroadcastHashJoin (dim side broadcast) — no shuffle of the fact "
         "side for a 32-row dimension."),
