@@ -1,0 +1,85 @@
+"""Property-based fuzzing of the extraction core's totality contract:
+for ANY input bytes, extract() returns (never raises), is deterministic,
+and yields a UTF-8-encodable string (the Arrow StringType invariant,
+SURVEY.md §7 "Hard parts: byte identity across Arrow").
+
+No Spark session needed — the core is pure Python, so hypothesis can run
+hundreds of examples cheaply.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ocr_spark.core.extract import extract
+from ocr_spark.core.pdf import extract_pdf_text
+from ocr_spark.core.tokenizer import tokenize
+from ocr_spark.synth import make_pdf
+
+# HTML-ish soup: interleaved fragments that exercise every tokenizer state.
+_FRAGMENTS = st.sampled_from([
+    "<div>", "</div>", "<p>", "</p>", "<a href='/x'>", "</a>", "<br>",
+    "<script>", "</script>", "var a = '<p>';", "<!-- c ", "-->",
+    "<![CDATA[", "]]>", "<!DOCTYPE html>", "<?pi?>", "text & more",
+    "&amp;", "<", ">", "</", "<b", "\"", "'", " ", "\n", "éא",
+    "<td>", "<tr>", "<table>", "</table>", "<li>", "<ul>", "<nav>",
+    "</nav>", "<h1>", "</h1>", "<style>", "</style>", "x=1<2>3",
+    "<img src=x>", "<input value='>'>", "<p class=a id=b>",
+])
+html_soup = st.lists(_FRAGMENTS, min_size=0, max_size=60).map("".join)
+
+
+@settings(max_examples=300, deadline=None)
+@given(html_soup)
+def test_extract_total_and_deterministic_on_soup(soup: str):
+    data = soup.encode("utf-8")
+    r1 = extract(data, "en")
+    r2 = extract(data, "en")
+    assert r1.text == r2.text
+    assert r1.n_blocks == r2.n_blocks
+    r1.text.encode("utf-8")  # must be encodable (no lone surrogates)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(min_size=0, max_size=512))
+def test_extract_total_on_arbitrary_bytes(data: bytes):
+    r = extract(data, None)
+    assert isinstance(r.text, str)
+    r.text.encode("utf-8")
+    assert extract(data, None).text == r.text
+
+
+@settings(max_examples=200, deadline=None)
+@given(html_soup)
+def test_tokenizer_roundtrip_invariants(soup: str):
+    """Token boundaries never overlap and text tokens are substrings of
+    the input modulo rawtext/entity handling; totality is the contract."""
+    stream = tokenize(soup)
+    assert stream.recoveries >= 0
+    for tok in stream.tokens:
+        assert tok[0] in ("text", "start", "end", "comment", "doctype")
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.data())
+def test_pdf_truncation_total(data):
+    """Any prefix of a valid PDF (the classic crash corpus) extracts
+    without raising."""
+    pdf = make_pdf(["alpha beta", "gamma delta", "epsilon"])
+    cut = data.draw(st.integers(min_value=0, max_value=len(pdf)))
+    mutated = pdf[:cut]
+    out = extract_pdf_text(mutated)
+    assert isinstance(out, str)
+    out.encode("utf-8")
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=1, max_size=64), st.integers(0, 1 << 30))
+def test_pdf_byteflip_total(noise: bytes, pos: int):
+    pdf = make_pdf(["one two three", "four five"])
+    p = pos % len(pdf)
+    mutated = pdf[:p] + noise + pdf[p + len(noise):]
+    out = extract_pdf_text(b"%PDF-" + mutated)
+    assert isinstance(out, str)
+    out.encode("utf-8")
