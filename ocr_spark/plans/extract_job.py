@@ -101,6 +101,17 @@ def extract_pages(
     # the write/shuffle balance for hot hosts; UDF-stage balance comes
     # from byte-sized input splits, which beats any hash key for
     # heterogeneous document sizes.
+    #
+    # Small-input escape hatch: when the scan yields fewer splits than
+    # the cluster has slots (tiny corpus, single small file), a narrow
+    # UDF would under-parallelize — so pre-spread with one round-robin
+    # exchange. That shuffle moves blobs, but only in exactly the regime
+    # where the input is small enough for it to be cheap; at corpus
+    # scale the scan always has >> slots splits and stays narrow.
+    sc = pages.sparkSession.sparkContext
+    slots = sc.defaultParallelism
+    if pages.rdd.getNumPartitions() < slots:
+        flagged = flagged.repartition(slots)
     res = (flagged
            .withColumn("bucket", bucket)
            .withColumn("salt", salt)
