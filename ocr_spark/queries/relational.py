@@ -620,3 +620,13 @@ def f7(spark, sf):
     e = load(spark, sf, "events")
     return e.select(
         "event_id", F.round(F.col("value") / 255.0, 6).alias("norm"))
+
+
+@q("w6_greedy_overlap_accept", None,
+   "W6 greedy overlap acceptance: order-dependent sequential per-group "
+   "scan via applyInPandas — not SQL-expressible (accepted set feeds back "
+   "into later decisions); driver does rows-only, pytest compares against "
+   "the pure-pandas oracle exactly")
+def w6(spark, sf):
+    from ocr_spark.operators.grouped import greedy_overlap_accept
+    return greedy_overlap_accept(load(spark, sf, "events"))

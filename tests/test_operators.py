@@ -136,3 +136,23 @@ def test_multimodal_stub_and_plumbing(spark):
            decode_media_meta(df, "doc_id", "blob").collect()}
     assert out[1]["n_bytes"] == 100 and out[1]["width"] == 116
     assert out[2]["n_bytes"] == 0
+
+
+def test_w6_greedy_overlap_matches_pandas_oracle(spark):
+    """applyInPandas greedy acceptance == single-process pandas scan."""
+    import pandas as pd
+
+    from ocr_spark.operators.grouped import (
+        greedy_accept_group, greedy_overlap_accept,
+    )
+
+    pdf = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    exp = (pd.concat([greedy_accept_group(g, 10.0, 0.5)
+                      for _, g in pdf.groupby("user_id", sort=True)])
+           .sort_values(["user_id", "event_id"]).reset_index(drop=True))
+    got = (greedy_overlap_accept(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+        .toPandas().sort_values(["user_id", "event_id"])
+        .reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
