@@ -93,9 +93,12 @@ def run_default() -> None:
 
     # Extraction throughput segment over the synthetic page corpus.
     from ocr_spark.plans.extract_job import extract_pages
-    corpus = _bench_corpus(int(os.environ.get("OCR_BENCH_DOCS", "5000")))
+    corpus = _bench_corpus(int(os.environ.get("OCR_BENCH_DOCS", "60000")))
     pages = spark.read.parquet(f"{corpus}/pages.parquet")
     n = pages.count()
+    # warm-up pass: spawns/imports every Python worker (~7s cold on 32
+    # threads) so the timed pass measures steady-state throughput
+    _force(extract_pages(pages, n_buckets=64, salt_n=8))
     t0 = time.perf_counter()
     _force(extract_pages(pages, n_buckets=64, salt_n=8))
     dt = time.perf_counter() - t0
