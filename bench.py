@@ -9,10 +9,12 @@ synthetic page corpus, and print ONE JSON line:
    "queries": {...}, "sf": ...}
 
 Scaling mode (north rule evidence: N vs 4N cores on the same input):
-  python bench.py --scaling [--docs 60000] [--runs 3]
-runs the SAME extraction job at local[8] and local[32] in fresh JVMs,
-reports docs/s at both and efficiency = (T32/T8)/4, and rewrites
-BENCH/BASELINE.md.
+  python bench.py --scaling [--docs 240000] [--runs 3] [--pair 4 16]
+runs the SAME extraction job at local[N] and local[M] in fresh JVMs
+(default pair 4/16 — the host's stable-frequency range, see
+_hardware_ceiling), reports docs/s at both, headline efficiency
+(T_lo/T_hi)/(hi/lo) as MIN across runs (medians alongside), measures the
+host's own pure-CPU scaling ceiling, and rewrites BENCH/BASELINE.md.
 
 Worker mode (internal): --extract-worker --cpus K --corpus DIR prints one
 JSON line with the measured extraction wall time.
@@ -60,6 +62,19 @@ def _force(df) -> int:
     return df.write.format("noop").mode("overwrite").save() or 0
 
 
+def _split_conf(pages_path: str, slots: int) -> dict:
+    """Scan-split size so the corpus yields >= ~3 splits per slot.
+
+    Keeps the measured extraction stage on the NARROW plan (the
+    small-input pre-spread in extract_pages fires when splits < slots,
+    which would silently benchmark a blob-shuffling plan instead) and
+    byte-balances the UDF stage at any --pair/--docs combination.
+    """
+    total = os.path.getsize(pages_path)
+    mpb = max(1 << 20, min(32 << 20, total // (slots * 3)))
+    return {"spark.sql.files.maxPartitionBytes": str(mpb)}
+
+
 def _bench_corpus(n_docs: int, seed: int = 42) -> str:
     """Synthesize (once) and cache the bench page corpus."""
     out = os.path.join(BENCH_DIR, f"corpus_{n_docs}_{seed}")
@@ -94,6 +109,9 @@ def run_default() -> None:
     # Extraction throughput segment over the synthetic page corpus.
     from ocr_spark.plans.extract_job import extract_pages
     corpus = _bench_corpus(int(os.environ.get("OCR_BENCH_DOCS", "60000")))
+    slots = spark.sparkContext.defaultParallelism
+    for k, v in _split_conf(f"{corpus}/pages.parquet", slots).items():
+        spark.conf.set(k, v)
     pages = spark.read.parquet(f"{corpus}/pages.parquet")
     n = pages.count()
     # warm-up pass: spawns/imports every Python worker (~7s cold on 32
@@ -125,10 +143,7 @@ def run_extract_worker(cpus: int, corpus: str) -> None:
     spark = get_spark(
         app_name=f"scal_{cpus}", master=f"local[{cpus}]",
         shuffle_partitions=cpus,
-        # split the input parquet finer than the 128 MB default so the
-        # scan+shuffle-write stage parallelizes across all threads (the
-        # bench corpus is one ~800 MB file -> only ~7 default splits)
-        extra_conf={"spark.sql.files.maxPartitionBytes": "16m"})
+        extra_conf=_split_conf(f"{corpus}/pages.parquet", cpus))
     pages = spark.read.parquet(f"{corpus}/pages.parquet")
     n = pages.count()
     nb = max(64, cpus * 2)
@@ -188,7 +203,12 @@ def run_scaling(docs: int, runs: int, lo: int, hi: int) -> None:
                 [sys.executable, os.path.abspath(__file__),
                  "--extract-worker", "--cpus", str(cpus),
                  "--corpus", corpus],
-                capture_output=True, text=True, check=True, cwd=REPO)
+                capture_output=True, text=True, cwd=REPO)
+            if out.returncode != 0:
+                # surface the worker's Spark stderr before dying —
+                # otherwise multi-minute failures are undiagnosable
+                sys.stderr.write(out.stderr[-4000:])
+                out.check_returncode()
             line = out.stdout.strip().splitlines()[-1]
             results[cpus].append(json.loads(line))
             print(f"run {r} local[{cpus}]: {line}", file=sys.stderr)
@@ -249,7 +269,7 @@ def _write_baseline_md(report: dict, results: dict) -> None:
         f"| local[{hi}] | {report['hi_sec_min']} | "
         f"{report['hi_sec_median']} | {report['hi_docs_per_sec']} |",
         "",
-        f"**Scaling efficiency (T{lo}/T{hi})/{hi // lo} = "
+        f"**Scaling efficiency (T{lo}/T{hi})/{hi / lo:g} = "
         f"{report['scaling_efficiency']}** "
         f"(median-based: {report['scaling_efficiency_median']}; "
         f"hardware pure-CPU ceiling: {report['hardware_ceiling']}; "

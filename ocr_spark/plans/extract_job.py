@@ -25,6 +25,7 @@ from __future__ import annotations
 import os
 import time
 import uuid
+import warnings
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -110,7 +111,15 @@ def extract_pages(
     # scale the scan always has >> slots splits and stays narrow.
     sc = pages.sparkSession.sparkContext
     slots = sc.defaultParallelism
-    if pages.rdd.getNumPartitions() < slots:
+    scan_parts = pages.rdd.getNumPartitions()
+    if scan_parts < slots:
+        warnings.warn(
+            f"extract_pages: input scan has only {scan_parts} split(s) for "
+            f"{slots} slots — pre-spreading with a round-robin exchange "
+            f"(this SHUFFLES the raw blobs; expected only for tiny inputs. "
+            f"For benchmarks, lower spark.sql.files.maxPartitionBytes so "
+            f"the narrow plan is what gets measured).",
+            stacklevel=2)
         flagged = flagged.repartition(slots)
     res = (flagged
            .withColumn("bucket", bucket)

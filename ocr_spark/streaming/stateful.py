@@ -12,8 +12,9 @@ Scale notes:
   * State is partitioned by the group key (host) — the same url-hash/host
     partitioning discipline as the batch job, so hot hosts shard the state
     store rather than one executor.
-  * The in-state seen-set is stored as an array of 16-hex-prefix hashes.
-    At production scale you bound it with state TTL
+  * The in-state seen-set is stored as an array of full 32-hex md5
+    digests (exact dedup — no collision window). At production scale you
+    bound its growth with state TTL
     (GroupStateTimeout.ProcessingTimeTimeout) and/or replace the exact set
     with a Bloom filter serialized into state; exactness here keeps the
     operator oracle-testable.

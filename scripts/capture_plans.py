@@ -75,10 +75,12 @@ def main() -> None:
            "the thing to re-check after any change.", ""]
 
     corpus = os.path.join(REPO, "BENCH", "corpus_5000_42")
+    if not os.path.exists(os.path.join(corpus, "pages.parquet")):
+        # self-sufficient on a fresh clone (BENCH/corpus_* is gitignored)
+        from ocr_spark.synth import write_corpus
+        write_corpus(corpus, 5000, seed=42)
     for name, prop in CHECKS.items():
         if name == "extract_flagship":
-            if not os.path.exists(corpus):
-                continue
             df = extract_pages(
                 spark.read.parquet(f"{corpus}/pages.parquet"),
                 n_buckets=64, salt_n=8)
