@@ -29,8 +29,11 @@ def _norm_cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        # driver-style tolerant float print: trim representation noise
-        return f"{v:.9g}"
+        # Type-tagged so an int-valued float (e.g. DuckDB HUGEINT ->
+        # float64 via fetchdf) can NEVER hash equal to a true integer —
+        # the r01 driver failed j4/a6/w1 on exactly that class while this
+        # local gate masked it with a bare %.9g print.
+        return f"f{v:.9g}"
     if isinstance(v, (datetime, date)):
         return v.isoformat()
     if isinstance(v, (bytes, bytearray)):

@@ -165,8 +165,10 @@ def j3(spark, sf):
 
 @q("j4_fullouter_alignment",
    "WITH g AS (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) "
-   "SELECT sum(CASE WHEN g.doc_id IS NULL THEN 1 ELSE 0 END) AS missing, "
-   "sum(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END) AS extra, "
+   "SELECT CAST(sum(CASE WHEN g.doc_id IS NULL THEN 1 ELSE 0 END) "
+   "AS BIGINT) AS missing, "
+   "CAST(sum(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+   "AS extra, "
    "count(*) AS total "
    "FROM documents d FULL OUTER JOIN g ON d.doc_id = g.doc_id",
    "J4 expected-vs-found alignment: full outer join + missing/extra sets")
@@ -268,11 +270,11 @@ def a5(spark, sf):
 
 @q("a6_confusion_matrix_pivot",
    "SELECT source, "
-   "sum(CASE WHEN lang='en' THEN 1 ELSE 0 END) AS en, "
-   "sum(CASE WHEN lang='de' THEN 1 ELSE 0 END) AS de, "
-   "sum(CASE WHEN lang='es' THEN 1 ELSE 0 END) AS es, "
-   "sum(CASE WHEN lang='fr' THEN 1 ELSE 0 END) AS fr, "
-   "sum(CASE WHEN lang='zh' THEN 1 ELSE 0 END) AS zh "
+   "CAST(sum(CASE WHEN lang='en' THEN 1 ELSE 0 END) AS BIGINT) AS en, "
+   "CAST(sum(CASE WHEN lang='de' THEN 1 ELSE 0 END) AS BIGINT) AS de, "
+   "CAST(sum(CASE WHEN lang='es' THEN 1 ELSE 0 END) AS BIGINT) AS es, "
+   "CAST(sum(CASE WHEN lang='fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr, "
+   "CAST(sum(CASE WHEN lang='zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh "
    "FROM documents GROUP BY source",
    "A6 confusion matrix: pivot-shaped conditional aggregation")
 def a6(spark, sf):
@@ -329,8 +331,8 @@ def a10(spark, sf):
    "(PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE "
    "OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
    "THEN 1 ELSE 0 END AS new_session FROM events) "
-   "SELECT user_id, sum(new_session) AS sessions FROM flagged "
-   "GROUP BY user_id",
+   "SELECT user_id, CAST(sum(new_session) AS BIGINT) AS sessions "
+   "FROM flagged GROUP BY user_id",
    "W1 run-length line detection: gaps-and-islands sessionization")
 def w1(spark, sf):
     e = load(spark, sf, "events")
