@@ -54,12 +54,24 @@ def extract(data: bytes | None, lang: str | None = None,
         return ExtractResult()
     if _pdf.is_pdf(data):
         text = _pdf.extract_pdf_text(data)
+        n_lines = text.count("\n") + 1 if text else 0
+        pdf_blocks: list[Block] = []
+        if keep_blocks and text:
+            # PDF spans: one block per assembled line (the analog of the
+            # reference's line records, /root/reference/utils.py:79-81)
+            pdf_blocks = [
+                Block(block_id=i, tag="line", depth=0, text=ln,
+                      n_chars=len(ln), n_words=len(ln.split()),
+                      anchor_words=0, link_density=0.0,
+                      in_boiler_container=False, is_content=True)
+                for i, ln in enumerate(text.split("\n"))]
         return ExtractResult(
             text=text,
             kind=KIND_PDF,
             encoding="binary",
-            n_blocks=text.count("\n") + 1 if text else 0,
-            n_content_blocks=text.count("\n") + 1 if text else 0,
+            n_blocks=n_lines,
+            n_content_blocks=n_lines,
+            blocks=pdf_blocks,
         )
 
     decoded, enc = decode_bytes(bytes(data))

@@ -31,7 +31,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    DoubleType, IntegerType, LongType, StringType, StructField, StructType,
+    ArrayType, BooleanType, DoubleType, IntegerType, LongType, StringType,
+    StructField, StructType,
 )
 
 from ocr_spark.core.extract import extract
@@ -39,6 +40,20 @@ from ocr_spark.functions.bucketing import (
     DEFAULT_SALT_N, SKEW_FACTOR, host_of, hot_hosts, salted_partition_key,
 )
 from ocr_spark.sources.io import CheckpointManifest, TableIO
+
+# Per-block span record (north rule: "extracted text/SPANS per document";
+# reference analog: the per-char confidence_data/missing_letters JSON the
+# ORM persists, /root/reference/ocr_project/ocr_app/models.py:18-20 and
+# ocr_service.py:54-58). Kept as a typed ARRAY<STRUCT>, never stringly
+# JSON, and never exploded to per-block rows on the extract path.
+BLOCK_SPAN_TYPE = StructType([
+    StructField("block_id", IntegerType()),
+    StructField("tag", StringType()),
+    StructField("depth", IntegerType()),
+    StructField("n_words", IntegerType()),
+    StructField("link_density", DoubleType()),
+    StructField("is_content", BooleanType()),
+])
 
 EXTRACT_RESULT_TYPE = StructType([
     StructField("extracted_text", StringType()),
@@ -49,6 +64,7 @@ EXTRACT_RESULT_TYPE = StructType([
     StructField("recoveries", IntegerType()),
     StructField("link_density", DoubleType()),
     StructField("extract_us", LongType()),
+    StructField("blocks", ArrayType(BLOCK_SPAN_TYPE)),
 ])
 
 
@@ -62,10 +78,15 @@ def extract_udf(html: pd.Series, lang: pd.Series) -> pd.DataFrame:
     rows = []
     for data, lg in zip(html, lang):
         t0 = time.perf_counter_ns()
-        r = extract(bytes(data) if data is not None else None, lg)
+        r = extract(bytes(data) if data is not None else None, lg,
+                    keep_blocks=True)
         dt = (time.perf_counter_ns() - t0) // 1000
+        spans = [{"block_id": b.block_id, "tag": b.tag, "depth": b.depth,
+                  "n_words": b.n_words, "link_density": b.link_density,
+                  "is_content": b.is_content} for b in r.blocks]
         rows.append((r.text, r.kind, r.encoding, r.n_blocks,
-                     r.n_content_blocks, r.recoveries, r.link_density, dt))
+                     r.n_content_blocks, r.recoveries, r.link_density, dt,
+                     spans))
     return pd.DataFrame(rows, columns=[f.name for f in EXTRACT_RESULT_TYPE])
 
 
@@ -134,6 +155,7 @@ def extract_pages(
         F.col("_r.n_content_blocks").alias("n_content_blocks"),
         F.col("_r.recoveries").alias("recoveries"),
         F.col("_r.link_density").alias("link_density"),
+        F.col("_r.blocks").alias("blocks"),
         F.col("_r.extract_us").alias("extract_us"),
         F.octet_length("html").alias("input_bytes"),
         "bucket", "salt",
@@ -168,6 +190,18 @@ def metrics_of(results: DataFrame) -> DataFrame:
     )
 
 
+def _physical_buckets(pages_path: str) -> set[int] | None:
+    """Bucket values of a physically bucket-partitioned pages table
+    (sources/io.py write_pages_bucketed), or None for a flat layout."""
+    try:
+        names = os.listdir(pages_path)
+    except (NotADirectoryError, FileNotFoundError, OSError):
+        return None
+    vals = {int(n.split("=", 1)[1]) for n in names
+            if n.startswith("bucket=")}
+    return vals or None
+
+
 def run_extract_job(
     spark: SparkSession,
     pages_path: str,
@@ -183,12 +217,26 @@ def run_extract_job(
     written with dynamic partition overwrite (idempotent), lineage/metrics
     appended, then the manifest marks the group's buckets done.
     ``fail_after_groups`` simulates a crash for the resume test.
+
+    Scan cost per group: when the input is physically bucket-partitioned
+    (sources/io.py write_pages_bucketed — the Iceberg bucket(url_host)
+    analog), the per-group filter hits the PARTITION column and prunes at
+    the file level, so the whole run reads the corpus exactly once. A
+    flat layout falls back to filtering on the computed xxhash64
+    expression, which parquet cannot prune — a G-groups x full-scan cost
+    multiplier that is fine at sandbox scale and flagged for 100 TB.
     """
     io = TableIO(spark, out_dir)
     manifest = CheckpointManifest(os.path.join(out_dir, "_checkpoints"))
     snapshot_id = uuid.uuid4().hex[:12]
 
     pages = spark.read.parquet(pages_path)
+    physical = _physical_buckets(pages_path)
+    if physical is not None and max(physical) >= n_buckets:
+        raise ValueError(
+            f"pages table is partitioned into buckets up to "
+            f"{max(physical)} but the job was asked for "
+            f"n_buckets={n_buckets}; bucket ids would not line up")
     # Skew stats once per run, over the url column only.
     hot = hot_hosts(pages, SKEW_FACTOR).cache()
     hot.count()
@@ -203,9 +251,13 @@ def run_extract_job(
         if fail_after_groups is not None and gi >= fail_after_groups:
             return {"completed": False, "buckets_done": sorted(
                 manifest.done_buckets()), "snapshot_id": snapshot_id}
-        bucket, _ = salted_partition_key(
-            F.col("url"), F.lit(False), n_buckets, salt_n)
-        subset = pages.where(bucket.isin(group))
+        if physical is not None:
+            # partition prune: only the group's bucket=<k> dirs are read
+            subset = pages.where(F.col("bucket").isin(group)).drop("bucket")
+        else:
+            bucket, _ = salted_partition_key(
+                F.col("url"), F.lit(False), n_buckets, salt_n)
+            subset = pages.where(bucket.isin(group))
         results = extract_pages(subset, n_buckets, salt_n, hot=hot).cache()
         io.overwrite_partitions(
             results.drop("extract_us", "input_bytes", "salt"),

@@ -112,17 +112,26 @@ def simhash_q(spark, sf):
     return D.simhash(load(spark, sf, "documents"), "doc_id", "text")
 
 
+MAX_SHINGLE_DF = D.DEFAULT_MAX_SHINGLE_DF
+
 @q("dedup_ngram_jaccard",
    _SH_CTE +
-   ", sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), "
+   # stop-shingle cap (mirror of max_df in ngram_jaccard_pairs): drop
+   # shingles appearing in > MAX_SHINGLE_DF docs before the self-join
+   ", freq AS (SELECT shingle FROM (SELECT shingle, count(*) AS c FROM sh "
+   f"GROUP BY shingle) WHERE c <= {MAX_SHINGLE_DF}), "
+   "shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN freq USING (shingle)), "
+   "sizes AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id), "
    "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i "
-   "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+   "FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
    "GROUP BY 1, 2) "
    "SELECT id_a, id_b, ROUND(i / (sa.n_sh + sb.n_sh - i), 4) AS jaccard "
    "FROM inter JOIN sizes sa ON sa.doc_id = id_a "
    "JOIN sizes sb ON sb.doc_id = id_b "
    "WHERE ROUND(i / (sa.n_sh + sb.n_sh - i), 4) >= 0.01",
-   "n-gram Jaccard via inverted shingle index (no cross join)")
+   "n-gram Jaccard via inverted shingle index (no cross join), stop-"
+   "shingle df cap engaged")
 def ngram_jaccard(spark, sf):
     return D.ngram_jaccard_pairs(load(spark, sf, "documents"),
-                                 "doc_id", "text", threshold=0.01)
+                                 "doc_id", "text", threshold=0.01,
+                                 max_df=MAX_SHINGLE_DF)

@@ -624,6 +624,64 @@ def f7(spark, sf):
         "event_id", F.round(F.col("value") / 255.0, 6).alias("norm"))
 
 
+@q("j7_levenshtein_alignment",
+   "SELECT doc_id, CAST(levenshtein(substr(text, 1, 40), "
+   "replace(substr(text, 1, 40), 'e', '')) AS INT) AS edit_dist, "
+   "CAST(length(substr(text, 1, 40)) AS INT) AS expected_len "
+   "FROM documents",
+   "J4 alignment metric promised by SURVEY: per-doc edit distance between "
+   "expected text and a found-with-missing-chars variant (reference "
+   "analog: verify_characters char mapping, /root/reference/overflow/"
+   "segment_according_to_sentence.py:203-236). levenshtein() is a narrow "
+   "JVM-side expression — per-doc cost only, no shuffle.")
+def j7(spark, sf):
+    d = load(spark, sf, "documents")
+    expected = F.substring("text", 1, 40)
+    found = F.expr("replace(substring(text, 1, 40), 'e', '')")
+    return d.select(
+        "doc_id",
+        F.levenshtein(expected, found).cast("int").alias("edit_dist"),
+        F.length(expected).cast("int").alias("expected_len"))
+
+
+@q("s10_stratified_split",
+   "SELECT lang, CASE WHEN "
+   "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) "
+   "% 10 < 8 THEN 'train' ELSE 'eval' END AS split, count(*) AS cnt "
+   "FROM documents GROUP BY lang, split",
+   "SURVEY §3.3 stratified train/eval split (reference analog: "
+   "train_test_split(stratify=labels), /root/reference/"
+   "hebrew-ocr-cnn.py:102-110). Deterministic hash split so the oracle "
+   "can mirror it value-for-value; the seeded-random variant "
+   "(df.sampleBy) is exercised in tests/test_operators.py.")
+def s10(spark, sf):
+    from ocr_spark.operators.hashing import md5long
+    d = load(spark, sf, "documents")
+    split = F.when(
+        md5long(F.col("doc_id").cast("string")) % 10 < 8, "train"
+    ).otherwise("eval")
+    return (d.select("lang", split.alias("split"))
+            .groupBy("lang", "split").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+@q("a8_approx_count_distinct",
+   "SELECT event_type, count(DISTINCT user_id) AS users_exact, "
+   "TRUE AS approx_ok FROM events GROUP BY event_type",
+   "A8 approx variant: HyperLogLog++ sketches differ engine-to-engine, so "
+   "the verifiable contract is the ACCURACY BOUND — approx within 10% of "
+   "exact (rsd=0.02 => typical error ~2%) — which the oracle states as a "
+   "constant. At 10^12 rows approx replaces the exact distinct's full "
+   "shuffle of user ids with fixed-size mergeable sketches.")
+def a8_approx(spark, sf):
+    e = load(spark, sf, "events")
+    agg = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("users_exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"))
+    ok = (F.abs(F.col("_approx") - F.col("users_exact"))
+          / F.col("users_exact") <= 0.1)
+    return agg.select("event_type", "users_exact", ok.alias("approx_ok"))
+
+
 @q("w6_greedy_overlap_accept", None,
    "W6 greedy overlap acceptance: order-dependent sequential per-group "
    "scan via applyInPandas — not SQL-expressible (accepted set feeds back "

@@ -49,3 +49,44 @@ QUERIES.append(QuerySpec(
     "CASE WHEN norm = '' THEN 2 ELSE 3 END AS n_blocks FROM n",
     "full extraction UDF vs independent SQL model of the classifier",
 ))
+
+
+def _blocks_spark(spark, sf):
+    d = load(spark, sf, "documents")
+    page = F.encode(F.concat(F.lit(_PREFIX), F.col("text"),
+                             F.lit(_SUFFIX)), "utf-8")
+    res = d.select("doc_id", extract_udf(page, F.col("lang")).alias("r"))
+    b = res.select("doc_id", F.explode("r.blocks").alias("b"))
+    return b.select(
+        "doc_id",
+        F.col("b.block_id").alias("block_id"),
+        F.col("b.tag").alias("tag"),
+        F.col("b.n_words").alias("n_words"),
+        F.round(F.col("b.link_density"), 4).alias("link_density"),
+        F.col("b.is_content").alias("is_content"))
+
+
+QUERIES.append(QuerySpec(
+    "extract_blocks_spans",
+    _blocks_spark,
+    # Independent SQL model of the per-block spans the UDF emits for the
+    # 3-block template: nav (2 words, link_density 0.5 — the two anchor
+    # fragments concatenate to one word, 1/2), the <p> payload (content
+    # iff > 16 words, same rule as the roundtrip query), footer. The <p>
+    # block vanishes when the text normalizes to ''.
+    "WITH n AS (SELECT doc_id, "
+    "trim(regexp_replace(text, '[ \\t\\n\\r\\f\\v]+', ' ', 'g')) AS norm "
+    "FROM documents), "
+    "m AS (SELECT doc_id, norm, "
+    "len(list_filter(string_split(norm, ' '), w -> w <> '')) AS w FROM n) "
+    "SELECT doc_id, CAST(0 AS INT) AS block_id, 'nav' AS tag, "
+    "CAST(2 AS INT) AS n_words, 0.5 AS link_density, FALSE AS is_content "
+    "FROM m "
+    "UNION ALL SELECT doc_id, CAST(1 AS INT), 'p', CAST(w AS INT), 0.0, "
+    "w > 16 FROM m WHERE norm <> '' "
+    "UNION ALL SELECT doc_id, "
+    "CAST(CASE WHEN norm = '' THEN 1 ELSE 2 END AS INT), 'footer', "
+    "CAST(2 AS INT), 0.0, FALSE FROM m",
+    "per-document block/span records (ARRAY<STRUCT> column) vs an "
+    "independent SQL model — the north rule's 'text/spans per document'",
+))

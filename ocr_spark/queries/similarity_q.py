@@ -146,8 +146,12 @@ def _sql_cos(v: str, c: str) -> str:
 
 
 def _sql_centroid_of(v: str) -> str:
+    # ROUND before the argmax mirrors similarity.ARGMAX_ROUND: float64
+    # accumulation order differs between engines, so near-equidistant
+    # vectors would otherwise be assigned to different cells.
     cs = "[" + ", ".join(
-        _sql_cos(v, _sql_cvec(j)) for j in range(1, N_CENTROIDS + 1)) + "]"
+        f"ROUND({_sql_cos(v, _sql_cvec(j))}, {S.ARGMAX_ROUND})"
+        for j in range(1, N_CENTROIDS + 1)) + "]"
     return f"CAST(list_position({cs}, list_max({cs})) AS INT)"
 
 

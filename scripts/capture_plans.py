@@ -57,6 +57,20 @@ CHECKS = {
     "sim_cosine_topk": (
         "whole-stage codegen over the zip_with/aggregate dot product "
         "(no Python), then TakeOrderedAndProject."),
+    "sim_ann_lsh_query": (
+        "NO Exchange before the top-k: the LSH bucket is computed inline "
+        "on the scan and filtered immediately (scan -> Filter -> "
+        "TakeOrderedAndProject). Round 1 carried an id-rejoin here that "
+        "shuffled the whole embeddings table per query."),
+    "sim_ivf_topk": (
+        "NO Exchange before the top-k: centroid cell computed inline, "
+        "Filter prunes to ~N/n_centroids rows, then "
+        "TakeOrderedAndProject. Same join-removal as sim_ann_lsh_query."),
+    "dedup_ngram_jaccard": (
+        "shingle document-frequency cap BEFORE the inverted-index "
+        "self-join (df <= 5 filter on the aggregated shingle counts) — "
+        "bounds per-key fan-out to df*(df-1)/2 candidate pairs; without "
+        "it common shingles are hot keys with near-quadratic blowup."),
 }
 
 

@@ -60,6 +60,34 @@ def test_kind_matches_oracle(spark, corpus):
     assert bad == 0
 
 
+def test_block_spans_match_oracle(spark, corpus):
+    """The nested blocks column must match the oracle extractor's blocks
+    field-for-field (north rule: 'extracted text/SPANS per document')."""
+    from ocr_spark.core.extract import extract
+
+    pages_path, _ = corpus
+    pages = spark.read.parquet(pages_path)
+    rows = (extract_pages(pages, n_buckets=8, salt_n=4)
+            .where(F.col("content_kind") == "html")
+            .select("url", "blocks")
+            .collect())
+    assert rows, "no html pages in corpus"
+    raw = {r["url"]: bytes(r["html"])
+           for r in pages.select("url", "html").collect()}
+    n_blocks_total = 0
+    for row in rows:
+        exp = extract(raw[row["url"]], None, keep_blocks=True).blocks
+        got = row["blocks"]
+        assert len(got) == len(exp), row["url"]
+        for g, e in zip(got, exp):
+            assert (g["block_id"], g["tag"], g["depth"], g["n_words"],
+                    g["is_content"]) == (e.block_id, e.tag, e.depth,
+                                         e.n_words, e.is_content), row["url"]
+            assert abs(g["link_density"] - e.link_density) < 1e-12
+        n_blocks_total += len(got)
+    assert n_blocks_total > 0
+
+
 def test_huge_doc_survives_arrow_batching(spark, corpus):
     """The ~5 MB doc (page-0000000) must extract, not OOM or truncate."""
     pages_path, golden_path = corpus

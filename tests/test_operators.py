@@ -156,3 +156,90 @@ def test_w6_greedy_overlap_matches_pandas_oracle(spark):
         .reset_index(drop=True))
     assert len(got) == len(exp) > 0
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_ngram_jaccard_stop_shingle_cap(spark):
+    """A shingle shared by every doc is a hot join key; with the df cap it
+    is dropped before the self-join, so pair fan-out collapses from
+    all-pairs to only genuinely-similar pairs (VERDICT r1 #4)."""
+    stop = "as seen on the home page"  # 6 words -> 4 shared shingles
+    rows = [(i, f"{stop} unique{i} tail{i} words{i} here{i}")
+            for i in range(1, 9)]
+    rows[1] = (2, rows[0][1].replace("unique1", "unique1"))  # 2 == dup of 1
+    rows[0] = (1, rows[1][1])
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    uncapped = D.ngram_jaccard_pairs(docs, "doc_id", "text",
+                                     threshold=0.01, max_df=None).collect()
+    capped = D.ngram_jaccard_pairs(docs, "doc_id", "text",
+                                   threshold=0.01, max_df=4).collect()
+    # every pair shares the stop shingles -> full 8*7/2 fan-out uncapped
+    assert len(uncapped) == 28
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped}
+    assert set(got) == {(1, 2)}   # only the true duplicate pair survives
+    assert got[(1, 2)] == 1.0     # jaccard over the FILTERED shingle sets
+
+
+def test_stratified_split_sampleby(spark):
+    """SURVEY §3.3: seeded sampleBy stratified split (reference analog
+    train_test_split(stratify=labels), hebrew-ocr-cnn.py:102-110)."""
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fracs = {lg: 0.8 for lg in
+             [r["lang"] for r in d.select("lang").distinct().collect()]}
+    train = d.sampleBy("lang", fracs, seed=7)
+    t1 = train.groupBy("lang").count().collect()
+    t2 = d.sampleBy("lang", fracs, seed=7).groupBy("lang").count().collect()
+    assert sorted(map(tuple, t1)) == sorted(map(tuple, t2))  # deterministic
+    totals = {r["lang"]: r["count"] for r in d.groupBy("lang").count().collect()}
+    for r in t1:
+        frac = r["count"] / totals[r["lang"]]
+        assert 0.6 < frac < 0.95, (r["lang"], frac)
+
+
+def test_feature_singleton_one_init_per_worker(spark):
+    """S8: the featurizer model loads at most once per Python worker and
+    is reused across batches/tasks — the reference's load-once batch
+    pattern (func.py:34-60), not its per-request reload (func.py:202)."""
+    from ocr_spark.operators.multimodal import (
+        extract_features, worker_model_stats,
+    )
+
+    df = (spark.range(2000)
+          .select(F.col("id").alias("doc_id"),
+                  F.encode(F.col("id").cast("string"), "utf-8").alias("blob"))
+          .repartition(32))
+    assert extract_features(df, "doc_id", "blob", n_dims=4).count() == 8000
+    stats = worker_model_stats(spark, n_tasks=64).collect()
+    served = [r for r in stats if r["batches"] > 0]
+    assert served, "no worker reported featurize batches"
+    assert all(r["inits"] == 1 for r in served), stats
+    assert max(r["batches"] for r in served) >= 2  # reuse across batches
+
+
+def test_binaryfile_labeled_source(spark, tmp_path):
+    """S2: binaryFile + pathGlobFilter + dir-name label, and the pages
+    adapter feeding the real extraction job."""
+    from ocr_spark.plans.extract_job import extract_pages
+    from ocr_spark.sources.binary_source import (
+        pages_from_binary_dir, read_labeled_binary_dir,
+    )
+
+    body = ("<html><body><article><p>" + "actual content words " * 10
+            + "</p></article></body></html>")
+    for label, n in (("news", 3), ("blog", 2)):
+        d = tmp_path / label
+        d.mkdir()
+        for i in range(n):
+            (d / f"doc{i}.html").write_bytes(body.encode())
+        (d / "skip.txt").write_bytes(b"not html")
+
+    labeled = read_labeled_binary_dir(spark, str(tmp_path), "*.html")
+    counts = {r["label"]: r["count"]
+              for r in labeled.groupBy("label").count().collect()}
+    assert counts == {"news": 3, "blog": 2}
+
+    pages = pages_from_binary_dir(spark, str(tmp_path), "*.html")
+    res = extract_pages(pages, n_buckets=4, salt_n=2).collect()
+    assert len(res) == 5
+    assert all(r["content_kind"] == "html" and
+               "actual content words" in r["extracted_text"] for r in res)

@@ -64,3 +64,42 @@ def test_lineage_and_metrics_written(spark, corpus, tmp_path):
             "wall_ms", "attempt", "snapshot_id"} <= set(lineage.columns)
     assert {"bucket", "docs", "empty_docs", "pdf_docs", "avg_text_len",
             "avg_link_density", "tokenizer_recoveries"} <= set(metrics.columns)
+
+
+def test_bucketed_input_prunes_scan(spark, corpus, tmp_path):
+    """Physically bucket-partitioned pages (the Iceberg bucket(url_host)
+    analog): per-group scans prune to the group's files instead of
+    rescanning the corpus, and results stay byte-identical."""
+    from ocr_spark.sources.io import write_pages_bucketed
+
+    bucketed = str(tmp_path / "pages_bucketed")
+    write_pages_bucketed(spark.read.parquet(corpus), bucketed, N_BUCKETS)
+
+    b = spark.read.parquet(bucketed)
+    total_files = len(b.inputFiles())
+    pruned = b.where(F.col("bucket").isin([0, 1]))
+    # files actually TOUCHED at execution (inputFiles() is pre-pushdown)
+    touched = (pruned.select(F.input_file_name().alias("f"))
+               .distinct().count())
+    assert touched < total_files, (touched, total_files)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+
+    out_flat = str(tmp_path / "out_flat")
+    out_bkt = str(tmp_path / "out_bkt")
+    run_extract_job(spark, corpus, out_flat, n_buckets=N_BUCKETS,
+                    group_size=2)
+    st = run_extract_job(spark, bucketed, out_bkt, n_buckets=N_BUCKETS,
+                         group_size=2)
+    assert st["completed"]
+    a = _read_results(spark, out_flat)
+    c = _read_results(spark, out_bkt)
+    assert [r["url"] for r in a] == [r["url"] for r in c]
+    assert all(x["extracted_text"] == y["extracted_text"]
+               for x, y in zip(a, c))
+
+    # mismatched bucket count must fail loudly, not mis-prune
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        run_extract_job(spark, bucketed, str(tmp_path / "bad"),
+                        n_buckets=N_BUCKETS // 2, group_size=2)

@@ -102,3 +102,81 @@ def test_streaming_sessionize_runs(spark, tmp_path):
     assert got.count() >= 3
     r = got.where((F.col("user_id") == 0)).orderBy("session_start").first()
     assert r["events"] == 4
+
+
+def test_streaming_dedup_ttl_expires_and_readmits(spark, tmp_path):
+    """TTL-bounded state: a quiet host's seen-set is dropped after the TTL
+    (memory stays bounded to recently-active hosts), so a post-TTL
+    duplicate is re-admitted — the documented freshness-horizon trade."""
+    import time
+    import datetime as _dt
+
+    from ocr_spark.streaming.stateful import run_streaming_dedup
+
+    pages = str(tmp_path / "ttl_pages")
+    out = str(tmp_path / "ttl_out")
+    ckpt = str(tmp_path / "ttl_ckpt")
+    ts = _dt.datetime(2025, 1, 1)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, html binary, "
+                  "text string, lang string")
+
+    a = bytearray(b"<p>alpha</p>")
+    run = lambda: run_streaming_dedup(spark, pages, out, ckpt, ttl_ms=500)
+
+    mk([("https://x.org/p1", ts, a, "", "en")]) \
+        .coalesce(1).write.mode("append").parquet(pages)
+    run()
+    assert spark.read.parquet(out).count() == 1
+
+    # batch 2 carries only host y; host x's state passes its TTL and is
+    # evicted during this batch's timeout processing
+    time.sleep(1.5)
+    mk([("https://y.org/p1", ts, a, "", "en")]) \
+        .coalesce(1).write.mode("append").parquet(pages)
+    run()
+    assert spark.read.parquet(out).count() == 2
+
+    # batch 3: the SAME content on host x again -> re-admitted (state was
+    # dropped), proving eviction actually happened
+    mk([("https://x.org/p2", ts, a, "", "en")]) \
+        .coalesce(1).write.mode("append").parquet(pages)
+    run()
+    got = spark.read.parquet(out)
+    assert got.where(F.col("host") == "x.org").count() == 2
+
+
+def test_streaming_dedup_bloom_mode(spark, tmp_path):
+    """Bloom-filter state: duplicates are still suppressed (no false
+    negatives by construction) with fixed-size per-host state."""
+    import datetime as _dt
+
+    from ocr_spark.streaming.stateful import BLOOM_BITS, run_streaming_dedup
+
+    pages = str(tmp_path / "bloom_pages")
+    out = str(tmp_path / "bloom_out")
+    ckpt = str(tmp_path / "bloom_ckpt")
+    ts = _dt.datetime(2025, 1, 1)
+
+    rows = [(f"https://h.org/p{i}", ts,
+             bytearray(f"<p>doc {i % 50}</p>".encode()), "", "en")
+            for i in range(200)]  # 50 uniques, each duplicated 4x
+    spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, "
+              "text string, lang string") \
+        .coalesce(1).write.mode("append").parquet(pages)
+    run_streaming_dedup(spark, pages, out, ckpt, mode="bloom")
+    got = spark.read.parquet(out)
+    n = got.count()
+    # exactly-once per content hash; tiny fp chance may drop a unique but
+    # can never emit a duplicate
+    assert got.select("content_hash").distinct().count() == n
+    assert 45 <= n <= 50
+    # survivor is the lexicographically smallest url of each dup group
+    first = got.where(F.col("content_hash") == F.md5(F.lit("<p>doc 0</p>")
+                      .cast("binary"))).first()
+    assert first["url"] == "https://h.org/p0"
+    # state is fixed-size by construction
+    assert BLOOM_BITS // 8 == 8192
