@@ -115,6 +115,58 @@ def lsh_candidate_pairs(buckets: DataFrame, id_col: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("shared_bands")))
 
 
+def dedup_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
+    """(doc_id, component) for every doc appearing in a candidate-pair
+    edge list (id_a, id_b): component = the minimum doc id reachable
+    through the pair graph — the canonical-survivor resolution step that
+    turns near-dup PAIRS into duplicate CLUSTERS (keep one doc per
+    component, drop the rest).
+
+    Iterative min-label propagation, the standard Spark connected-
+    components shape: each round every node takes the min of its own
+    label and its neighbors' labels; converges in O(diameter) rounds
+    (checked per round via a count aggregate, terminating early). Each
+    round is one shuffle keyed by node id over (node, label) pairs only —
+    never the texts — so a round costs O(E) network on two long columns.
+    For trillion-edge graphs you would switch to the large-star/small-star
+    variant (Kiveris et al., "Connected Components in MapReduce", SoCC
+    2014 — public method) which shortcuts long chains; plain propagation
+    is the right tool at candidate-pair density (LSH pairs are local).
+    """
+    edges = (pairs.select(F.col("id_a").alias("src"),
+                          F.col("id_b").alias("dst"))
+             .union(pairs.select(F.col("id_b").alias("src"),
+                                 F.col("id_a").alias("dst")))
+             .distinct().persist())
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("component", F.col("node")).persist())
+    labels.count()
+    for _ in range(max_iters):
+        # min neighbor label per node, then min with own label
+        nbr = (edges.join(labels,
+                          edges.dst == labels.node)
+               .groupBy("src")
+               .agg(F.min("component").alias("nbr_min")))
+        new_labels = (labels.join(nbr, labels.node == nbr.src, "left")
+                      .select(F.col("node"),
+                              F.least(F.col("component"),
+                                      F.coalesce(F.col("nbr_min"),
+                                                 F.col("component")))
+                              .alias("component"))
+                      .persist())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .where(F.col("n.component") != F.col("o.component"))
+                   .count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select(F.col("node").alias("doc_id"), "component")
+    edges.unpersist()
+    return out
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str,
             n_bits: int = 32) -> DataFrame:
     """(id, simhash): sign-aggregated word-hash bits.

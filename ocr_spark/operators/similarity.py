@@ -98,6 +98,36 @@ def ann_search(df: DataFrame, id_col: str, vec_col: str,
     return cosine_topk(cands, id_col, vec_col, query_vec, k, round_to)
 
 
+def query_bucket(query_vec: list[float], planes: list[list[float]]) -> int:
+    """Driver-side LSH bucket of the query vector."""
+    b = 0
+    for j, p in enumerate(planes):
+        if sum(x * y for x, y in zip(query_vec, p)) >= 0:
+            b |= 1 << j
+    return b
+
+
+def ann_search_multiprobe(df: DataFrame, id_col: str, vec_col: str,
+                          query_vec: list[float],
+                          planes: list[list[float]], k: int = 5,
+                          round_to: int = 4,
+                          probe_hamming: int = 1) -> DataFrame:
+    """Multi-probe LSH ANN: rank inside every bucket within Hamming
+    distance ``probe_hamming`` of the query's bucket.
+
+    Single-probe LSH recall collapses as planes grow (a true neighbor on
+    the wrong side of ONE hyperplane is invisible); probing the 1+n_planes
+    Hamming<=1 buckets recovers most of it at (1+n_planes)/2^n_planes of
+    the scan. Still join-free and exchange-free: the probe is
+    scan -> Filter(bit_count(bucket XOR q) <= h) -> TakeOrderedAndProject.
+    """
+    qb = query_bucket(query_vec, planes)
+    dist = F.bit_count(lsh_bucket_expr(vec_col, planes)
+                       .bitwiseXOR(F.lit(qb).cast("long")))
+    cands = df.where(dist <= probe_hamming)
+    return cosine_topk(cands, id_col, vec_col, query_vec, k, round_to)
+
+
 # Cosines near-equidistant between two centroids can argmax differently
 # across engines (Spark's zip_with/aggregate fold vs DuckDB's
 # list_dot_product accumulate differently in float64); rounding to a fixed
@@ -130,16 +160,30 @@ def ivf_assign(df: DataFrame, id_col: str, vec_col: str,
                      ivf_centroid_expr(vec_col, centroids).alias("centroid"))
 
 
-def nearest_centroid(query_vec: list[float],
-                     centroids: list[list[float]]) -> int:
-    """Driver-side mirror of ivf_centroid_expr for the query (1-based)."""
+def _query_cosines(query_vec: list[float],
+                   centroids: list[list[float]]) -> list[float]:
     def cos(a, b):
         d = sum(x * y for x, y in zip(a, b))
         na = sum(x * x for x in a) ** 0.5
         nb = sum(x * x for x in b) ** 0.5
         return round(d / (na * nb), ARGMAX_ROUND)
-    sims = [cos(query_vec, c) for c in centroids]
+    return [cos(query_vec, c) for c in centroids]
+
+
+def nearest_centroid(query_vec: list[float],
+                     centroids: list[list[float]]) -> int:
+    """Driver-side mirror of ivf_centroid_expr for the query (1-based)."""
+    sims = _query_cosines(query_vec, centroids)
     return sims.index(max(sims)) + 1
+
+
+def nearest_cells(query_vec: list[float], centroids: list[list[float]],
+                  nprobe: int) -> list[int]:
+    """Top-``nprobe`` centroid cells for the query (1-based), cosine desc
+    with lowest-index tie-break — the nprobe>1 IVF probe set."""
+    sims = _query_cosines(query_vec, centroids)
+    order = sorted(range(len(sims)), key=lambda i: (-sims[i], i))
+    return [i + 1 for i in order[:nprobe]]
 
 
 def ivf_search(df: DataFrame, id_col: str, vec_col: str,
@@ -152,6 +196,21 @@ def ivf_search(df: DataFrame, id_col: str, vec_col: str,
     TakeOrderedAndProject (per-partition heap, no vector shuffle)."""
     cell = nearest_centroid(query_vec, centroids)
     cands = df.where(ivf_centroid_expr(vec_col, centroids) == cell)
+    return cosine_topk(cands, id_col, vec_col, query_vec, k, round_to)
+
+
+def ivf_search_nprobe(df: DataFrame, id_col: str, vec_col: str,
+                      query_vec: list[float],
+                      centroids: list[list[float]], k: int = 5,
+                      nprobe: int = 2, round_to: int = 4) -> DataFrame:
+    """IVF ANN with nprobe > 1: exact ranking inside the query's nprobe
+    nearest cells. A fixed nprobe=1 misses neighbors assigned to the
+    runner-up cell whenever the query sits near a cell boundary; probing
+    the top-nprobe cells scans nprobe/n_centroids of the table and
+    recovers them. Same join-free narrow shape as ivf_search.
+    """
+    cells = nearest_cells(query_vec, centroids, nprobe)
+    cands = df.where(ivf_centroid_expr(vec_col, centroids).isin(cells))
     return cosine_topk(cands, id_col, vec_col, query_vec, k, round_to)
 
 

@@ -40,8 +40,10 @@ _FIRST = [
     # §2.11 dedup / similarity / textstats / multimodal
     "dedup_exact", "dedup_minhash_signatures", "dedup_minhash_lsh_pairs",
     "dedup_simhash", "dedup_ngram_jaccard", "dedup_embedding_cosine",
+    "dedup_cluster_components",
     "sim_cosine_topk", "sim_lsh_bucket_histogram", "sim_ann_lsh_query",
-    "sim_ivf_assign_histogram", "sim_ivf_topk",
+    "sim_ann_multiprobe", "sim_ivf_assign_histogram", "sim_ivf_topk",
+    "sim_ivf_topk_nprobe2",
     "text_lang_id", "text_quality_score", "text_token_counts",
     "text_fingerprint",
     "multimodal_decode_meta", "multimodal_resize",

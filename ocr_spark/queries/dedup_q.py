@@ -112,6 +112,36 @@ def simhash_q(spark, sf):
     return D.simhash(load(spark, sf, "documents"), "doc_id", "text")
 
 
+# Duplicate-cluster resolution: LSH candidate pairs -> connected
+# components (min-id canonical label). Oracle = recursive reachability
+# closure over the same pair edges; fine at oracle scale, while the Spark
+# side is the iterative min-label propagation that works at corpus scale.
+_COMPONENTS_SQL = (
+    "WITH RECURSIVE " + _SH_CTE[len("WITH "):] + _SIG_CTE + _BANDS_CTE +
+    ", pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+    "FROM bands a JOIN bands b ON a.band = b.band "
+    "AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id "
+    "GROUP BY 1, 2), "
+    "e AS (SELECT id_a AS a, id_b AS b FROM pairs "
+    "UNION SELECT id_b, id_a FROM pairs), "
+    "reach(a, b) AS (SELECT a, a FROM (SELECT DISTINCT a FROM e) "
+    "UNION SELECT e.a, r.b FROM e JOIN reach r ON e.b = r.a) "
+    "SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a"
+)
+
+
+@q("dedup_cluster_components", _COMPONENTS_SQL,
+   "near-dup pairs -> duplicate clusters via iterative min-label "
+   "propagation (connected components); survivor selection = keep "
+   "component id, drop the rest")
+def cluster_components(spark, sf):
+    d = load(spark, sf, "documents")
+    sig = D.minhash_signatures(d, "doc_id", "text", N_HASHES)
+    buckets = D.lsh_band_buckets(sig, "doc_id", BAND_SIZE)
+    pairs = D.lsh_candidate_pairs(buckets, "doc_id")
+    return D.dedup_components(pairs)
+
+
 MAX_SHINGLE_DF = D.DEFAULT_MAX_SHINGLE_DF
 
 @q("dedup_ngram_jaccard",

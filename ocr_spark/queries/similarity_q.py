@@ -124,6 +124,43 @@ def _make_ann_spec() -> QuerySpec:
 QUERIES.append(_make_ann_spec())
 
 
+def _make_multiprobe_spec() -> QuerySpec:
+    bucket_expr = " + ".join(
+        f"(CASE WHEN {_sql_dot('embedding', p)} >= 0 "
+        f"THEN {1 << j} ELSE 0 END)" for j, p in enumerate(PLANES))
+    qbucket_expr = " + ".join(
+        f"(CASE WHEN {_sql_dot('(SELECT embedding FROM embeddings WHERE vec_id = 0)', p)} >= 0 "
+        f"THEN {1 << j} ELSE 0 END)" for j, p in enumerate(PLANES))
+    sql = (
+        "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe "
+        "FROM embeddings WHERE vec_id = 0), "
+        f"b AS (SELECT vec_id, embedding, ({bucket_expr}) AS bucket "
+        "FROM embeddings) "
+        "SELECT vec_id, ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), "
+        "(SELECT qe FROM q)) / (sqrt(list_dot_product(CAST(embedding AS "
+        "DOUBLE[]), CAST(embedding AS DOUBLE[]))) * sqrt((SELECT "
+        "list_dot_product(qe, qe) FROM q))), 4) AS cos "
+        f"FROM b WHERE bit_count(CAST(xor(bucket, ({qbucket_expr})) "
+        "AS BIGINT)) <= 1 "
+        "ORDER BY cos DESC, vec_id LIMIT 5")
+
+    def spark_fn(spark, sf):
+        qv = _query_vec(spark, sf)
+        emb = load(spark, sf, "embeddings")
+        return S.ann_search_multiprobe(emb, "vec_id", "embedding", qv,
+                                       PLANES, k=5, probe_hamming=1)
+
+    return QuerySpec(
+        "sim_ann_multiprobe", spark_fn, sql,
+        "multi-probe LSH ANN: rank inside all buckets within Hamming 1 of "
+        "the query bucket — recovers the recall single-probe loses when a "
+        "neighbor falls on the wrong side of one hyperplane; still "
+        "join-free (scan -> Filter -> TakeOrderedAndProject)")
+
+
+QUERIES.append(_make_multiprobe_spec())
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN: coarse quantizer = 4 centroids taken from fixed
 # vec_ids (deterministic, no training step), nprobe=1. Same sf dir on both
@@ -194,6 +231,44 @@ def ivf_topk(spark, sf):
     emb = load(spark, sf, "embeddings")
     return S.ivf_search(emb, "vec_id", "embedding", qv,
                         _centroids(spark, sf), k=5)
+
+
+def _make_ivf_nprobe_spec() -> QuerySpec:
+    n_probe = 2
+    qcs = "[" + ", ".join(
+        f"ROUND({_sql_cos('(SELECT qe FROM q)', _sql_cvec(j))}, "
+        f"{S.ARGMAX_ROUND})" for j in range(1, N_CENTROIDS + 1)) + "]"
+    sql = (
+        "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM "
+        "embeddings WHERE vec_id = 0), "
+        f"qcs AS (SELECT {qcs} AS cs), "
+        "qcells AS (SELECT list_transform(list_sort(list_transform("
+        f"range(1, {N_CENTROIDS + 1}), j -> {{'c': -cs[j], 'j': j}})), "
+        f"s -> CAST(s.j AS INT))[1:{n_probe}] AS cells FROM qcs), "
+        "a AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, "
+        + _sql_centroid_of(_V) + " AS centroid FROM embeddings) "
+        "SELECT vec_id, ROUND(list_dot_product(v, (SELECT qe FROM q)) / "
+        "(sqrt(list_dot_product(v, v)) * sqrt((SELECT "
+        "list_dot_product(qe, qe) FROM q))), 4) AS cos "
+        "FROM a WHERE list_contains((SELECT cells FROM qcells), centroid) "
+        "ORDER BY cos DESC, vec_id LIMIT 5")
+
+    def spark_fn(spark, sf):
+        qv = _query_vec(spark, sf)
+        emb = load(spark, sf, "embeddings")
+        return S.ivf_search_nprobe(emb, "vec_id", "embedding", qv,
+                                   _centroids(spark, sf), k=5,
+                                   nprobe=n_probe)
+
+    return QuerySpec(
+        "sim_ivf_topk_nprobe2", spark_fn, sql,
+        "IVF ANN with nprobe=2: exact ranking inside the query's two "
+        "nearest cells — recovers boundary-neighbor recall that fixed "
+        "nprobe=1 loses, scanning nprobe/n_centroids of the table; "
+        "cell list tie-breaks toward the lowest index on both engines")
+
+
+QUERIES.append(_make_ivf_nprobe_spec())
 
 
 # ---------------------------------------------------------------------------

@@ -243,3 +243,41 @@ def test_binaryfile_labeled_source(spark, tmp_path):
     assert len(res) == 5
     assert all(r["content_kind"] == "html" and
                "actual content words" in r["extracted_text"] for r in res)
+
+
+def test_dedup_components_clusters(spark):
+    """Pairs (1-2, 2-3) and (5-6) must collapse to components {1} and
+    {5}; 2-step chains prove propagation crosses indirect links."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"])
+    got = {r["doc_id"]: r["component"]
+           for r in D.dedup_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+
+def test_ann_multiprobe_superset_of_single(vecs):
+    """Hamming<=1 probing must scan a superset of the single-probe
+    bucket, so its candidate set can only grow."""
+    planes = S.hyperplanes(3, 4, seed=5)
+    q = [1.0, 0.0, 0.0, 0.0]
+    single = {r["vec_id"] for r in
+              S.ann_search(vecs, "vec_id", "embedding", q, planes,
+                           k=10).collect()}
+    multi = {r["vec_id"] for r in
+             S.ann_search_multiprobe(vecs, "vec_id", "embedding", q,
+                                     planes, k=10).collect()}
+    assert single <= multi
+
+
+def test_ivf_nprobe_superset(vecs):
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+             [-1.0, 0.0, 0.0, 0.0]]
+    q = [0.7, 0.7, 0.0, 0.0]  # near the cell boundary of cents 1 and 2
+    one = {r["vec_id"] for r in
+           S.ivf_search(vecs, "vec_id", "embedding", q, cents,
+                        k=10).collect()}
+    two = {r["vec_id"] for r in
+           S.ivf_search_nprobe(vecs, "vec_id", "embedding", q, cents,
+                               k=10, nprobe=2).collect()}
+    assert one < two  # boundary query: second cell adds real neighbors
+    assert S.nearest_cells(q, cents, 2) == [1, 2]
