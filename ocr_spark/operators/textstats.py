@@ -81,6 +81,52 @@ def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                      bpe_ish.alias("bpe_tokens"))
 
 
+# Deliberately simple, engine-portable patterns (no \d/\b shorthand
+# divergence between Java and RE2/PCRE dialects).
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+PHONE_RE = "[+]?[0-9][0-9 ()-]{7,}[0-9]"
+PII_TOKEN = "<pii>"
+
+
+def scrub_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Training-data PII scrub: replace email addresses and phone-shaped
+    digit runs with a fixed token; emit per-doc redaction counts so the
+    curation pipeline can quarantine PII-dense documents. Pure regex
+    column expressions — narrow, no UDF, no shuffle."""
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
+    after_email = F.regexp_replace(t, EMAIL_RE, PII_TOKEN)
+    n_phones = F.size(F.regexp_extract_all(after_email, F.lit(PHONE_RE),
+                                           F.lit(0)))
+    scrubbed = F.regexp_replace(after_email, PHONE_RE, PII_TOKEN)
+    return df.select(
+        F.col(id_col),
+        scrubbed.alias("scrubbed"),
+        n_emails.cast("int").alias("n_emails"),
+        n_phones.cast("int").alias("n_phones"))
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, public method):
+    distinct-word ratio and top-word share. Boilerplate/spam pages repeat
+    a small vocabulary; natural text has a long tail. All array
+    expressions — per-row narrow compute, no explode, no shuffle."""
+    ws = words_of(F.col(text_col))
+    n_words = F.size(ws)
+    n_distinct = F.size(F.array_distinct(ws))
+    # top word share: max occurrence count of any word / n_words
+    top_cnt = F.array_max(F.transform(
+        F.array_distinct(ws),
+        lambda w: F.size(F.filter(ws, lambda x: x == w))))
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(n_distinct / F.greatest(n_words, F.lit(1)), 4)
+        .alias("distinct_ratio"),
+        F.round(F.coalesce(top_cnt, F.lit(0)) / F.greatest(n_words, F.lit(1)),
+                4).alias("top_word_share"))
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Two fingerprints: md5 of whitespace-normalized text and a rolling
     31-polynomial word hash mod 1e9+7 (order-sensitive)."""

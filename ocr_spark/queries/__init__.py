@@ -45,7 +45,7 @@ _FIRST = [
     "sim_ann_multiprobe", "sim_ivf_assign_histogram", "sim_ivf_topk",
     "sim_ivf_topk_nprobe2",
     "text_lang_id", "text_quality_score", "text_token_counts",
-    "text_fingerprint",
+    "text_fingerprint", "text_scrub_pii", "text_repetition_stats",
     "multimodal_decode_meta", "multimodal_resize",
     "multimodal_frame_sample", "multimodal_feature_extract",
     # round-2 additions

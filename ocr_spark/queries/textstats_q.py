@@ -77,6 +77,39 @@ def tokens(spark, sf):
     return T.token_counts(load(spark, sf, "documents"), "doc_id", "text")
 
 
+@q("text_scrub_pii",
+   "WITH a AS (SELECT doc_id, "
+   f"len(regexp_extract_all(text, '{T.EMAIL_RE}')) AS n_emails, "
+   f"regexp_replace(text, '{T.EMAIL_RE}', '{T.PII_TOKEN}', 'g') AS t1 "
+   "FROM documents) "
+   "SELECT doc_id, "
+   f"regexp_replace(t1, '{T.PHONE_RE}', '{T.PII_TOKEN}', 'g') AS scrubbed, "
+   "CAST(n_emails AS INT) AS n_emails, "
+   f"CAST(len(regexp_extract_all(t1, '{T.PHONE_RE}')) AS INT) AS n_phones "
+   "FROM a",
+   "PII scrub: emails + phone-shaped digit runs replaced by a fixed "
+   "token, per-doc redaction counts — pure regex, narrow")
+def scrub_pii_q(spark, sf):
+    return T.scrub_pii(load(spark, sf, "documents"), "doc_id", "text")
+
+
+@q("text_repetition_stats",
+   "WITH w AS (SELECT doc_id, "
+   "list_filter(string_split(text, ' '), x -> x <> '') AS ws "
+   "FROM documents) "
+   "SELECT doc_id, len(ws) AS n_words, "
+   "ROUND(len(list_distinct(ws)) / greatest(len(ws), 1), 4) "
+   "AS distinct_ratio, "
+   "ROUND(COALESCE(list_max(list_transform(list_distinct(ws), "
+   "w -> len(list_filter(ws, x -> x = w)))), 0) "
+   "/ greatest(len(ws), 1), 4) AS top_word_share FROM w",
+   "Gopher-style repetition filters: distinct-word ratio + top-word "
+   "share (spam/boilerplate detectors)")
+def repetition_q(spark, sf):
+    return T.repetition_stats(load(spark, sf, "documents"),
+                              "doc_id", "text")
+
+
 @q("text_fingerprint",
    "WITH n AS (SELECT doc_id, "
    "trim(regexp_replace(text, '[ \\t\\n\\r\\f\\v]+', ' ', 'g')) AS norm "

@@ -281,3 +281,42 @@ def test_ivf_nprobe_superset(vecs):
                                k=10, nprobe=2).collect()}
     assert one < two  # boundary query: second cell adds real neighbors
     assert S.nearest_cells(q, cents, 2) == [1, 2]
+
+
+def test_scrub_pii(spark):
+    rows = [(1, "contact bob.smith+x@corp.example.com or +1 (415) 555-0100 now"),
+            (2, "no pii here at all")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           T.scrub_pii(df, "doc_id", "text").collect()}
+    assert got[1]["n_emails"] == 1 and got[1]["n_phones"] == 1
+    assert "@" not in got[1]["scrubbed"]
+    assert "555" not in got[1]["scrubbed"]
+    assert got[1]["scrubbed"].count("<pii>") == 2
+    assert got[2]["scrubbed"] == "no pii here at all"
+    assert got[2]["n_emails"] == 0 and got[2]["n_phones"] == 0
+
+
+def test_repetition_stats(spark):
+    rows = [(1, "spam spam spam spam"), (2, "all words here differ fully")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           T.repetition_stats(df, "doc_id", "text").collect()}
+    assert got[1]["distinct_ratio"] == 0.25
+    assert got[1]["top_word_share"] == 1.0
+    assert got[2]["distinct_ratio"] == 1.0
+    assert got[2]["top_word_share"] == 0.2
+
+
+def test_lsh_buckets_scale_with_planes(spark):
+    """The near-dup/ANN bucket count must grow ~2^n_planes so candidate
+    pair cost shrinks as the corpus grows (the production knob the r1
+    review flagged as a toy setting at n_planes=4)."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    counts = {}
+    for n in (4, 8):
+        planes = S.hyperplanes(n, 64, seed=123)
+        counts[n] = (S.lsh_buckets(emb, "vec_id", "embedding", planes)
+                     .select("bucket").distinct().count())
+    assert counts[4] <= 16 and counts[8] <= 256
+    assert counts[8] >= counts[4] * 4  # occupancy actually spreads
