@@ -106,11 +106,14 @@ def scrub_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         n_phones.cast("int").alias("n_phones"))
 
 
-def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def repetition_stats(df: DataFrame, id_col: str, text_col: str,
+                     carry: tuple[str, ...] = ()) -> DataFrame:
     """Gopher-style repetition filters (Rae et al. 2021, public method):
     distinct-word ratio and top-word share. Boilerplate/spam pages repeat
     a small vocabulary; natural text has a long tail. All array
-    expressions — per-row narrow compute, no explode, no shuffle."""
+    expressions — per-row narrow compute, no explode, no shuffle.
+    ``carry`` passes extra columns through so callers don't need a
+    self-join to re-attach them."""
     ws = words_of(F.col(text_col))
     n_words = F.size(ws)
     n_distinct = F.size(F.array_distinct(ws))
@@ -120,6 +123,7 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         lambda w: F.size(F.filter(ws, lambda x: x == w))))
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         n_words.alias("n_words"),
         F.round(n_distinct / F.greatest(n_words, F.lit(1)), 4)
         .alias("distinct_ratio"),

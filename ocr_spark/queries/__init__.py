@@ -46,6 +46,7 @@ _FIRST = [
     "sim_ivf_topk_nprobe2",
     "text_lang_id", "text_quality_score", "text_token_counts",
     "text_fingerprint", "text_scrub_pii", "text_repetition_stats",
+    "curation_pipeline",
     "multimodal_decode_meta", "multimodal_resize",
     "multimodal_frame_sample", "multimodal_feature_extract",
     # round-2 additions

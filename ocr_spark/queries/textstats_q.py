@@ -110,6 +110,39 @@ def repetition_q(spark, sf):
                               "doc_id", "text")
 
 
+@q("curation_pipeline",
+   "WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents "
+   "GROUP BY md5(text)), "
+   "w AS (SELECT d.doc_id, d.lang, "
+   "list_filter(string_split(d.text, ' '), x -> x <> '') AS ws, "
+   "length(d.text) AS n_chars, d.text FROM documents d "
+   "JOIN surv USING (doc_id)), "
+   "f AS (SELECT doc_id, lang, len(ws) AS n_words, "
+   "ROUND(len(list_distinct(ws)) / greatest(len(ws), 1), 4) AS dr "
+   "FROM w) "
+   "SELECT lang, count(*) AS kept, "
+   "ROUND(avg(n_words), 4) AS avg_words FROM f "
+   "WHERE n_words >= 20 AND dr >= 0.3 GROUP BY lang",
+   "end-to-end curation composition: exact-dedup survivors -> "
+   "length + repetition quality gate -> per-lang corpus stats. The text "
+   "column NEVER crosses an Exchange: features are computed narrow on "
+   "the scan and the gate applied before the survivor join, so the "
+   "shuffles carry only ids + small stats (dedup groupBy ships md5+id)")
+def curation_pipeline(spark, sf):
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.dedup import exact_dedup_survivors
+
+    d = load(spark, sf, "documents")
+    surv = exact_dedup_survivors(d, "doc_id", "text").select("doc_id")
+    feats = T.repetition_stats(d, "doc_id", "text", carry=("lang",))
+    gated = feats.where((F.col("n_words") >= 20)
+                        & (F.col("distinct_ratio") >= 0.3))
+    return (gated.join(surv, "doc_id").groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("kept"),
+                 F.round(F.avg("n_words"), 4).alias("avg_words")))
+
+
 @q("text_fingerprint",
    "WITH n AS (SELECT doc_id, "
    "trim(regexp_replace(text, '[ \\t\\n\\r\\f\\v]+', ' ', 'g')) AS norm "

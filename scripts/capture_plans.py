@@ -66,6 +66,14 @@ CHECKS = {
         "NO Exchange before the top-k: centroid cell computed inline, "
         "Filter prunes to ~N/n_centroids rows, then "
         "TakeOrderedAndProject. Same join-removal as sim_ann_lsh_query."),
+    "sim_ann_multiprobe": (
+        "still NO Exchange: Hamming<=1 probing is one extra bit_count/XOR "
+        "in the same Filter — scan -> Filter -> TakeOrderedAndProject."),
+    "curation_pipeline": (
+        "the text column appears in NO Exchange: repetition features are "
+        "computed narrow on the scan and the quality gate applies before "
+        "the survivor join, so every shuffle carries only ids + small "
+        "stats (the dedup groupBy ships md5+id)."),
     "dedup_ngram_jaccard": (
         "shingle document-frequency cap BEFORE the inverted-index "
         "self-join (df <= 5 filter on the aggregated shingle counts) — "
