@@ -51,7 +51,9 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "sim_cosine_topk",
     "sim_ivf_topk",
+    "sim_ann_multiprobe",
     "text_quality_score",
+    "curation_pipeline",
     "f10_array_explode_topwords",
     "multimodal_frame_sample",
 ]

@@ -68,6 +68,8 @@ def all_queries() -> list[QuerySpec]:
         out.extend(mod.QUERIES)
     names = [q.name for q in out]
     assert len(names) == len(set(names)), "duplicate query names"
+    missing = set(_FIRST) - set(names)
+    assert not missing, f"_FIRST names not registered: {missing}"
     rank = {n: i for i, n in enumerate(_FIRST)}
     out.sort(key=lambda s: rank.get(s.name, len(_FIRST)))  # stable
     return out

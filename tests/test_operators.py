@@ -320,3 +320,39 @@ def test_lsh_buckets_scale_with_planes(spark):
                      .select("bucket").distinct().count())
     assert counts[4] <= 16 and counts[8] <= 256
     assert counts[8] >= counts[4] * 4  # occupancy actually spreads
+
+
+def test_hot_host_salting_policy(spark):
+    """Skew policy (reference analog: wide-segment splitting,
+    revised_code.py:249-306): hosts above 1.5x the mean row count are
+    flagged hot and fan out over salt_n sub-keys; cold hosts stay
+    co-located at salt 0."""
+    from ocr_spark.functions.bucketing import (
+        SKEW_FACTOR, host_of, hot_hosts, salted_partition_key,
+    )
+
+    rows = ([(f"https://giant.example/p{i}",) for i in range(400)]
+            + [(f"https://small{j}.example/p{i}",)
+               for j in range(20) for i in range(5)])
+    pages = spark.createDataFrame(rows, ["url"])
+    hot = hot_hosts(pages, SKEW_FACTOR)
+    assert [r["host"] for r in hot.collect()] == ["giant.example"]
+
+    flagged = (pages.withColumn("_host", host_of(F.col("url")))
+               .join(F.broadcast(hot.withColumn("_is_hot", F.lit(True))
+                                 .withColumnRenamed("host", "_host")
+                                 .drop("cnt")), on="_host", how="left")
+               .withColumn("_is_hot",
+                           F.coalesce(F.col("_is_hot"), F.lit(False))))
+    bucket, salt = salted_partition_key(F.col("url"), F.col("_is_hot"),
+                                        n_buckets=32, salt_n=8)
+    keyed = flagged.select("_host", bucket.alias("b"), salt.alias("s"))
+    hot_salts = (keyed.where(F.col("_host") == "giant.example")
+                 .select("s").distinct().count())
+    cold_salts = (keyed.where(F.col("_host") != "giant.example")
+                  .select("s").distinct().collect())
+    assert hot_salts > 1                      # hot host fans out
+    assert [r["s"] for r in cold_salts] == [0]  # cold hosts co-located
+    hot_buckets = (keyed.where(F.col("_host") == "giant.example")
+                   .select("b").distinct().count())
+    assert hot_buckets == 1                   # same host -> same bucket
