@@ -83,3 +83,19 @@ def test_pdf_byteflip_total(noise: bytes, pos: int):
     out = extract_pdf_text(b"%PDF-" + mutated)
     assert isinstance(out, str)
     out.encode("utf-8")
+
+
+@given(html_soup)
+@settings(max_examples=200, deadline=None)
+def test_block_span_invariants(soup):
+    """Span-column contract for ANY input: counts line up, densities are
+    bounded, ids are dense preorder, content flags match the classifier
+    aggregate the UDF also emits."""
+    r = extract(soup.encode(), None, keep_blocks=True)
+    assert len(r.blocks) == r.n_blocks
+    assert sum(1 for b in r.blocks if b.is_content) == r.n_content_blocks
+    assert [b.block_id for b in r.blocks] == list(range(len(r.blocks)))
+    for b in r.blocks:
+        assert 0.0 <= b.link_density <= 1.0
+        assert b.n_words >= 1  # empty blocks are never emitted
+        assert b.depth >= 0
