@@ -190,15 +190,17 @@ def _cpu_burn_worker(args):
 
 
 def _mem_burn_worker(args):
-    """Memory-traffic burn: bytes copies through an 8 MB buffer (way past
+    """Memory-traffic burn: real copies through an 8 MB buffer (way past
     L2), approximating the string/buffer-heavy profile of the extraction
-    UDF better than a register-only loop."""
+    UDF better than a register-only loop. NOTE bytearray(buf) is a true
+    8 MB copy each iteration — bytes(buf) would be a no-copy identity
+    (CPython returns the same object) and measure nothing."""
     dur = args
     buf = b"x" * (8 << 20)
     t0 = time.perf_counter()
     x = 0
     while time.perf_counter() - t0 < dur:
-        x += len(bytes(buf))
+        x += len(bytearray(buf))
     return x
 
 

@@ -54,9 +54,12 @@ def extract(data: bytes | None, lang: str | None = None,
         return ExtractResult()
     if _pdf.is_pdf(data):
         text = _pdf.extract_pdf_text(data)
-        n_lines = text.count("\n") + 1 if text else 0
+        # Non-empty lines only: band joins ("\n\n") produce empty line
+        # slots that must not become phantom zero-word span records (the
+        # span contract: empty blocks are never emitted).
+        lines = [ln for ln in text.split("\n") if ln] if text else []
         pdf_blocks: list[Block] = []
-        if keep_blocks and text:
+        if keep_blocks:
             # PDF spans: one block per assembled line (the analog of the
             # reference's line records, /root/reference/utils.py:79-81)
             pdf_blocks = [
@@ -64,13 +67,13 @@ def extract(data: bytes | None, lang: str | None = None,
                       n_chars=len(ln), n_words=len(ln.split()),
                       anchor_words=0, link_density=0.0,
                       in_boiler_container=False, is_content=True)
-                for i, ln in enumerate(text.split("\n"))]
+                for i, ln in enumerate(lines)]
         return ExtractResult(
             text=text,
             kind=KIND_PDF,
             encoding="binary",
-            n_blocks=n_lines,
-            n_content_blocks=n_lines,
+            n_blocks=len(lines),
+            n_content_blocks=len(lines),
             blocks=pdf_blocks,
         )
 

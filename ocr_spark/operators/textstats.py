@@ -117,10 +117,24 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str,
     ws = words_of(F.col(text_col))
     n_words = F.size(ws)
     n_distinct = F.size(F.array_distinct(ws))
-    # top word share: max occurrence count of any word / n_words
-    top_cnt = F.array_max(F.transform(
-        F.array_distinct(ws),
-        lambda w: F.size(F.filter(ws, lambda x: x == w))))
+    # top word share: max occurrence count of any word / n_words.
+    # LINEAR per row: sort the words, then one fold tracking the longest
+    # equal-run — O(n log n) vs the naive per-distinct-word rescan which
+    # is O(n_distinct * n_words) and blows up on long documents.
+    sorted_ws = F.array_sort(ws)
+    run0 = F.struct(F.lit("").alias("w"),
+                    F.lit(0).alias("run"), F.lit(0).alias("best"))
+    top_cnt = F.aggregate(
+        sorted_ws, run0,
+        lambda a, x: F.struct(
+            x.alias("w"),
+            F.when(x == a["w"], a["run"] + 1).otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                a["best"],
+                F.when(x == a["w"], a["run"] + 1).otherwise(F.lit(1)))
+            .alias("best")),
+        lambda a: a["best"])
     return df.select(
         F.col(id_col),
         *[F.col(c) for c in carry],

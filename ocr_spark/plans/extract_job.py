@@ -190,16 +190,26 @@ def metrics_of(results: DataFrame) -> DataFrame:
     )
 
 
-def _physical_buckets(pages_path: str) -> set[int] | None:
-    """Bucket values of a physically bucket-partitioned pages table
-    (sources/io.py write_pages_bucketed), or None for a flat layout."""
+def _physical_buckets(pages_path: str) -> tuple[set[int], int | None] | None:
+    """(bucket values, declared modulus) of a physically bucket-
+    partitioned pages table (sources/io.py write_pages_bucketed), or None
+    for a flat layout. Local-filesystem paths only: for object-store
+    paths listdir fails and we fall back to the flat (non-pruning) scan —
+    on a real cluster the Iceberg catalog carries this metadata instead."""
     try:
         names = os.listdir(pages_path)
     except (NotADirectoryError, FileNotFoundError, OSError):
         return None
     vals = {int(n.split("=", 1)[1]) for n in names
             if n.startswith("bucket=")}
-    return vals or None
+    if not vals:
+        return None
+    declared = None
+    marker = os.path.join(pages_path, "_N_BUCKETS")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            declared = int(f.read().strip())
+    return vals, declared
 
 
 def run_extract_job(
@@ -232,11 +242,21 @@ def run_extract_job(
 
     pages = spark.read.parquet(pages_path)
     physical = _physical_buckets(pages_path)
-    if physical is not None and max(physical) >= n_buckets:
-        raise ValueError(
-            f"pages table is partitioned into buckets up to "
-            f"{max(physical)} but the job was asked for "
-            f"n_buckets={n_buckets}; bucket ids would not line up")
+    if physical is not None:
+        vals, declared = physical
+        # The modulus must MATCH, not merely bound: a table written mod 4
+        # passes a max-value check against n_buckets=8 while every row's
+        # physical bucket disagrees with the job's recomputed bucket.
+        if declared is not None and declared != n_buckets:
+            raise ValueError(
+                f"pages table was bucketed with n_buckets={declared} but "
+                f"the job was asked for n_buckets={n_buckets}; bucket ids "
+                f"would not line up")
+        if declared is None and max(vals) >= n_buckets:
+            raise ValueError(
+                f"pages table is partitioned into buckets up to "
+                f"{max(vals)} but the job was asked for "
+                f"n_buckets={n_buckets}; bucket ids would not line up")
     # Skew stats once per run, over the url column only.
     hot = hot_hosts(pages, SKEW_FACTOR).cache()
     hot.count()

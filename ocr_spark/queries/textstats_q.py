@@ -100,9 +100,8 @@ def scrub_pii_q(spark, sf):
    "SELECT doc_id, len(ws) AS n_words, "
    "ROUND(len(list_distinct(ws)) / greatest(len(ws), 1), 4) "
    "AS distinct_ratio, "
-   "ROUND(COALESCE(list_max(list_transform(list_distinct(ws), "
-   "w -> len(list_filter(ws, x -> x = w)))), 0) "
-   "/ greatest(len(ws), 1), 4) AS top_word_share FROM w",
+   "ROUND(COALESCE(list_max(map_values(list_aggregate(ws, 'histogram'))), "
+   "0) / greatest(len(ws), 1), 4) AS top_word_share FROM w",
    "Gopher-style repetition filters: distinct-word ratio + top-word "
    "share (spam/boilerplate detectors)")
 def repetition_q(spark, sf):

@@ -72,6 +72,11 @@ def write_pages_bucketed(pages: DataFrame, path: str,
                                      n_buckets, 1)
     (pages.withColumn("bucket", bucket)
      .write.mode("overwrite").partitionBy("bucket").parquet(path))
+    # Record the modulus: bucket VALUES alone cannot reveal it (a table
+    # written mod 4 looks valid to a mod-8 job yet every id misaligns),
+    # so the job validates against this marker.
+    with open(os.path.join(path, "_N_BUCKETS"), "w") as f:
+        f.write(str(n_buckets))
 
 
 class CheckpointManifest:

@@ -89,6 +89,7 @@ def main() -> None:
 
     spark = get_spark("plans", master="local[4]", shuffle_partitions=8)
     specs = {s.name: s for s in all_queries()}
+    slots = spark.sparkContext.defaultParallelism
 
     out = ["# Physical plans (captured by scripts/capture_plans.py)",
            "",
@@ -103,8 +104,17 @@ def main() -> None:
         write_corpus(corpus, 5000, seed=42)
     for name, prop in CHECKS.items():
         if name == "extract_flagship":
+            # Size scan splits >= slots (bench.py _split_conf discipline):
+            # otherwise extract_pages' tiny-input escape hatch pre-spreads
+            # with a blob-shuffling round-robin Exchange and the captured
+            # plan contradicts the narrow-UDF property it documents.
+            pages_path = f"{corpus}/pages.parquet"
+            mpb = max(1 << 20, min(32 << 20,
+                                   os.path.getsize(pages_path)
+                                   // (slots * 3)))
+            spark.conf.set("spark.sql.files.maxPartitionBytes", str(mpb))
             df = extract_pages(
-                spark.read.parquet(f"{corpus}/pages.parquet"),
+                spark.read.parquet(pages_path),
                 n_buckets=64, salt_n=8)
         else:
             df = specs[name].spark(spark, SF)

@@ -99,3 +99,18 @@ def test_block_span_invariants(soup):
         assert 0.0 <= b.link_density <= 1.0
         assert b.n_words >= 1  # empty blocks are never emitted
         assert b.depth >= 0
+
+
+@given(st.lists(st.text(alphabet=" abcdefg", max_size=30), max_size=6),
+       st.booleans())
+@settings(max_examples=60, deadline=None)
+def test_pdf_block_span_invariants(lines, two_col):
+    """Same span contract for the PDF path: multi-band joins must not
+    leak phantom empty line-blocks, and counts line up."""
+    data = make_pdf(lines, two_column=two_col)
+    r = extract(data, None, keep_blocks=True)
+    assert r.kind in ("pdf",)
+    assert len(r.blocks) == r.n_blocks == r.n_content_blocks
+    assert [b.block_id for b in r.blocks] == list(range(len(r.blocks)))
+    for b in r.blocks:
+        assert b.n_words >= 1 and b.text

@@ -165,8 +165,7 @@ def test_ngram_jaccard_stop_shingle_cap(spark):
     stop = "as seen on the home page"  # 6 words -> 4 shared shingles
     rows = [(i, f"{stop} unique{i} tail{i} words{i} here{i}")
             for i in range(1, 9)]
-    rows[1] = (2, rows[0][1].replace("unique1", "unique1"))  # 2 == dup of 1
-    rows[0] = (1, rows[1][1])
+    rows[1] = (2, rows[0][1])  # doc 2 duplicates doc 1 exactly
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
 
     uncapped = D.ngram_jaccard_pairs(docs, "doc_id", "text",
