@@ -50,7 +50,7 @@ _FIRST = [
     "multimodal_decode_meta", "multimodal_resize",
     "multimodal_frame_sample", "multimodal_feature_extract",
     # round-2 additions
-    "j7_levenshtein_alignment", "s10_stratified_split",
+    "j7_levenshtein_alignment", "j8_asof_join", "s10_stratified_split",
     "a8_approx_count_distinct",
     "w6_greedy_overlap_accept",
 ]

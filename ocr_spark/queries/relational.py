@@ -624,6 +624,33 @@ def f7(spark, sf):
         "event_id", F.round(F.col("value") / 255.0, 6).alias("norm"))
 
 
+@q("j8_asof_join",
+   "WITH clicks AS (SELECT user_id, ts, ROUND(max(value), 4) AS value "
+   "FROM events WHERE event_type = 'click' GROUP BY user_id, ts), "
+   "purch AS (SELECT user_id, ts, event_id FROM events "
+   "WHERE event_type = 'purchase') "
+   "SELECT p.event_id, p.user_id, c.value AS last_click_value "
+   "FROM purch p ASOF LEFT JOIN clicks c "
+   "ON p.user_id = c.user_id AND p.ts >= c.ts",
+   "as-of (point-in-time) join: latest prior click value per purchase — "
+   "union-tag + last(ignorenulls) window, ONE shuffle on the key, no "
+   "per-row probe join (operators/asof.py); DuckDB native ASOF JOIN "
+   "oracle")
+def j8(spark, sf):
+    from ocr_spark.operators.asof import asof_join
+
+    e = load(spark, sf, "events")
+    clicks = (e.where(F.col("event_type") == "click")
+              .groupBy("user_id", "ts")
+              .agg(F.round(F.max("value"), 4).alias("value")))
+    purch = (e.where(F.col("event_type") == "purchase")
+             .select("user_id", "ts", "event_id"))
+    out = asof_join(purch, clicks, keys=["user_id"], ts_col="ts",
+                    value_cols=["value"], prefix="")
+    return out.select("event_id", "user_id",
+                      F.col("value").alias("last_click_value"))
+
+
 @q("j7_levenshtein_alignment",
    "SELECT doc_id, CAST(levenshtein(substr(text, 1, 40), "
    "replace(substr(text, 1, 40), 'e', '')) AS INT) AS edit_dist, "

@@ -355,3 +355,26 @@ def test_hot_host_salting_policy(spark):
     hot_buckets = (keyed.where(F.col("_host") == "giant.example")
                    .select("b").distinct().count())
     assert hot_buckets == 1                   # same host -> same bucket
+
+
+def test_asof_join_semantics(spark):
+    """Point-in-time contract: latest right row with ts <= left ts per
+    key; equal timestamps match; no prior right row -> null."""
+    import datetime as _dt
+
+    from ocr_spark.operators.asof import asof_join
+
+    t = lambda m: _dt.datetime(2025, 1, 1, 0, m)
+    right = spark.createDataFrame(
+        [(1, t(0), 10.0), (1, t(5), 50.0), (2, t(9), 90.0)],
+        ["user_id", "ts", "value"])
+    left = spark.createDataFrame(
+        [(100, 1, t(4)),   # between right rows -> 10.0
+         (101, 1, t(5)),   # equal ts -> matches 50.0
+         (102, 2, t(1)),   # before any right row -> null
+         (103, 3, t(9))],  # key with no right rows -> null
+        ["event_id", "user_id", "ts"])
+    got = {r["event_id"]: r["asof_value"]
+           for r in asof_join(left, right, ["user_id"], "ts",
+                              ["value"]).collect()}
+    assert got == {100: 10.0, 101: 50.0, 102: None, 103: None}
