@@ -214,6 +214,41 @@ def ivf_search_nprobe(df: DataFrame, id_col: str, vec_col: str,
     return cosine_topk(cands, id_col, vec_col, query_vec, k, round_to)
 
 
+def kmeans_fit(df: DataFrame, id_col: str, vec_col: str,
+               init_ids: list[int], n_iters: int = 5,
+               dim: int | None = None) -> list[list[float]]:
+    """Spherical k-means for training the IVF coarse quantizer (Lloyd's
+    iterations; public method): assign by cosine argmax, recenter by the
+    element-wise mean of each cell's vectors.
+
+    Distributed shape per iteration: assignment is the narrow inline
+    ivf_centroid_expr (no shuffle), recentering is ONE partial-aggregated
+    groupBy whose shuffle carries k rows x dim doubles of partial sums —
+    never the vectors themselves beyond map-side combine. Centroids (k x
+    dim floats) live driver-side between iterations, the standard Spark
+    k-means loop; at k in the thousands they stay broadcast-sized. Empty
+    cells keep their previous centroid.
+    """
+    if dim is None:
+        probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = int(probe["d"])
+    rows = (df.where(F.col(id_col).isin(init_ids))
+            .select(id_col, vec_col).collect())
+    by_id = {r[id_col]: [float(x) for x in r[vec_col]] for r in rows}
+    cents = [by_id[i] for i in init_ids]
+    for _ in range(n_iters):
+        assigned = df.select(
+            ivf_centroid_expr(vec_col, cents).alias("c"),
+            _as_double(F.col(vec_col)).alias("v"))
+        means = (assigned.groupBy("c")
+                 .agg(*[F.avg(F.col("v")[i]).alias(f"m{i}")
+                        for i in range(dim)])
+                 .collect())
+        new = {r["c"]: [r[f"m{i}"] for i in range(dim)] for r in means}
+        cents = [new.get(j + 1, cents[j]) for j in range(len(cents))]
+    return cents
+
+
 def embedding_near_dup_pairs(
     df: DataFrame, id_col: str, vec_col: str,
     planes: list[list[float]], threshold: float,

@@ -378,3 +378,31 @@ def test_asof_join_semantics(spark):
            for r in asof_join(left, right, ["user_id"], "ts",
                               ["value"]).collect()}
     assert got == {100: 10.0, 101: 50.0, 102: None, 103: None}
+
+
+def test_kmeans_fit_matches_numpy_oracle(spark):
+    """Spherical k-means (IVF training step) vs an exact single-process
+    numpy mirror of the same Lloyd iterations: same init, cosine-argmax
+    assignment with the same rounding/tie-break, mean recentering."""
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    init = [1, 2, 3, 4]
+    got = S.kmeans_fit(emb, "vec_id", "embedding", init, n_iters=3)
+
+    pdf = emb.toPandas()
+    vecs = {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+            for r in pdf.itertuples()}
+    cents = [vecs[i].copy() for i in init]
+    ids = sorted(vecs)
+    X = np.stack([vecs[i] for i in ids])
+    for _ in range(3):
+        C = np.stack(cents)
+        sims = (X @ C.T) / (np.linalg.norm(X, axis=1, keepdims=True)
+                            * np.linalg.norm(C, axis=1))
+        sims = np.round(sims, S.ARGMAX_ROUND)
+        assign = sims.argmax(axis=1)  # first max = lowest index, as Spark
+        cents = [X[assign == j].mean(axis=0) if (assign == j).any()
+                 else cents[j] for j in range(len(cents))]
+    exp = np.stack(cents)
+    assert np.allclose(np.stack(got), exp, atol=1e-9), (got, exp)
