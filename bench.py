@@ -117,11 +117,15 @@ def run_default() -> None:
     pages = spark.read.parquet(f"{corpus}/pages.parquet")
     n = pages.count()
     # warm-up pass: spawns/imports every Python worker (~7s cold on 32
-    # threads) so the timed pass measures steady-state throughput
+    # threads); then min-of-2 timed passes — the same noise discipline as
+    # the queries above (a single pass regularly lands in a host noise
+    # spike and under-reports steady-state throughput by 2x).
     _force(extract_pages(pages, n_buckets=64, salt_n=8))
-    t0 = time.perf_counter()
-    _force(extract_pages(pages, n_buckets=64, salt_n=8))
-    dt = time.perf_counter() - t0
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _force(extract_pages(pages, n_buckets=64, salt_n=8))
+        dt = min(dt, time.perf_counter() - t0)
     timings["extract_pipeline"] = round(dt, 3)
     timings["extract_docs_per_sec"] = round(n / dt, 1)
 

@@ -74,6 +74,11 @@ CHECKS = {
         "computed narrow on the scan and the quality gate applies before "
         "the survivor join, so every shuffle carries only ids + small "
         "stats (the dedup groupBy ships md5+id)."),
+    "j8_asof_join": (
+        "ONE shuffle keyed by user_id feeding a single in-partition sort "
+        "+ running window (last ignorenulls) — no per-left-row probe "
+        "join, no range explosion; the union of both sides rides the "
+        "same Exchange."),
     "dedup_ngram_jaccard": (
         "shingle document-frequency cap BEFORE the inverted-index "
         "self-join (df <= 5 filter on the aggregated shingle counts) — "
