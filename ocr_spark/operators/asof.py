@@ -39,24 +39,43 @@ def asof_join(left: DataFrame, right: DataFrame, keys: list[str],
               ts_col: str, value_cols: list[str],
               prefix: str = "asof_") -> DataFrame:
     """left columns + ``<prefix><value_col>`` columns (null when no right
-    row precedes the left row in its key group)."""
+    row precedes the left row in its key group).
+
+    The right side's value columns travel as ONE struct payload, not as
+    raw columns: last(ignorenulls) must distinguish "no right row yet"
+    (null payload on left-tagged rows) from a right row whose value is
+    genuinely NULL (non-null payload, null member) — carrying raw columns
+    would silently fall back to an OLDER right row on genuine NULLs, and
+    with several value columns could stitch one output row from different
+    right rows. The struct also keeps the right row atomic. Right rows
+    with NULL timestamps are dropped (``l.ts >= r.ts`` never matches
+    NULL), matching the DuckDB ASOF JOIN oracle on both counts.
+    """
     lcols = left.columns
-    lt = left.withColumn("_side", F.lit(1))
-    for c in value_cols:
-        rtype = dict(right.dtypes)[c]
-        lt = lt.withColumn(c, F.lit(None).cast(rtype))
-    rt = right.select(*keys, ts_col, *value_cols) \
-              .withColumn("_side", F.lit(0))
+    out_names = [f"{prefix}{c}" for c in value_cols]
+    clash = set(out_names) & set(lcols)
+    if clash:
+        raise ValueError(
+            f"asof_join output column(s) {sorted(clash)} collide with "
+            f"left columns; pass a disambiguating prefix")
+    payload = "_asof_payload"
+    rt = (right.where(F.col(ts_col).isNotNull())
+          .select(*keys, ts_col,
+                  F.struct(*value_cols).alias(payload))
+          .withColumn("_side", F.lit(0)))
+    payload_type = dict(rt.dtypes)[payload]
+    lt = left.select(*lcols,
+                     F.lit(None).cast(payload_type).alias(payload),
+                     F.lit(1).alias("_side"))
     for c in lcols:
         if c not in rt.columns:
             rt = rt.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
-    ordered = [*lcols, *value_cols, "_side"]
-    merged = lt.select(*ordered).unionByName(rt.select(*ordered))
+    merged = lt.unionByName(rt.select(*lt.columns))
     w = (Window.partitionBy(*keys)
          .orderBy(ts_col, "_side")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    out = merged.select(
-        *lcols, "_side",
-        *[F.last(c, ignorenulls=True).over(w).alias(f"{prefix}{c}")
-          for c in value_cols])
+    asof = F.last(payload, ignorenulls=True).over(w)
+    out = merged.select(*lcols, "_side",
+                        *[asof[c].alias(o)
+                          for c, o in zip(value_cols, out_names)])
     return out.where(F.col("_side") == 1).drop("_side")

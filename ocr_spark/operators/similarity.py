@@ -229,24 +229,35 @@ def kmeans_fit(df: DataFrame, id_col: str, vec_col: str,
     k-means loop; at k in the thousands they stay broadcast-sized. Empty
     cells keep their previous centroid.
     """
-    if dim is None:
-        probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
-        dim = int(probe["d"])
-    rows = (df.where(F.col(id_col).isin(init_ids))
-            .select(id_col, vec_col).collect())
-    by_id = {r[id_col]: [float(x) for x in r[vec_col]] for r in rows}
-    cents = [by_id[i] for i in init_ids]
-    for _ in range(n_iters):
-        assigned = df.select(
-            ivf_centroid_expr(vec_col, cents).alias("c"),
-            _as_double(F.col(vec_col)).alias("v"))
-        means = (assigned.groupBy("c")
-                 .agg(*[F.avg(F.col("v")[i]).alias(f"m{i}")
-                        for i in range(dim)])
-                 .collect())
-        new = {r["c"]: [r[f"m{i}"] for i in range(dim)] for r in means}
-        cents = [new.get(j + 1, cents[j]) for j in range(len(cents))]
-    return cents
+    # One persisted pass over (id, vec): the probe, the init fetch, and
+    # every Lloyd iteration otherwise re-scan the source n_iters+2 times.
+    work = df.select(F.col(id_col), F.col(vec_col)).persist()
+    try:
+        probe = work.select(F.size(F.col(vec_col)).alias("d")).first()
+        if probe is None:
+            raise ValueError("kmeans_fit: input DataFrame is empty")
+        if dim is None:
+            dim = int(probe["d"])
+        rows = work.where(F.col(id_col).isin(init_ids)).collect()
+        by_id = {r[id_col]: [float(x) for x in r[vec_col]] for r in rows}
+        missing = [i for i in init_ids if i not in by_id]
+        if missing:
+            raise ValueError(
+                f"kmeans_fit: init ids {missing} not present in {id_col}")
+        cents = [by_id[i] for i in init_ids]
+        for _ in range(n_iters):
+            assigned = work.select(
+                ivf_centroid_expr(vec_col, cents).alias("c"),
+                _as_double(F.col(vec_col)).alias("v"))
+            means = (assigned.groupBy("c")
+                     .agg(*[F.avg(F.col("v")[i]).alias(f"m{i}")
+                            for i in range(dim)])
+                     .collect())
+            new = {r["c"]: [r[f"m{i}"] for i in range(dim)] for r in means}
+            cents = [new.get(j + 1, cents[j]) for j in range(len(cents))]
+        return cents
+    finally:
+        work.unpersist()
 
 
 def embedding_near_dup_pairs(

@@ -43,7 +43,7 @@ _FIRST = [
     "dedup_cluster_components",
     "sim_cosine_topk", "sim_lsh_bucket_histogram", "sim_ann_lsh_query",
     "sim_ann_multiprobe", "sim_ivf_assign_histogram", "sim_ivf_topk",
-    "sim_ivf_topk_nprobe2",
+    "sim_ivf_topk_nprobe2", "sim_ivf_kmeans_centroids",
     "text_lang_id", "text_quality_score", "text_token_counts",
     "text_fingerprint", "text_scrub_pii", "text_repetition_stats",
     "curation_pipeline",

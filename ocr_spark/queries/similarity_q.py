@@ -277,6 +277,25 @@ QUERIES.append(_make_ivf_nprobe_spec())
 # O(N^2) cross join), exact cosine filter >= threshold.
 # ---------------------------------------------------------------------------
 
+def _kmeans_spark(spark, sf):
+    emb = load(spark, sf, "embeddings")
+    cents = S.kmeans_fit(emb, "vec_id", "embedding",
+                         init_ids=[1, 2, 3, 4], n_iters=3)
+    rows = [(c + 1, d, round(float(v), 6))
+            for c, vec in enumerate(cents) for d, v in enumerate(vec)]
+    return spark.createDataFrame(
+        rows, "centroid int, dim int, value double")
+
+
+QUERIES.append(QuerySpec(
+    "sim_ivf_kmeans_centroids", _kmeans_spark, None,
+    "IVF coarse-quantizer TRAINING (spherical k-means, 3 Lloyd "
+    "iterations): iterative driver-loop algorithm — the sanctioned "
+    "non-SQL-expressible category, rows-only driver check; the exact "
+    "oracle is the numpy Lloyd mirror in tests/test_operators.py::"
+    "test_kmeans_fit_matches_numpy_oracle"))
+
+
 NEAR_DUP_THRESHOLD = 0.3
 
 _BUCKET_EXPR = " + ".join(

@@ -380,6 +380,34 @@ def test_asof_join_semantics(spark):
     assert got == {100: 10.0, 101: 50.0, 102: None, 103: None}
 
 
+def test_asof_join_null_semantics(spark):
+    """DuckDB ASOF parity on NULLs: a right row whose value is genuinely
+    NULL must NOT fall back to an older row, and right rows with NULL
+    timestamps never match; clashing output names fail loudly."""
+    import datetime as _dt
+
+    import pytest as _pytest
+
+    from ocr_spark.operators.asof import asof_join
+
+    t = lambda m: _dt.datetime(2025, 1, 1, 0, m)
+    right = spark.createDataFrame(
+        [(1, t(1), 10.0), (1, t(5), None), (2, None, 99.0)],
+        "user_id long, ts timestamp, value double")
+    left = spark.createDataFrame(
+        [(100, 1, t(6)),   # latest right row has NULL value -> NULL
+         (101, 2, t(6))],  # only right row has NULL ts -> NULL
+        ["event_id", "user_id", "ts"])
+    got = {r["event_id"]: r["asof_value"]
+           for r in asof_join(left, right, ["user_id"], "ts",
+                              ["value"]).collect()}
+    assert got == {100: None, 101: None}
+
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(left.withColumn("asof_value", F.lit(0.0)), right,
+                  ["user_id"], "ts", ["value"])
+
+
 def test_kmeans_fit_matches_numpy_oracle(spark):
     """Spherical k-means (IVF training step) vs an exact single-process
     numpy mirror of the same Lloyd iterations: same init, cosine-argmax
