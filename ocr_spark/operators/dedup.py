@@ -115,7 +115,8 @@ def lsh_candidate_pairs(buckets: DataFrame, id_col: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("shared_bands")))
 
 
-def dedup_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
+def dedup_components(pairs: DataFrame, max_iters: int = 25,
+                     checkpoint_dir: str | None = None) -> DataFrame:
     """(doc_id, component) for every doc appearing in a candidate-pair
     edge list (id_a, id_b): component = the minimum doc id reachable
     through the pair graph — the canonical-survivor resolution step that
@@ -128,21 +129,43 @@ def dedup_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     diameter) rounds rather than O(diameter) — long chains (docs linked
     A-B, B-C, ... through partial band overlaps) collapse fast. Each
     round shuffles only (node, label) pairs — never the texts — and ends
-    in an EAGER localCheckpoint: without lineage truncation the plan
+    in an eager checkpoint: without lineage truncation the plan
     doubles per iteration and re-evaluates the whole history each round
     (measured: 2.2s -> 31s by iteration 4 on 1.6k edges). This is the
     standard Spark iterative-graph discipline; for trillion-edge graphs
     you would switch to large-star/small-star (Kiveris et al.,
     "Connected Components in MapReduce", SoCC 2014 — public method).
+
+    ``checkpoint_dir=None`` uses eager ``localCheckpoint`` (executor-local
+    blocks — fast, but executor loss kills lineage-truncated data, so a
+    long multi-round job cannot recompute). Pass a reliable directory
+    (HDFS/object store on a cluster) to use eager ``checkpoint`` instead:
+    each round's labels are persisted to fault-tolerant storage, the
+    correct setting for production runs.
+
+    Raises RuntimeError if max_iters is exhausted before convergence —
+    partially-propagated labels are WRONG components, never returned
+    silently. Pointer jumping converges in O(log diameter) rounds, so
+    the default 25 covers any graph a duplicate cluster can produce
+    (diameter up to ~2^25).
     """
-    edges = (pairs.select(F.col("id_a").alias("src"),
-                          F.col("id_b").alias("dst"))
-             .union(pairs.select(F.col("id_b").alias("src"),
-                                 F.col("id_a").alias("dst")))
-             .distinct().localCheckpoint(eager=True))
-    labels = (edges.select(F.col("src").alias("node")).distinct()
-              .withColumn("component", F.col("node"))
-              .localCheckpoint(eager=True))
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+        def ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
+    edges = ckpt(pairs.select(F.col("id_a").alias("src"),
+                              F.col("id_b").alias("dst"))
+                 .union(pairs.select(F.col("id_b").alias("src"),
+                                     F.col("id_a").alias("dst")))
+                 .distinct())
+    labels = ckpt(edges.select(F.col("src").alias("node")).distinct()
+                  .withColumn("component", F.col("node")))
+    converged = False
     for _ in range(max_iters):
         # min neighbor label per node, then min with own label
         nbr = (edges.join(labels,
@@ -164,14 +187,22 @@ def dedup_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
                                   F.coalesce(F.col("_cc"),
                                              F.col("component")))
                           .alias("component")))
-        new_labels = jumped.localCheckpoint(eager=True)
+        new_labels = ckpt(jumped)
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "node")
                    .where(F.col("n.component") != F.col("o.component"))
                    .count())
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"dedup_components did not converge in {max_iters} rounds "
+            f"(last round still changed labels); returning would hand the "
+            f"caller partially-propagated (wrong) components. Raise "
+            f"max_iters — pointer jumping needs only O(log diameter) "
+            f"rounds.")
     return labels.select(F.col("node").alias("doc_id"), "component")
 
 

@@ -174,10 +174,17 @@ def lineage_of(results: DataFrame, attempt: int, snapshot_id: str) -> DataFrame:
      .withColumn("snapshot_id", F.lit(snapshot_id))
 
 
-def metrics_of(results: DataFrame) -> DataFrame:
+def metrics_of(results: DataFrame, attempt: int,
+               snapshot_id: str) -> DataFrame:
     """Per-bucket extraction metrics (analog of the reference's per-doc
     verify counts, /root/reference/overflow/
-    segment_according_to_sentence.py:216-224)."""
+    segment_according_to_sentence.py:216-224).
+
+    attempt/snapshot_id mirror lineage_of: the metrics table is
+    append-only, and a crash BETWEEN the metrics append and the manifest
+    mark_done double-appends that group's rows on resume — the attempt
+    column makes the duplicates distinguishable so latest_metrics can
+    dedupe to exactly-once semantics at read time."""
     return results.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("docs"),
         F.sum(F.when(F.length("extracted_text") == 0, 1).otherwise(0))
@@ -187,7 +194,22 @@ def metrics_of(results: DataFrame) -> DataFrame:
         F.avg(F.length("extracted_text")).alias("avg_text_len"),
         F.avg("link_density").alias("avg_link_density"),
         F.sum("recoveries").alias("tokenizer_recoveries"),
-    )
+    ).withColumn("attempt", F.lit(attempt)) \
+     .withColumn("snapshot_id", F.lit(snapshot_id))
+
+
+def latest_metrics(metrics: DataFrame) -> DataFrame:
+    """Exactly-once view of the append-only metrics table: per bucket,
+    keep only the row(s) of the LATEST attempt (resume after a crash
+    between metrics-append and mark_done re-appends the group under a
+    higher attempt; earlier partial rows are superseded, not summed)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("bucket")
+    return (metrics
+            .withColumn("_max_a", F.max("attempt").over(w))
+            .where(F.col("attempt") == F.col("_max_a"))
+            .drop("_max_a"))
 
 
 def _physical_buckets(pages_path: str) -> tuple[set[int], int | None] | None:
@@ -220,13 +242,18 @@ def run_extract_job(
     salt_n: int = DEFAULT_SALT_N,
     group_size: int = 8,
     fail_after_groups: int | None = None,
+    fail_point: str = "group_start",
 ) -> dict:
     """Resumable driver loop: process pending buckets in groups.
 
     Each group is one Spark job over a bucket-pruned scan; results are
     written with dynamic partition overwrite (idempotent), lineage/metrics
     appended, then the manifest marks the group's buckets done.
-    ``fail_after_groups`` simulates a crash for the resume test.
+    ``fail_after_groups`` simulates a crash for the resume test;
+    ``fail_point="pre_mark"`` moves the injected crash to AFTER the
+    lineage/metrics appends but BEFORE mark_done — the worst-case window
+    where an append-only table would double-count without the
+    attempt-column dedupe (latest_metrics).
 
     Scan cost per group: when the input is physically bucket-partitioned
     (sources/io.py write_pages_bucketed — the Iceberg bucket(url_host)
@@ -257,6 +284,30 @@ def run_extract_job(
                 f"pages table is partitioned into buckets up to "
                 f"{max(vals)} but the job was asked for "
                 f"n_buckets={n_buckets}; bucket ids would not line up")
+        if declared is None:
+            # No modulus marker (e.g. the underscore-prefixed _N_BUCKETS
+            # file was dropped by copy tooling that treats it as hidden).
+            # max(vals) < n_buckets does NOT prove alignment: a table
+            # written mod 3 passes that check against n_buckets=8 while
+            # almost every row's physical bucket disagrees with the
+            # recomputed one — and per-group dynamic-partition overwrite
+            # would then silently clobber other groups' output. Verify
+            # recomputed == physical on a sample before trusting pruning;
+            # on any mismatch fall back to the (correct, slower) flat scan.
+            rb, _ = salted_partition_key(
+                F.col("url"), F.lit(False), n_buckets, salt_n)
+            mismatches = (pages.select(rb.alias("_rb"), "bucket")
+                          .limit(1000)
+                          .where(F.col("_rb") != F.col("bucket")).count())
+            if mismatches:
+                warnings.warn(
+                    f"pages table at {pages_path} has bucket dirs but no "
+                    f"_N_BUCKETS marker, and {mismatches}/1000 sampled rows "
+                    f"disagree with the job's recomputed bucket "
+                    f"(n_buckets={n_buckets}) — refusing physical pruning, "
+                    f"falling back to the flat scan.", stacklevel=2)
+                pages = pages.drop("bucket")
+                physical = None
     # Skew stats once per run, over the url column only.
     hot = hot_hosts(pages, SKEW_FACTOR).cache()
     hot.count()
@@ -268,7 +319,8 @@ def run_extract_job(
 
     n_done = 0
     for gi, group in enumerate(groups):
-        if fail_after_groups is not None and gi >= fail_after_groups:
+        if (fail_after_groups is not None and gi >= fail_after_groups
+                and fail_point == "group_start"):
             return {"completed": False, "buckets_done": sorted(
                 manifest.done_buckets()), "snapshot_id": snapshot_id}
         if physical is not None:
@@ -284,8 +336,15 @@ def run_extract_job(
             "results", ["bucket"])
         attempt = max(manifest.attempt_of(b) for b in group)
         io.append(lineage_of(results, attempt, snapshot_id), "lineage")
-        io.append(metrics_of(results), "metrics")
+        io.append(metrics_of(results, attempt, snapshot_id), "metrics")
         results.unpersist()
+        if (fail_after_groups is not None and gi >= fail_after_groups
+                and fail_point == "pre_mark"):
+            # crash AFTER the appends, BEFORE the manifest mark: resume
+            # re-runs this group under a higher attempt; latest_metrics
+            # supersedes (not sums) this orphaned append.
+            return {"completed": False, "buckets_done": sorted(
+                manifest.done_buckets()), "snapshot_id": snapshot_id}
         for b in group:
             manifest.mark_done(b, {"snapshot_id": snapshot_id})
         n_done += len(group)

@@ -153,9 +153,13 @@ def run_streaming_dedup(
     With a TTL, availableNow never self-terminates: processing-time
     timers make MicroBatchExecution keep scheduling (empty) batches to
     fire them, forever. Production TTL streams run continuously anyway;
-    for this bounded entry point we drain the source, let at least two
-    empty batches run (expiring due timers), then stop the query — the
-    checkpoint stays consistent because stop() lands on batch boundaries.
+    for this bounded entry point we drain the source, wait out the TTL
+    (a processing-time timer set during the data batches cannot be DUE
+    before ttl_ms has elapsed — empty batches that finish earlier fire
+    nothing and must not count), then require two empty batches that
+    STARTED after that point (those do expire every due timer), then stop
+    the query — the checkpoint stays consistent because stop() lands on
+    batch boundaries.
     """
     import time as _time
 
@@ -166,18 +170,25 @@ def run_streaming_dedup(
               .trigger(availableNow=True)
               .option("checkpointLocation", checkpoint)
               .format("parquet").option("path", out_path))
+    t_start = _time.time()
     q = writer.start()
     if ttl_ms is None:
         q.awaitTermination()
         return
     deadline = _time.time() + 120
+    n_before_ttl = None
     while _time.time() < deadline:
         if q.awaitTermination(1):
             return
+        if _time.time() - t_start < ttl_ms / 1000.0:
+            continue  # timers set this invocation cannot be due yet
         prog = q.recentProgress
-        done = [p for p in prog if p["batchId"] >= 0]
-        if (len(done) >= 2
-                and all(p["numInputRows"] == 0 for p in done[-2:])):
+        if n_before_ttl is None:
+            n_before_ttl = len(prog)
+            continue
+        fresh = prog[n_before_ttl:]
+        if (len(fresh) >= 2
+                and all(p["numInputRows"] == 0 for p in fresh[-2:])):
             break
     q.stop()
     q.awaitTermination()

@@ -434,3 +434,32 @@ def test_kmeans_fit_matches_numpy_oracle(spark):
                  else cents[j] for j in range(len(cents))]
     exp = np.stack(cents)
     assert np.allclose(np.stack(got), exp, atol=1e-9), (got, exp)
+
+
+def test_dedup_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches lineage truncation from executor-local
+    blocks to reliable storage; components identical either way."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 8)], ["id_a", "id_b"])
+    local = {(r["doc_id"], r["component"])
+             for r in D.dedup_components(pairs).collect()}
+    reliable = {(r["doc_id"], r["component"])
+                for r in D.dedup_components(
+                    pairs, checkpoint_dir=str(tmp_path / "ckpt")).collect()}
+    assert local == reliable == {(1, 1), (2, 1), (3, 1), (4, 1),
+                                 (7, 7), (8, 7)}
+    import os
+    assert os.listdir(str(tmp_path / "ckpt"))  # reliable files really land
+
+
+def test_dedup_components_nonconvergence_raises(spark):
+    """Exhausting max_iters before convergence must raise — silently
+    returning partially-propagated labels would hand back WRONG
+    components."""
+    import pytest as _pytest
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], ["id_a", "id_b"])
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        D.dedup_components(chain, max_iters=1)
+    got = {r["component"] for r in D.dedup_components(chain).collect()}
+    assert got == {1}

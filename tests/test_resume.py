@@ -103,3 +103,68 @@ def test_bucketed_input_prunes_scan(spark, corpus, tmp_path):
     with _pytest.raises(ValueError):
         run_extract_job(spark, bucketed, str(tmp_path / "bad"),
                         n_buckets=N_BUCKETS // 2, group_size=2)
+
+
+def test_metrics_resume_idempotent(spark, corpus, tmp_path):
+    """Crash BETWEEN the metrics append and mark_done (the worst-case
+    window): resume re-appends the group under a higher attempt, and
+    latest_metrics supersedes the orphaned rows — the exactly-once view
+    matches an uninterrupted run."""
+    from ocr_spark.plans.extract_job import latest_metrics
+
+    out_a = str(tmp_path / "clean")
+    out_b = str(tmp_path / "crashy")
+    run_extract_job(spark, corpus, out_a, n_buckets=N_BUCKETS, group_size=2)
+
+    st1 = run_extract_job(spark, corpus, out_b, n_buckets=N_BUCKETS,
+                          group_size=2, fail_after_groups=1,
+                          fail_point="pre_mark")
+    assert not st1["completed"]
+    st2 = run_extract_job(spark, corpus, out_b, n_buckets=N_BUCKETS,
+                          group_size=2)
+    assert st2["completed"]
+
+    raw = spark.read.parquet(f"{out_b}/metrics")
+    # the orphaned append IS there (double rows for the crashed group) ...
+    assert raw.count() > spark.read.parquet(f"{out_a}/metrics").count()
+    # ... and the latest-attempt view supersedes it exactly
+    deduped = latest_metrics(raw)
+    assert deduped.count() == N_BUCKETS
+    assert (deduped.agg(F.sum("docs")).collect()[0][0] == N_PAGES)
+    clean = latest_metrics(spark.read.parquet(f"{out_a}/metrics"))
+    a = {r["bucket"]: (r["docs"], r["empty_docs"], r["pdf_docs"])
+         for r in clean.collect()}
+    b = {r["bucket"]: (r["docs"], r["empty_docs"], r["pdf_docs"])
+         for r in deduped.collect()}
+    assert a == b
+
+
+def test_missing_marker_mismatched_modulus_falls_back(spark, corpus,
+                                                      tmp_path):
+    """A bucketed table whose _N_BUCKETS marker was lost (underscore files
+    are 'hidden' to much copy tooling) and whose modulus (3) doesn't match
+    the job's (8) passes the max(vals) < n_buckets check — the sampled
+    recompute-vs-physical validation must refuse pruning and fall back to
+    the flat scan, keeping results byte-identical instead of silently
+    clobbering partitions."""
+    import os
+
+    from ocr_spark.sources.io import write_pages_bucketed
+
+    bucketed = str(tmp_path / "pages_mod3")
+    write_pages_bucketed(spark.read.parquet(corpus), bucketed, 3)
+    os.remove(os.path.join(bucketed, "_N_BUCKETS"))
+
+    out_ref = str(tmp_path / "out_ref")
+    out_bad = str(tmp_path / "out_bad")
+    run_extract_job(spark, corpus, out_ref, n_buckets=N_BUCKETS,
+                    group_size=4)
+    with pytest.warns(UserWarning, match="refusing physical pruning"):
+        st = run_extract_job(spark, bucketed, out_bad,
+                             n_buckets=N_BUCKETS, group_size=4)
+    assert st["completed"]
+    a = _read_results(spark, out_ref)
+    b = _read_results(spark, out_bad)
+    assert [r["url"] for r in a] == [r["url"] for r in b]
+    assert all(x["extracted_text"] == y["extracted_text"]
+               for x, y in zip(a, b))
