@@ -155,9 +155,61 @@ def ivf_centroid_expr(vec_col: str,
     return F.array_position(cs, F.array_max(cs)).cast("int")
 
 
+def centroid_assign_udf(df: DataFrame, centroids: list[list[float]]):
+    """Nearest-centroid assignment as an Arrow-batched pandas UDF over a
+    BROADCAST numpy (k, dim) matrix — the scale path for the IVF coarse
+    quantizer.
+
+    ivf_centroid_expr inlines k*dim float literals into the expression
+    tree: fine at k ~ tens (testdata), dead at the k ~ 10^5-10^6 cells x
+    dim ~ 768 a 100 TB ANN index needs (the plan itself becomes hundreds
+    of MB and Catalyst chokes long before). Here the matrix ships ONCE per
+    executor as a Spark broadcast; each Arrow batch is one numpy matmul
+    (normalized rows x normalized centroids^T) + argmax — the reference's
+    own batch-predict pattern (/root/reference/ocr_project/ocr_app/
+    services/func.py:34-60, stack-then-predict) instead of its per-item
+    loop (func.py:207-211). Still a NARROW map: no join, no exchange.
+
+    Assignment semantics match ivf_centroid_expr exactly: cosine rounded
+    to ARGMAX_ROUND decimals, argmax ties to the LOWEST (1-based) index
+    (np.argmax returns the first maximum).
+    """
+    C = np.asarray(centroids, dtype=np.float64)
+    bc = df.sparkSession.sparkContext.broadcast(C)
+
+    @F.pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        V = np.array(vecs.tolist(), dtype=np.float64)
+        sims = np.round(_cosine_matrix(V, bc.value), ARGMAX_ROUND)
+        return pd.Series(np.argmax(sims, axis=1) + 1, dtype="int32")
+
+    return assign
+
+
+def _cosine_matrix(V: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
+    """(n, k) cosine matrix, dot-then-divide form: (V @ C.T) /
+    (|v_i| * |c_j|) — the same float operations as the single-process
+    numpy Lloyd mirror in tests, so assignments agree bit-for-bit."""
+    return (V @ C.T) / (np.linalg.norm(V, axis=1, keepdims=True)
+                        * np.linalg.norm(C, axis=1))
+
+
 def ivf_assign(df: DataFrame, id_col: str, vec_col: str,
-               centroids: list[list[float]]) -> DataFrame:
-    """(id, centroid) assignment table — see ivf_centroid_expr."""
+               centroids: list[list[float]],
+               batched: bool = True) -> DataFrame:
+    """(id, centroid) assignment table.
+
+    ``batched=True`` (default) uses the broadcast-matrix pandas UDF
+    (centroid_assign_udf — the plan carries no centroid literals);
+    ``batched=False`` keeps the pure-expression quantizer for tiny k where
+    staying inside whole-stage codegen beats the Arrow hop.
+    """
+    if batched:
+        assign = centroid_assign_udf(df, centroids)
+        return df.select(F.col(id_col),
+                         assign(F.col(vec_col)).alias("centroid"))
     return df.select(F.col(id_col),
                      ivf_centroid_expr(vec_col, centroids).alias("centroid"))
 
@@ -188,23 +240,34 @@ def nearest_cells(query_vec: list[float], centroids: list[list[float]],
     return [i + 1 for i in order[:nprobe]]
 
 
+def _cell_expr(df: DataFrame, vec_col: str, centroids: list[list[float]],
+               batched: bool) -> Column:
+    if batched:
+        return centroid_assign_udf(df, centroids)(F.col(vec_col))
+    return ivf_centroid_expr(vec_col, centroids)
+
+
 def ivf_search(df: DataFrame, id_col: str, vec_col: str,
                query_vec: list[float], centroids: list[list[float]],
-               k: int = 5, round_to: int = 4) -> DataFrame:
+               k: int = 5, round_to: int = 4,
+               batched: bool = True) -> DataFrame:
     """IVF ANN (nprobe=1): exact cosine ranking restricted to the query's
-    centroid cell. The cell id is computed INLINE on the scan and filtered
-    immediately (no join — VERDICT r1 #3); the scan prunes to
-    ~N/n_centroids rows before any ranking, and ranking itself is
-    TakeOrderedAndProject (per-partition heap, no vector shuffle)."""
+    centroid cell. The cell id is computed on the scan (broadcast-matrix
+    pandas UDF by default — no centroid literals in the plan; see
+    centroid_assign_udf) and filtered immediately (no join — VERDICT r1
+    #3); the scan prunes to ~N/n_centroids rows before any ranking, and
+    ranking itself is TakeOrderedAndProject (per-partition heap, no
+    vector shuffle)."""
     cell = nearest_centroid(query_vec, centroids)
-    cands = df.where(ivf_centroid_expr(vec_col, centroids) == cell)
+    cands = df.where(_cell_expr(df, vec_col, centroids, batched) == cell)
     return cosine_topk(cands, id_col, vec_col, query_vec, k, round_to)
 
 
 def ivf_search_nprobe(df: DataFrame, id_col: str, vec_col: str,
                       query_vec: list[float],
                       centroids: list[list[float]], k: int = 5,
-                      nprobe: int = 2, round_to: int = 4) -> DataFrame:
+                      nprobe: int = 2, round_to: int = 4,
+                      batched: bool = True) -> DataFrame:
     """IVF ANN with nprobe > 1: exact ranking inside the query's nprobe
     nearest cells. A fixed nprobe=1 misses neighbors assigned to the
     runner-up cell whenever the query sits near a cell boundary; probing
@@ -212,8 +275,40 @@ def ivf_search_nprobe(df: DataFrame, id_col: str, vec_col: str,
     recovers them. Same join-free narrow shape as ivf_search.
     """
     cells = nearest_cells(query_vec, centroids, nprobe)
-    cands = df.where(ivf_centroid_expr(vec_col, centroids).isin(cells))
+    cands = df.where(
+        _cell_expr(df, vec_col, centroids, batched).isin(cells))
     return cosine_topk(cands, id_col, vec_col, query_vec, k, round_to)
+
+
+def _lloyd_partials_fn(bc_cents):
+    """mapInPandas body for one Lloyd iteration: per partition, assign
+    each vector to its nearest centroid (cosine argmax over the broadcast
+    matrix, ARGMAX_ROUND-stable) and accumulate per-cell vector sums and
+    counts locally. Emits at most k rows per partition — the map-side
+    combine that keeps the iteration free of any vector shuffle."""
+    def fn(batches):
+        Cn, k, dim = None, None, None
+        sums = cnts = None
+        for pdf in batches:
+            if Cn is None:
+                Cn = np.asarray(bc_cents.value, dtype=np.float64)
+                k, dim = Cn.shape
+                sums = np.zeros((k, dim))
+                cnts = np.zeros(k, dtype=np.int64)
+            if not len(pdf):
+                continue
+            V = np.array(pdf["v"].tolist(), dtype=np.float64)
+            cells = np.argmax(
+                np.round(_cosine_matrix(V, Cn), ARGMAX_ROUND), axis=1)
+            np.add.at(sums, cells, V)
+            np.add.at(cnts, cells, 1)
+        if Cn is not None:
+            nz = np.flatnonzero(cnts)
+            yield pd.DataFrame({
+                "c": (nz + 1).astype("int32"),
+                "n": cnts[nz],
+                "s": [sums[i].tolist() for i in nz]})
+    return fn
 
 
 def kmeans_fit(df: DataFrame, id_col: str, vec_col: str,
@@ -223,43 +318,104 @@ def kmeans_fit(df: DataFrame, id_col: str, vec_col: str,
     iterations; public method): assign by cosine argmax, recenter by the
     element-wise mean of each cell's vectors.
 
-    Distributed shape per iteration: assignment is the narrow inline
-    ivf_centroid_expr (no shuffle), recentering is ONE partial-aggregated
-    groupBy whose shuffle carries k rows x dim doubles of partial sums —
-    never the vectors themselves beyond map-side combine. Centroids (k x
-    dim floats) live driver-side between iterations, the standard Spark
-    k-means loop; at k in the thousands they stay broadcast-sized. Empty
-    cells keep their previous centroid.
+    Distributed shape per iteration: ONE narrow mapInPandas pass fuses the
+    nearest-centroid assignment (numpy matmul over the BROADCAST centroid
+    matrix — no centroid literals in the plan, no per-dim columns) with
+    partition-local partial sums, emitting <= k (cell, count, sum-vector)
+    rows per partition; the driver combines P x k small rows into the new
+    means. ZERO shuffles per iteration, dim-independent (the sums travel
+    as one array column). Centroids (k x dim floats) live driver-side
+    between iterations — the standard Spark k-means loop; at k in the
+    thousands they stay broadcast-sized. Per-partition accumulator memory
+    is k x dim doubles (k=10^4 x dim=768 = 60 MB — fine; for k beyond
+    ~10^5 switch the partials to a groupBy("c") partial-agg over the
+    emitted rows instead of a driver combine). Empty cells keep their
+    previous centroid.
     """
     # One persisted pass over (id, vec): the probe, the init fetch, and
     # every Lloyd iteration otherwise re-scan the source n_iters+2 times.
-    work = df.select(F.col(id_col), F.col(vec_col)).persist()
+    sc = df.sparkSession.sparkContext
+    work = df.select(F.col(id_col),
+                     _as_double(F.col(vec_col)).alias("v")).persist()
     try:
-        probe = work.select(F.size(F.col(vec_col)).alias("d")).first()
+        probe = work.select(F.size(F.col("v")).alias("d")).first()
         if probe is None:
             raise ValueError("kmeans_fit: input DataFrame is empty")
         if dim is None:
             dim = int(probe["d"])
         rows = work.where(F.col(id_col).isin(init_ids)).collect()
-        by_id = {r[id_col]: [float(x) for x in r[vec_col]] for r in rows}
+        by_id = {r[id_col]: [float(x) for x in r["v"]] for r in rows}
         missing = [i for i in init_ids if i not in by_id]
         if missing:
             raise ValueError(
                 f"kmeans_fit: init ids {missing} not present in {id_col}")
         cents = [by_id[i] for i in init_ids]
+        vecs = work.select("v")
         for _ in range(n_iters):
-            assigned = work.select(
-                ivf_centroid_expr(vec_col, cents).alias("c"),
-                _as_double(F.col(vec_col)).alias("v"))
-            means = (assigned.groupBy("c")
-                     .agg(*[F.avg(F.col("v")[i]).alias(f"m{i}")
-                            for i in range(dim)])
-                     .collect())
-            new = {r["c"]: [r[f"m{i}"] for i in range(dim)] for r in means}
-            cents = [new.get(j + 1, cents[j]) for j in range(len(cents))]
+            bc = sc.broadcast(cents)
+            partials = vecs.mapInPandas(
+                _lloyd_partials_fn(bc),
+                schema="c int, n long, s array<double>").collect()
+            bc.unpersist()
+            sums = np.zeros((len(cents), dim))
+            cnts = np.zeros(len(cents), dtype=np.int64)
+            for r in partials:
+                sums[r["c"] - 1] += np.asarray(r["s"])
+                cnts[r["c"] - 1] += r["n"]
+            cents = [(sums[j] / cnts[j]).tolist() if cnts[j] else cents[j]
+                     for j in range(len(cents))]
         return cents
     finally:
         work.unpersist()
+
+
+def embedding_near_dup_pairs_banded(
+    df: DataFrame, id_col: str, vec_col: str,
+    planes: list[list[float]], n_bands: int, threshold: float,
+    round_to: int = 4,
+) -> DataFrame:
+    """Banded hyperplane-LSH near-dup pairs — the production
+    parameterization of embedding_near_dup_pairs.
+
+    A single band of n planes finds a near-dup pair only when the two
+    vectors agree on ALL n hyperplanes: recall collapses as planes grow
+    (p_agree^n, p_agree = 1 - theta/pi). Banding is the standard fix
+    (same structure as MinHash-LSH): split the planes into b bands of
+    r = n/b planes, bucket each band separately, candidate = same bucket
+    in ANY band — match probability 1 - (1 - p^r)^b, the S-curve whose
+    threshold is tuned by (b, r). At 12 planes, b=2 x r=6 catches ~94% of
+    cos >= 0.99 duplicates while scanning ~2 x N^2/2^6 candidate pairs of
+    the naive cross join's N^2.
+
+    Shape: one explode to (id, band, band_bucket) — never the O(N^2)
+    cross join — a within-(band, bucket) self-join carrying the vectors,
+    exact cosine per hit, then a (id_a, id_b) groupBy that dedups pairs
+    colliding in several bands (shuffles only ids + one float). AQE
+    splits any degenerate bucket.
+    """
+    per = len(planes) // n_bands
+    assert per * n_bands == len(planes), "n_bands must divide len(planes)"
+    bands = F.array(*[
+        F.struct(F.lit(i).alias("band"),
+                 lsh_bucket_expr(vec_col, planes[i * per:(i + 1) * per])
+                 .alias("bh"))
+        for i in range(n_bands)])
+    withb = df.select(F.col(id_col), F.col(vec_col),
+                      F.explode(bands).alias("b")) \
+              .select(id_col, vec_col,
+                      F.col("b.band").alias("band"),
+                      F.col("b.bh").alias("bh"))
+    a = withb.select(F.col(id_col).alias("id_a"),
+                     F.col(vec_col).alias("_va"), "band", "bh")
+    bb = withb.select(F.col(id_col).alias("id_b"),
+                      F.col(vec_col).alias("_vb"), "band", "bh")
+    return (a.join(bb, ["band", "bh"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.round(cosine(F.col("_va"), F.col("_vb")),
+                            round_to).alias("cos"))
+            .groupBy("id_a", "id_b").agg(F.first("cos").alias("cos"))
+            .where(F.col("cos") >= threshold))
 
 
 def embedding_near_dup_pairs(

@@ -14,7 +14,15 @@ from ocr_spark.queries import QuerySpec, load
 
 QUERIES: list[QuerySpec] = []
 
-N_PLANES = 4
+# Production plane count (VERDICT r2 #4): 12 planes = 4096 buckets, the
+# regime where single-probe recall actually collapses and the two
+# production compensators are load-bearing — Hamming<=2 multiprobe for
+# the ANN queries, banding (N_BANDS x 6 planes) for near-dup pairing.
+# r1/r2 ran a toy 4-plane config whose 16 buckets made every probe look
+# easy.
+N_PLANES = 12
+N_BANDS = 2
+PROBE_HAMMING = 2
 DIM = 64
 PLANES = S.hyperplanes(N_PLANES, DIM, seed=123)
 
@@ -141,21 +149,25 @@ def _make_multiprobe_spec() -> QuerySpec:
         "DOUBLE[]), CAST(embedding AS DOUBLE[]))) * sqrt((SELECT "
         "list_dot_product(qe, qe) FROM q))), 4) AS cos "
         f"FROM b WHERE bit_count(CAST(xor(bucket, ({qbucket_expr})) "
-        "AS BIGINT)) <= 1 "
+        f"AS BIGINT)) <= {PROBE_HAMMING} "
         "ORDER BY cos DESC, vec_id LIMIT 5")
 
     def spark_fn(spark, sf):
         qv = _query_vec(spark, sf)
         emb = load(spark, sf, "embeddings")
         return S.ann_search_multiprobe(emb, "vec_id", "embedding", qv,
-                                       PLANES, k=5, probe_hamming=1)
+                                       PLANES, k=5,
+                                       probe_hamming=PROBE_HAMMING)
 
     return QuerySpec(
         "sim_ann_multiprobe", spark_fn, sql,
-        "multi-probe LSH ANN: rank inside all buckets within Hamming 1 of "
-        "the query bucket — recovers the recall single-probe loses when a "
-        "neighbor falls on the wrong side of one hyperplane; still "
-        "join-free (scan -> Filter -> TakeOrderedAndProject)")
+        "multi-probe LSH ANN at the production plane count: rank inside "
+        f"all buckets within Hamming {PROBE_HAMMING} of the query bucket "
+        f"(1+{N_PLANES}+{N_PLANES * (N_PLANES - 1) // 2} of "
+        f"2^{N_PLANES} buckets, ~2% of the table) — recovers the recall "
+        "single-probe loses when a neighbor falls on the wrong side of "
+        "one or two hyperplanes; still join-free (scan -> Filter -> "
+        "TakeOrderedAndProject)")
 
 
 QUERIES.append(_make_multiprobe_spec())
@@ -298,23 +310,42 @@ QUERIES.append(QuerySpec(
 
 NEAR_DUP_THRESHOLD = 0.3
 
-_BUCKET_EXPR = " + ".join(
-    f"(CASE WHEN {_sql_dot('embedding', p)} >= 0 "
-    f"THEN {1 << j} ELSE 0 END)" for j, p in enumerate(PLANES))
+_PER_BAND = N_PLANES // N_BANDS
+
+
+def _band_expr(i: int) -> str:
+    sl = PLANES[i * _PER_BAND:(i + 1) * _PER_BAND]
+    return " + ".join(
+        f"(CASE WHEN {_sql_dot('embedding', p)} >= 0 "
+        f"THEN {1 << j} ELSE 0 END)" for j, p in enumerate(sl))
+
+
+def _banded_near_dup_sql() -> str:
+    bands = ", ".join(f"({_band_expr(i)}) AS b{i}" for i in range(N_BANDS))
+    cand = " UNION ".join(
+        f"SELECT a.vec_id AS id_a, c.vec_id AS id_b FROM b a JOIN b c "
+        f"ON a.b{i} = c.b{i} AND a.vec_id < c.vec_id"
+        for i in range(N_BANDS))
+    return (
+        f"WITH b AS (SELECT vec_id, {_V} AS v, {bands} FROM embeddings), "
+        f"cand AS ({cand}) "
+        "SELECT * FROM (SELECT id_a, id_b, "
+        "ROUND(list_dot_product(x.v, y.v) / "
+        "(sqrt(list_dot_product(x.v, x.v)) * "
+        "sqrt(list_dot_product(y.v, y.v))), 4) AS cos "
+        "FROM cand JOIN b x ON x.vec_id = cand.id_a "
+        "JOIN b y ON y.vec_id = cand.id_b) "
+        f"WHERE cos >= {NEAR_DUP_THRESHOLD}")
 
 
 @q("dedup_embedding_cosine",
-   f"WITH b AS (SELECT vec_id, {_V} AS v, ({_BUCKET_EXPR}) AS bucket "
-   "FROM embeddings) "
-   "SELECT * FROM ("
-   "SELECT a.vec_id AS id_a, b2.vec_id AS id_b, "
-   "ROUND(list_dot_product(a.v, b2.v) / (sqrt(list_dot_product(a.v, a.v)) "
-   "* sqrt(list_dot_product(b2.v, b2.v))), 4) AS cos "
-   "FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id) "
-   f"WHERE cos >= {NEAR_DUP_THRESHOLD}",
-   "embedding-cosine near-dup pairs, LSH-bucket candidate limiting "
-   "(within-bucket join only)")
+   _banded_near_dup_sql(),
+   f"embedding-cosine near-dup pairs via BANDED hyperplane LSH "
+   f"({N_BANDS} bands x {_PER_BAND} planes): candidate = same bucket in "
+   "ANY band (the MinHash-LSH S-curve applied to hyperplanes — a single "
+   f"{N_PLANES}-plane band would lose most near-dup recall), exact "
+   "cosine filter after; never the O(N^2) cross join")
 def embedding_near_dup(spark, sf):
     emb = load(spark, sf, "embeddings")
-    return S.embedding_near_dup_pairs(
-        emb, "vec_id", "embedding", PLANES, NEAR_DUP_THRESHOLD)
+    return S.embedding_near_dup_pairs_banded(
+        emb, "vec_id", "embedding", PLANES, N_BANDS, NEAR_DUP_THRESHOLD)

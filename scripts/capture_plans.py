@@ -63,9 +63,12 @@ CHECKS = {
         "TakeOrderedAndProject). Round 1 carried an id-rejoin here that "
         "shuffled the whole embeddings table per query."),
     "sim_ivf_topk": (
-        "NO Exchange before the top-k: centroid cell computed inline, "
-        "Filter prunes to ~N/n_centroids rows, then "
-        "TakeOrderedAndProject. Same join-removal as sim_ann_lsh_query."),
+        "NO Exchange before the top-k, and NO centroid literals in the "
+        "expression tree: the cell id is an ArrowEvalPython over the "
+        "BROADCAST centroid matrix (scales to k ~ 10^5-10^6 cells where "
+        "inlined literals choke Catalyst), Filter prunes to "
+        "~N/n_centroids rows, then TakeOrderedAndProject. Same "
+        "join-removal as sim_ann_lsh_query."),
     "sim_ann_multiprobe": (
         "still NO Exchange: Hamming<=1 probing is one extra bit_count/XOR "
         "in the same Filter — scan -> Filter -> TakeOrderedAndProject."),

@@ -463,3 +463,131 @@ def test_dedup_components_nonconvergence_raises(spark):
         D.dedup_components(chain, max_iters=1)
     got = {r["component"] for r in D.dedup_components(chain).collect()}
     assert got == {1}
+
+
+def test_ivf_batched_assignment_scales_past_literals(spark):
+    """VERDICT r2 #2: the broadcast-matrix pandas-UDF quantizer at k=256,
+    dim=64 — a size where inlined literal expressions are already
+    pathological — must (a) agree with the pure-expression path cell by
+    cell at small k, and (b) produce a plan with NO centroid literals."""
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    # (a) exact agreement between the two paths at a literal-friendly k
+    small = [[1.0] + [0.0] * 63, [0.0] * 63 + [1.0],
+             [-1.0] + [0.0] * 63, [0.5] * 64]
+    a = {r["vec_id"]: r["centroid"] for r in
+         S.ivf_assign(emb, "vec_id", "embedding", small,
+                      batched=False).collect()}
+    b = {r["vec_id"]: r["centroid"] for r in
+         S.ivf_assign(emb, "vec_id", "embedding", small,
+                      batched=True).collect()}
+    assert a == b
+
+    # (b) k=256 x dim=64: runs fine, every cell in range, plan is an
+    # ArrowEvalPython over the broadcast matrix — no literal centroids
+    rng = np.random.default_rng(7)
+    big = rng.normal(size=(256, 64)).tolist()
+    assigned = S.ivf_assign(emb, "vec_id", "embedding", big, batched=True)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    assert plan.count("0.") < 50, "centroid matrix leaked into the plan"
+    cells = [r["centroid"] for r in assigned.collect()]
+    assert all(1 <= c <= 256 for c in cells)
+    assert len(set(cells)) > 10  # real spread over the 256 cells
+
+    # mirror the assignment in numpy to prove end-to-end correctness
+    pdf = emb.toPandas()
+    V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    C = np.asarray(big)
+    sims = np.round((V @ C.T) / (np.linalg.norm(V, axis=1, keepdims=True)
+                                 * np.linalg.norm(C, axis=1)),
+                    S.ARGMAX_ROUND)
+    exp = dict(zip(pdf["vec_id"].tolist(),
+                   (sims.argmax(axis=1) + 1).tolist()))
+    got = {r["vec_id"]: r["centroid"] for r in assigned.collect()}
+    assert got == exp
+
+    # ivf_search at k=256 stays join-free and returns plausible top-k
+    q = [float(x) for x in V[0]]
+    top = S.ivf_search(emb, "vec_id", "embedding", q, big, k=5)
+    tplan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in tplan
+    assert "Exchange" not in tplan
+    rows = top.collect()
+    assert rows and rows[0]["cos"] >= max(r["cos"] for r in rows) - 1e-9
+
+
+def test_asof_join_skew_safe_matches_window_path(spark):
+    """VERDICT r2 #3: skew-safe as-of. One key holds 90% of rows — the
+    range-partitioned mode must split it across partitions (plan shows
+    RangePartitioning, >1 partition actually populated) and return
+    EXACTLY the window path's rows, including boundary carry-over,
+    equal-ts right-before-left ties, and genuine-NULL right values."""
+    import datetime as _dt
+
+    from ocr_spark.operators.asof import asof_join
+
+    base = _dt.datetime(2025, 1, 1)
+    sec = _dt.timedelta(seconds=1)
+    # hot key 1: 900 left rows; right rows only every 50s -> long runs of
+    # left rows between right rows, guaranteed to straddle partitions
+    left_rows = [(1, base + i * sec, i) for i in range(900)]
+    left_rows += [(k, base + i * sec, 1000 * k + i)
+                  for k in (2, 3) for i in range(50)]
+    right_rows = [(1, base + i * sec, float(i)) for i in range(0, 900, 50)]
+    right_rows += [(2, base + 10 * sec, None),   # genuine NULL value
+                   (2, base + 20 * sec, 2.5),
+                   (3, base + 25 * sec, 3.5)]
+    left = spark.createDataFrame(
+        left_rows, "user_id int, ts timestamp, row_id int")
+    right = spark.createDataFrame(
+        right_rows, "user_id int, ts timestamp, value double")
+
+    ref = asof_join(left, right, ["user_id"], "ts", ["value"])
+    got = asof_join(left, right, ["user_id"], "ts", ["value"],
+                    skew_safe=True, num_partitions=8)
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+
+    a = {r["row_id"]: r["asof_value"] for r in ref.collect()}
+    b = {r["row_id"]: r["asof_value"] for r in got.collect()}
+    assert a == b
+    # spot semantics: row 49 saw right@0, row 50 sees right@50 (equal-ts
+    # match), key-2 rows in [10, 20) carry the genuine NULL (not nothing)
+    assert b[49] == 0.0 and b[50] == 50.0 and b[899] == 850.0
+    assert b[2015] is None and b[2025] == 2.5
+    assert b[3010] is None and b[3030] == 3.5
+
+
+def test_banded_near_dup_beats_single_band_recall(spark):
+    """VERDICT r2 #4: at the production plane count (12) a SINGLE band
+    loses most near-dup recall (a true pair must agree on all 12
+    hyperplanes); banding (2 x 6) recovers it. Banded candidates are a
+    strict superset by construction (all-12 agreement implies band-0
+    agreement), and on planted near-dups banded recall must actually be
+    higher."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(40, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, [float(x) for x in v]))
+        # planted near-dup: small perturbation, cosine ~0.97+
+        w = v + 0.15 * rng.normal(size=16)
+        rows.append((2 * i + 1, [float(x) for x in w]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planes = S.hyperplanes(12, 16, seed=123)
+
+    single = {(r["id_a"], r["id_b"]) for r in S.embedding_near_dup_pairs(
+        df, "vec_id", "embedding", planes, 0.9).collect()}
+    banded = {(r["id_a"], r["id_b"]) for r in
+              S.embedding_near_dup_pairs_banded(
+                  df, "vec_id", "embedding", planes, 2, 0.9).collect()}
+    planted = {(2 * i, 2 * i + 1) for i in range(40)}
+    assert single <= banded
+    assert len(banded & planted) > len(single & planted)
+    assert len(banded & planted) >= 25  # real recall, not a fluke
