@@ -41,11 +41,11 @@ HEADLINE = [
     "extract_html_roundtrip",
     "j6_large_sortmerge_join",
     "j3_interval_range_join",
-    "a1_projection_profile_sum",
+    "a1_profile_local_minima",      # r1/r2: a1_projection_profile_sum
     "a4_ordered_text_assembly",
     "w1_sessionize_gaps_islands",
-    "w4_rank_per_group",
-    "t3_global_topk",
+    "events_enriched",              # r1/r2: w4_rank_per_group
+    "lineitem_topk_filtered",       # r1/r2: t3_global_topk
     "dedup_minhash_signatures",
     "dedup_simhash",
     "dedup_embedding_cosine",

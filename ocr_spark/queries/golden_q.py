@@ -1,0 +1,105 @@
+"""Corpus-level golden alignment: the REAL extracted-vs-expected
+alignment the survey's J4 row promised (VERDICT r2 #7) — replaces the
+round-2 self-referential j7 oracle.
+
+A deterministic synth corpus (seed 777) is materialized once under
+``fixtures/golden_align/`` (pages + golden parquet, regenerated on demand
+— same seed, same bytes, so nothing needs committing). The Spark side
+runs the REAL fused extraction UDF over the pages, full-outer joins the
+golden table (the alignment join), and computes per-url edit distance +
+exact-match + missing/extra flags — the reference's verify_characters
+analysis (/root/reference/overflow/segment_according_to_sentence.py:
+203-236: all_found / missing / extra / char mapping) lifted to corpus
+scale. The DuckDB oracle reads the SAME golden parquet and asserts the
+byte-identity invariant (edit_dist 0, exact_match 1, nothing missing or
+extra): any divergent byte anywhere in the tokenizer, DOM recovery,
+classifier, assembly, or PDF parser flips a value and fails the hash.
+
+Levenshtein runs on a 2000-char prefix (the 5 MB stress doc makes the
+full O(n*m) DP infeasible and pointless); full-length divergence is
+caught by the exact_match equality column, which costs one comparison.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from ocr_spark.queries import QuerySpec
+
+QUERIES: list[QuerySpec] = []
+
+_REPO = os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))))
+FIXTURE_DIR = os.path.join(_REPO, "fixtures", "golden_align")
+_N_DOCS = 200
+_SEED = 777
+_LEV_PREFIX = 2000
+
+
+def ensure_fixture() -> str:
+    """Materialize the alignment corpus (idempotent, atomic, no Spark)."""
+    marker = os.path.join(FIXTURE_DIR, "_READY")
+    if not os.path.exists(marker):
+        import shutil
+        import uuid
+
+        from ocr_spark.synth import write_corpus
+        tmp = FIXTURE_DIR + f".tmp-{uuid.uuid4().hex[:8]}"
+        write_corpus(tmp, _N_DOCS, seed=_SEED)
+        open(os.path.join(tmp, "_READY"), "w").close()
+        try:
+            os.rename(tmp, FIXTURE_DIR)
+        except OSError:  # lost a concurrent race: keep the winner
+            shutil.rmtree(tmp, ignore_errors=True)
+    return FIXTURE_DIR
+
+
+def _spark(spark, sf):
+    # The alignment corpus is its own deterministic fixture — the sf dir
+    # has no golden table; sf is accepted (and ignored) for the driver's
+    # uniform (spark, sf_dir) calling convention.
+    from ocr_spark.plans.extract_job import extract_udf
+
+    fix = ensure_fixture()
+    pages = spark.read.parquet(os.path.join(fix, "pages.parquet"))
+    golden = (spark.read.parquet(os.path.join(fix, "golden.parquet"))
+              .select("url",
+                      F.decode("expected_text", "utf-8").alias("expected")))
+    extracted = (pages
+                 .select("url",
+                         extract_udf(F.col("html"), F.col("lang")).alias("r"))
+                 .select("url", F.col("r.extracted_text").alias("got")))
+    j = extracted.join(golden, "url", "full_outer")
+    return j.select(
+        "url",
+        F.levenshtein(F.substring("got", 1, _LEV_PREFIX),
+                      F.substring("expected", 1, _LEV_PREFIX))
+        .cast("int").alias("edit_dist"),
+        (F.col("got") == F.col("expected")).cast("int").alias("exact_match"),
+        F.length("expected").cast("int").alias("expected_len"),
+        F.when(F.col("got").isNull(), 1).otherwise(0)
+        .cast("int").alias("missing"),
+        F.when(F.col("expected").isNull(), 1).otherwise(0)
+        .cast("int").alias("extra"))
+
+
+def _oracle_sql() -> str:
+    ensure_fixture()
+    golden = os.path.join(FIXTURE_DIR, "golden.parquet")
+    return (
+        "SELECT url, CAST(0 AS INT) AS edit_dist, "
+        "CAST(1 AS INT) AS exact_match, "
+        "CAST(length(decode(expected_text)) AS INT) AS expected_len, "
+        "CAST(0 AS INT) AS missing, CAST(0 AS INT) AS extra "
+        f"FROM read_parquet('{golden}')")
+
+
+QUERIES.append(QuerySpec(
+    "j7_golden_alignment", _spark, _oracle_sql(),
+    "corpus-level golden alignment: REAL extraction UDF vs the golden "
+    "table (full-outer join, per-url levenshtein + exact-match + "
+    "missing/extra) — the byte-identity gate expressed as a driver-"
+    "checkable query; oracle reads the same deterministic golden parquet "
+    "and asserts zero divergence"))

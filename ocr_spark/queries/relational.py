@@ -1,13 +1,20 @@
 """Relational operator inventory over the driver testdata tables.
 
-One QuerySpec per SURVEY.md §2 row (S/P/J/A/W/T families + set ops +
-scalar functions). The Spark side is DataFrame API (declarative — Catalyst
-does pushdown/pruning/reordering); the SQL side is the DuckDB oracle.
+One QuerySpec per SURVEY.md §2 row OR per composite suite covering
+several rows (round-3 consolidation, VERDICT r2 #1: the driver's
+correctness gate checks only the first 50 registered queries, so the 30
+single-primitive micro-queries of rounds 1-2 are folded into multi-column
+composites — every §2 row still maps to a NAMED OUTPUT COLUMN, listed in
+each query's note and in SURVEY.md §2). The Spark side is DataFrame API
+(declarative — Catalyst does pushdown/pruning/reordering); the SQL side
+is the DuckDB oracle.
 
 Determinism rules applied throughout:
   * every aggregate/computed column aliased identically on both sides;
   * floats rounded to fixed decimals on both sides;
-  * ordered aggregations carry explicit tie-breaks (event_id, keys).
+  * ordered aggregations carry explicit tie-breaks (event_id, keys);
+  * scalar thresholds (avg+stddev) rounded before comparison so boundary
+    rows cannot flip between engines.
 """
 
 from __future__ import annotations
@@ -27,98 +34,366 @@ def q(name: str, sql: str | None, note: str = ""):
     return deco
 
 
-# ---------------------------------------------------------------- scans (S)
+# ------------------------------------------------------- composite suites
 
-@q("s1_scan_documents",
-   "SELECT doc_id, text, lang, source, n_chars FROM documents",
-   "S1 full scan; parquet -> DataFrame")
-def s1(spark, sf):
-    return load(spark, sf, "documents").select(
-        "doc_id", "text", "lang", "source", "n_chars")
-
-
-@q("s2_source_label_counts",
-   "SELECT source, count(*) AS cnt FROM documents GROUP BY source",
-   "S2 dir-walk labeled scan analog")
-def s2(spark, sf):
-    return (load(spark, sf, "documents")
-            .groupBy("source").agg(F.count(F.lit(1)).alias("cnt")))
-
-
-# -------------------------------------------------- projections/filters (P)
-
-@q("p1_column_pruning",
-   "SELECT doc_id, lang FROM documents",
-   "P1 projection; Catalyst prunes scan to 2 columns")
-def p1(spark, sf):
-    return load(spark, sf, "documents").select("doc_id", "lang")
-
-
-@q("p2_threshold_predicate",
-   "SELECT event_id, value FROM events WHERE value > 50.0",
-   "P2 Otsu-threshold analog: per-row predicate")
-def p2(spark, sf):
-    return (load(spark, sf, "events")
-            .where(F.col("value") > 50.0).select("event_id", "value"))
-
-
-@q("p4_range_filter",
-   "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
-   "WHERE l_quantity BETWEEN 10 AND 20",
-   "P4 area-filter analog: range predicate, parquet row-group pruning")
-def p4(spark, sf):
-    return (load(spark, sf, "lineitem")
-            .where(F.col("l_quantity").between(10, 20))
-            .select("l_orderkey", "l_linenumber", "l_quantity"))
-
-
-@q("p5_computed_expression_filter",
-   "SELECT p_partkey, ROUND(p_retailprice / p_size, 4) AS ratio FROM part "
-   "WHERE p_retailprice / p_size BETWEEN 20 AND 200",
-   "P5 aspect-ratio filter analog: computed-expression predicate")
-def p5(spark, sf):
-    ratio = F.col("p_retailprice") / F.col("p_size")
-    return (load(spark, sf, "part")
-            .where(ratio.between(20, 200))
-            .select("p_partkey", F.round(ratio, 4).alias("ratio")))
-
-
-@q("p6_case_classification",
-   "SELECT CASE WHEN value < 60 THEN 'low' ELSE 'ok' END AS conf_class, "
-   "count(*) AS cnt FROM events GROUP BY 1",
-   "P6 confidence-filter analog: when/otherwise case classification")
-def p6(spark, sf):
-    return (load(spark, sf, "events")
-            .select(F.when(F.col("value") < 60, "low").otherwise("ok")
-                    .alias("conf_class"))
-            .groupBy("conf_class").agg(F.count(F.lit(1)).alias("cnt")))
-
-
-@q("p8_char_whitelist",
-   "SELECT doc_id, regexp_replace(text, '[^a-z ]', '', 'g') AS clean "
+@q("documents_enriched",
+   "SELECT doc_id, lang, source, n_chars, "
+   "concat(lang, ':', reverse(substr(text, 1, 20))) AS tag, "
+   "length(trim(text)) AS n_trim, "
+   "CAST(contains(text, 'data') AS INT) AS has_marker, "
+   "regexp_replace(text, '[^a-z ]', '', 'g') AS clean "
    "FROM documents",
-   "P8 tesseract char-whitelist analog: alphabet constraint via regex")
-def p8(spark, sf):
-    return (load(spark, sf, "documents")
-            .select("doc_id",
-                    F.regexp_replace("text", "[^a-z ]", "").alias("clean")))
+   "composite: S1 full scan + P1 projection + P8 char whitelist + "
+   "F1 concat/reverse + F2 trim/length + F3 substring membership — one "
+   "narrow pass over documents, one named column per §2 row")
+def documents_enriched(spark, sf):
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id", "lang", "source", "n_chars",
+        F.concat(F.col("lang"), F.lit(":"),
+                 F.reverse(F.substring("text", 1, 20))).alias("tag"),
+        F.length(F.trim(F.col("text"))).alias("n_trim"),
+        F.col("text").contains("data").cast("int").alias("has_marker"),
+        F.regexp_replace("text", "[^a-z ]", "").alias("clean"))
 
 
-# ----------------------------------------------------------------- joins (J)
+@q("events_enriched",
+   "WITH g AS (SELECT max(value) AS mx, "
+   "ROUND(avg(value) + stddev_samp(value) * 0.7, 6) AS thr FROM events) "
+   "SELECT event_id, "
+   "ROUND(abs(value - 50.0), 4) AS dist, "
+   "CAST(FLOOR(value / 10) AS BIGINT) AS decile, "
+   "ROUND(GREATEST(5.0, LEAST(95.0, value)), 4) AS clamped, "
+   "ROUND(value / 255.0, 6) AS norm255, "
+   "ROUND(value / (SELECT mx FROM g), 6) AS norm_max, "
+   "CASE WHEN value < 60 THEN 'low' ELSE 'ok' END AS conf_class, "
+   "CAST(value > (SELECT thr FROM g) AS INT) AS is_outlier, "
+   "ROUND(value - lag(value) OVER "
+   "(PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta, "
+   "ROUND(value - min(value) OVER (PARTITION BY user_id), 4) AS rebased, "
+   "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, "
+   "event_id DESC) AS rn "
+   "FROM events",
+   "composite: F5 math family (dist/decile) + F6 clamp + F7 normalize + "
+   "A3 normalize-by-max (scalar-subquery broadcast) + A5 adaptive "
+   "mean+stddev threshold + P6 case classification + W3 gradient lag + "
+   "W5 analytic rebase + W4 ranking window — one broadcast of the two "
+   "scalars, one window shuffle on user_id serving all three frames")
+def events_enriched(spark, sf):
+    e = load(spark, sf, "events")
+    g = e.agg(F.max("value").alias("mx"),
+              F.round(F.avg("value") + F.stddev_samp("value") * 0.7, 6)
+              .alias("thr"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wmin = Window.partitionBy("user_id")
+    wrank = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id"))
+    return e.crossJoin(F.broadcast(g)).select(
+        "event_id",
+        F.round(F.abs(F.col("value") - 50.0), 4).alias("dist"),
+        F.floor(F.col("value") / 10).cast("long").alias("decile"),
+        F.round(F.greatest(F.lit(5.0), F.least(F.lit(95.0),
+                                               F.col("value"))), 4)
+        .alias("clamped"),
+        F.round(F.col("value") / 255.0, 6).alias("norm255"),
+        F.round(F.col("value") / F.col("mx"), 6).alias("norm_max"),
+        F.when(F.col("value") < 60, "low").otherwise("ok")
+        .alias("conf_class"),
+        (F.col("value") > F.col("thr")).cast("int").alias("is_outlier"),
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
+        F.round(F.col("value") - F.min("value").over(wmin), 4)
+        .alias("rebased"),
+        F.row_number().over(wrank).alias("rn"))
+
+
+@q("documents_rollup_metrics",
+   "SELECT source, lang, count(*) AS cnt, "
+   "ROUND(avg(n_chars), 4) AS avg_chars "
+   "FROM documents GROUP BY ROLLUP(source, lang)",
+   "composite: S2 labeled-source counts + A9 extraction-metrics shape + "
+   "A10 ROLLUP grouping sets — per-(source, lang) metrics with subtotal "
+   "and grand-total rows")
+def documents_rollup_metrics(spark, sf):
+    return (load(spark, sf, "documents").rollup("source", "lang")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.round(F.avg("n_chars"), 4).alias("avg_chars")))
+
+
+@q("events_profile_by_type",
+   "SELECT event_type, count(*) AS cnt, "
+   "ROUND(sum(value), 4) AS ink, "
+   "ROUND(avg(CASE WHEN value >= 50 THEN 1.0 ELSE 0.0 END), 4) "
+   "AS high_share, "
+   "count(DISTINCT user_id) AS users_exact, "
+   "CAST(abs(approx_count_distinct(user_id) - count(DISTINCT user_id)) "
+   "<= 0.1 * count(DISTINCT user_id) AS INT) AS approx_ok, "
+   "ROUND(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) "
+   "AS avg_k "
+   "FROM events GROUP BY event_type",
+   "composite: A2 profile sum + A7 conditional-agg share + A8 exact AND "
+   "approx count-distinct + F8 JSON extraction, one hash agg. The approx "
+   "contract is the ACCURACY BOUND (sketches differ per engine): each "
+   "engine checks its OWN HLL within 10% of its exact count — both "
+   "sketches are exercised (ADVICE r2 #5), the driver compares the "
+   "boolean")
+def events_profile_by_type(spark, sf):
+    e = load(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("double")
+    agg = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 4).alias("ink"),
+        F.round(F.avg(F.when(F.col("value") >= 50, 1.0).otherwise(0.0)), 4)
+        .alias("high_share"),
+        F.countDistinct("user_id").alias("users_exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
+        F.round(F.avg(k), 4).alias("avg_k"))
+    ok = (F.abs(F.col("_approx") - F.col("users_exact"))
+          <= 0.1 * F.col("users_exact")).cast("int")
+    return agg.select("event_type", "cnt", "ink", "high_share",
+                      "users_exact", ok.alias("approx_ok"), "avg_k")
+
+
+@q("time_bucket_counts",
+   "SELECT strftime(ts, '%Y-%m-%d') AS day, "
+   "time_bucket(INTERVAL 5 MINUTE, ts) AS win_start, count(*) AS cnt "
+   "FROM events GROUP BY 1, 2",
+   "composite: F9 date bucketing (partition-pruning key shape) + §2.10 "
+   "tumbling-window aggregation (batch form of the streaming analog)")
+def time_bucket_counts(spark, sf):
+    e = load(spark, sf, "events")
+    return (e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                      F.window("ts", "5 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select("day", F.col("w.start").alias("win_start"), "cnt"))
+
+
+@q("lineitem_topk_filtered",
+   "SELECT l_orderkey, l_linenumber, l_extendedprice, "
+   "ROUND(l_extendedprice / l_quantity, 4) AS unit_price "
+   "FROM lineitem "
+   "WHERE l_quantity BETWEEN 10 AND 20 "
+   "AND l_extendedprice > 1000.0 "
+   "AND l_extendedprice / l_quantity BETWEEN 50 AND 5000 "
+   "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10",
+   "composite: P2 threshold predicate + P4/P7 range filter (pushed to "
+   "parquet row groups) + P5 computed-expression filter + T3 global "
+   "top-k (TakeOrderedAndProject over the filtered scan; descending "
+   "order also covers T1's sort shape)")
+def lineitem_topk_filtered(spark, sf):
+    li = load(spark, sf, "lineitem")
+    ratio = F.col("l_extendedprice") / F.col("l_quantity")
+    return (li.where(F.col("l_quantity").between(10, 20)
+                     & (F.col("l_extendedprice") > 1000.0)
+                     & ratio.between(50, 5000))
+            .select("l_orderkey", "l_linenumber", "l_extendedprice",
+                    F.round(ratio, 4).alias("unit_price"))
+            .orderBy(F.desc("l_extendedprice"), "l_orderkey",
+                     "l_linenumber")
+            .limit(10))
+
+
+@q("t_limit_suite",
+   "SELECT kind, event_id FROM ("
+   "SELECT 'recent' AS kind, event_id FROM "
+   "(SELECT event_id FROM events ORDER BY ts DESC, event_id LIMIT 50) "
+   "UNION ALL SELECT 'lowest' AS kind, event_id FROM "
+   "(SELECT event_id FROM events ORDER BY value ASC, event_id LIMIT 20) "
+   "UNION ALL SELECT 'probe' AS kind, (SELECT count(*) FROM "
+   "(SELECT 1 FROM events WHERE value > 99.9 LIMIT 1)) AS event_id)",
+   "composite: T1 descending sort + T4 bottom-k (both "
+   "TakeOrderedAndProject: per-partition heap + driver merge, no global "
+   "sort) + T5 early-exit LIMIT 1 existence probe (CollectLimit "
+   "short-circuits the scan), tagged and unioned")
+def t_limit_suite(spark, sf):
+    e = load(spark, sf, "events")
+    recent = (e.orderBy(F.desc("ts"), "event_id").limit(50)
+              .select(F.lit("recent").alias("kind"), "event_id"))
+    lowest = (e.orderBy(F.asc("value"), "event_id").limit(20)
+              .select(F.lit("lowest").alias("kind"), "event_id"))
+    probe = (e.where(F.col("value") > 99.9).select(F.lit(1)).limit(1)
+             .agg(F.count(F.lit(1)).alias("event_id"))
+             .select(F.lit("probe").alias("kind"),
+                     F.col("event_id").cast("long")))
+    return recent.unionByName(lowest).unionByName(probe)
+
+
+@q("set_ops_suite",
+   "SELECT 'except' AS op, CAST(c_custkey AS BIGINT) AS id FROM "
+   "(SELECT c_custkey FROM customer EXCEPT "
+   "SELECT o_custkey AS c_custkey FROM orders) "
+   "UNION ALL SELECT 'intersect' AS op, CAST(user_id AS BIGINT) AS id "
+   "FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'click' "
+   "INTERSECT SELECT DISTINCT user_id FROM events "
+   "WHERE event_type = 'purchase') "
+   "UNION ALL SELECT 'union' AS op, CAST(user_id AS BIGINT) AS id FROM "
+   "(SELECT DISTINCT user_id FROM events WHERE event_type = 'click' "
+   "UNION SELECT DISTINCT o_custkey AS user_id FROM orders "
+   "WHERE o_orderstatus = 'F')",
+   "composite: §2.7 EXCEPT (the urls-not-in-checkpoint resume predicate "
+   "shape) + INTERSECT + UNION-distinct, tagged and unioned")
+def set_ops_suite(spark, sf):
+    c = load(spark, sf, "customer").select(
+        F.col("c_custkey").cast("long").alias("id"))
+    o = load(spark, sf, "orders")
+    e = load(spark, sf, "events")
+    exc = (c.subtract(o.select(F.col("o_custkey").cast("long").alias("id")))
+           .select(F.lit("except").alias("op"), "id"))
+    clicks = (e.where(F.col("event_type") == "click")
+              .select(F.col("user_id").cast("long").alias("id")).distinct())
+    purch = (e.where(F.col("event_type") == "purchase")
+             .select(F.col("user_id").cast("long").alias("id")).distinct())
+    inter = clicks.intersect(purch).select(
+        F.lit("intersect").alias("op"), "id")
+    uni = (clicks.union(
+        o.where(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").cast("long").alias("id")))
+        .distinct().select(F.lit("union").alias("op"), "id"))
+    return exc.unionByName(inter).unionByName(uni)
+
+
+@q("a1_profile_local_minima",
+   "WITH s AS (SELECT user_id, ROUND(sum(value), 4) AS total FROM events "
+   "GROUP BY user_id), "
+   "w AS (SELECT user_id, total, lag(total) OVER (ORDER BY user_id) AS pv, "
+   "lead(total) OVER (ORDER BY user_id) AS nv FROM s) "
+   "SELECT user_id, total, "
+   "CAST(COALESCE(total < pv AND total < nv, FALSE) AS INT) "
+   "AS is_local_min FROM w",
+   "composite: A1 horizontal projection profile (hash agg with partial "
+   "aggregation; the scan prunes to 2 of 6 columns — P1's pruning "
+   "evidence, see PLANS.md) + W2 lag/lead local-minima peak finding over "
+   "the profile")
+def a1_profile_local_minima(spark, sf):
+    e = load(spark, sf, "events")
+    s = e.groupBy("user_id").agg(F.round(F.sum("value"), 4).alias("total"))
+    w = Window.orderBy("user_id")
+    cur = (s.withColumn("pv", F.lag("total").over(w))
+           .withColumn("nv", F.lead("total").over(w)))
+    is_min = F.coalesce((F.col("total") < F.col("pv"))
+                        & (F.col("total") < F.col("nv")), F.lit(False))
+    return cur.select("user_id", "total",
+                      is_min.cast("int").alias("is_local_min"))
+
+
+# ------------------------------------------------ single-primitive rows
+
+@q("a4_ordered_text_assembly",
+   "SELECT user_id, string_agg(event_type, '' ORDER BY ts, event_id) "
+   "AS journey FROM events GROUP BY user_id",
+   "A4 RTL reassembly analog: ordered aggregation with explicit "
+   "tie-break (array_sort covers T2)")
+def a4(spark, sf):
+    e = load(spark, sf, "events")
+    return (e.groupBy("user_id")
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("ts", "event_id", "event_type"))),
+                    lambda s: s["event_type"]),
+                "").alias("journey")))
+
+
+@q("a6_confusion_matrix_pivot",
+   "SELECT source, "
+   "CAST(sum(CASE WHEN lang='en' THEN 1 ELSE 0 END) AS BIGINT) AS en, "
+   "CAST(sum(CASE WHEN lang='de' THEN 1 ELSE 0 END) AS BIGINT) AS de, "
+   "CAST(sum(CASE WHEN lang='es' THEN 1 ELSE 0 END) AS BIGINT) AS es, "
+   "CAST(sum(CASE WHEN lang='fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr, "
+   "CAST(sum(CASE WHEN lang='zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh "
+   "FROM documents GROUP BY source",
+   "A6 confusion matrix: pivot-shaped conditional aggregation")
+def a6(spark, sf):
+    d = load(spark, sf, "documents")
+    aggs = [F.sum(F.when(F.col("lang") == lg, 1).otherwise(0)).alias(lg)
+            for lg in ["en", "de", "es", "fr", "zh"]]
+    return d.groupBy("source").agg(*aggs)
+
+
+@q("w1_sessionize_gaps_islands",
+   "WITH flagged AS (SELECT user_id, ts, CASE WHEN ts - lag(ts) OVER "
+   "(PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE "
+   "OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+   "THEN 1 ELSE 0 END AS new_session FROM events) "
+   "SELECT user_id, CAST(sum(new_session) AS BIGINT) AS sessions "
+   "FROM flagged GROUP BY user_id",
+   "W1 run-length line detection: gaps-and-islands sessionization")
+def w1(spark, sf):
+    e = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    new_s = F.when(
+        lag_ts.isNull()
+        | (F.col("ts") - lag_ts > F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    return (e.select("user_id", new_s.alias("new_session"))
+            .groupBy("user_id")
+            .agg(F.sum("new_session").alias("sessions")))
+
+
+@q("f10_array_explode_topwords",
+   "SELECT word, count(*) AS cnt FROM (SELECT unnest(string_split(text, ' ')) "
+   "AS word FROM documents) WHERE word <> '' "
+   "GROUP BY word ORDER BY cnt DESC, word LIMIT 50",
+   "F10 array ops: split/explode/agg word counts")
+def f10(spark, sf):
+    d = load(spark, sf, "documents")
+    return (d.select(F.explode(F.split("text", " ", -1)).alias("word"))
+            .where(F.col("word") != "")
+            .groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), "word").limit(50))
+
+
+@q("s10_stratified_split",
+   "SELECT lang, CASE WHEN "
+   "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) "
+   "% 10 < 8 THEN 'train' ELSE 'eval' END AS split, "
+   "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) "
+   "% 8 AS bucket, count(*) AS cnt "
+   "FROM documents GROUP BY lang, split, bucket",
+   "SURVEY §3.3 stratified train/eval split (reference analog: "
+   "train_test_split(stratify=labels), /root/reference/"
+   "hebrew-ocr-cnn.py:102-110) + F4 hash bucketing (the same md5-derived "
+   "bucketing primitive at a second modulus — production uses xxhash64, "
+   "ocr_spark.functions.bucketing). Deterministic hash split so the "
+   "oracle mirrors value-for-value; the seeded-random variant "
+   "(df.sampleBy) is exercised in tests/test_operators.py.")
+def s10(spark, sf):
+    from ocr_spark.operators.hashing import md5long
+    d = load(spark, sf, "documents")
+    h = md5long(F.col("doc_id").cast("string"))
+    split = F.when(h % 10 < 8, "train").otherwise("eval")
+    return (d.select("lang", split.alias("split"),
+                     (h % 8).alias("bucket"))
+            .groupBy("lang", "split", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+# ----------------------------------------------------------------- joins
 
 @q("j1_broadcast_dim_join",
-   "SELECT r.r_name AS region, count(*) AS customers FROM customer c "
+   "SELECT r.r_name AS region, z.zone AS zone, count(*) AS customers "
+   "FROM customer c "
    "JOIN nation n ON c.c_nationkey = n.n_nationkey "
-   "JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name",
-   "J1 class-dict lookup analog: broadcast hash equi-join to tiny dims")
+   "JOIN region r ON n.n_regionkey = r.r_regionkey "
+   "JOIN (VALUES ('AMERICA', 'west'), ('EUROPE', 'west'), "
+   "('ASIA', 'east'), ('AFRICA', 'south'), ('MIDDLE EAST', 'south')) "
+   "z(rname, zone) ON r.r_name = z.rname "
+   "GROUP BY r.r_name, z.zone",
+   "J1 class-dict lookup analog (broadcast hash equi-join to tiny dim "
+   "tables) + J5 literal-VALUES pairs dim (the confused-letter-pairs "
+   "shape) in one chain — no shuffle of the fact side")
 def j1(spark, sf):
     c = load(spark, sf, "customer")
     n = load(spark, sf, "nation")
     r = load(spark, sf, "region")
-    return (c.join(F.broadcast(n),
-                   c.c_nationkey == n.n_nationkey)
+    zones = c.sparkSession.createDataFrame(
+        [("AMERICA", "west"), ("EUROPE", "west"), ("ASIA", "east"),
+         ("AFRICA", "south"), ("MIDDLE EAST", "south")],
+        ["rname", "zone"])
+    return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
              .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-             .groupBy(F.col("r_name").alias("region"))
+             .join(F.broadcast(zones), F.col("r_name") == zones.rname)
+             .groupBy(F.col("r_name").alias("region"), F.col("zone"))
              .agg(F.count(F.lit(1)).alias("customers")))
 
 
@@ -171,7 +446,9 @@ def j3(spark, sf):
    "AS extra, "
    "count(*) AS total "
    "FROM documents d FULL OUTER JOIN g ON d.doc_id = g.doc_id",
-   "J4 expected-vs-found alignment: full outer join + missing/extra sets")
+   "J4 expected-vs-found alignment: full outer join + missing/extra sets "
+   "(the corpus-scale variant over real extraction output is "
+   "j7_golden_alignment)")
 def j4(spark, sf):
     d = load(spark, sf, "documents").select("doc_id")
     g = d.where(F.col("doc_id") % 10 != 0) \
@@ -183,21 +460,6 @@ def j4(spark, sf):
         F.sum(F.when(F.col("doc_id").isNull(), 1).otherwise(0))
         .alias("extra"),
         F.count(F.lit(1)).alias("total"))
-
-
-@q("j5_pairs_lookup_join",
-   "SELECT p.b AS confusable_with, count(*) AS cnt FROM events e "
-   "JOIN (VALUES ('click','view'), ('signup','purchase'), ('error','view')) "
-   "p(a, b) ON e.event_type = p.a GROUP BY p.b",
-   "J5 confused-letter-pairs analog: broadcast join vs literal dim")
-def j5(spark, sf):
-    pairs = load(spark, sf, "events").sparkSession.createDataFrame(
-        [("click", "view"), ("signup", "purchase"), ("error", "view")],
-        ["a", "b"])
-    e = load(spark, sf, "events")
-    return (e.join(F.broadcast(pairs), e.event_type == pairs.a)
-             .groupBy(F.col("b").alias("confusable_with"))
-             .agg(F.count(F.lit(1)).alias("cnt")))
 
 
 @q("j6_large_sortmerge_join",
@@ -217,413 +479,6 @@ def j6(spark, sf):
                   F.count(F.lit(1)).alias("line_cnt")))
 
 
-# ---------------------------------------------------------- aggregations (A)
-
-@q("a1_projection_profile_sum",
-   "SELECT user_id, ROUND(sum(value), 4) AS total FROM events "
-   "GROUP BY user_id",
-   "A1 horizontal projection profile: hash agg w/ partial aggregation")
-def a1(spark, sf):
-    return (load(spark, sf, "events").groupBy("user_id")
-            .agg(F.round(F.sum("value"), 4).alias("total")))
-
-
-@q("a3_normalize_by_max",
-   "SELECT event_id, ROUND(value / (SELECT max(value) FROM events), 6) "
-   "AS norm FROM events",
-   "A3 profile normalization: scalar-subquery max broadcast")
-def a3(spark, sf):
-    e = load(spark, sf, "events")
-    mx = e.agg(F.max("value").alias("mx"))
-    return (e.crossJoin(F.broadcast(mx))
-            .select("event_id",
-                    F.round(F.col("value") / F.col("mx"), 6).alias("norm")))
-
-
-@q("a4_ordered_text_assembly",
-   "SELECT user_id, string_agg(event_type, '' ORDER BY ts, event_id) "
-   "AS journey FROM events GROUP BY user_id",
-   "A4 RTL reassembly analog: ordered aggregation with explicit tie-break")
-def a4(spark, sf):
-    e = load(spark, sf, "events")
-    return (e.groupBy("user_id")
-            .agg(F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(
-                        F.struct("ts", "event_id", "event_type"))),
-                    lambda s: s["event_type"]),
-                "").alias("journey")))
-
-
-@q("a5_adaptive_threshold",
-   "SELECT count(*) AS outliers FROM events WHERE value > "
-   "(SELECT avg(value) + stddev_samp(value) * 0.7 FROM events)",
-   "A5 mean+std adaptive threshold (scalar agg subquery)")
-def a5(spark, sf):
-    e = load(spark, sf, "events")
-    thr = e.agg((F.avg("value") + F.stddev_samp("value") * 0.7)
-                .alias("thr"))
-    return (e.crossJoin(F.broadcast(thr))
-            .where(F.col("value") > F.col("thr"))
-            .agg(F.count(F.lit(1)).alias("outliers")))
-
-
-@q("a6_confusion_matrix_pivot",
-   "SELECT source, "
-   "CAST(sum(CASE WHEN lang='en' THEN 1 ELSE 0 END) AS BIGINT) AS en, "
-   "CAST(sum(CASE WHEN lang='de' THEN 1 ELSE 0 END) AS BIGINT) AS de, "
-   "CAST(sum(CASE WHEN lang='es' THEN 1 ELSE 0 END) AS BIGINT) AS es, "
-   "CAST(sum(CASE WHEN lang='fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr, "
-   "CAST(sum(CASE WHEN lang='zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh "
-   "FROM documents GROUP BY source",
-   "A6 confusion matrix: pivot-shaped conditional aggregation")
-def a6(spark, sf):
-    d = load(spark, sf, "documents")
-    aggs = [F.sum(F.when(F.col("lang") == lg, 1).otherwise(0)).alias(lg)
-            for lg in ["en", "de", "es", "fr", "zh"]]
-    return d.groupBy("source").agg(*aggs)
-
-
-@q("a7_per_class_share",
-   "SELECT event_type, count(*) AS cnt, "
-   "ROUND(avg(CASE WHEN value >= 50 THEN 1.0 ELSE 0.0 END), 4) "
-   "AS high_share FROM events GROUP BY event_type",
-   "A7 per-class precision analog: conditional aggregates")
-def a7(spark, sf):
-    return (load(spark, sf, "events").groupBy("event_type")
-            .agg(F.count(F.lit(1)).alias("cnt"),
-                 F.round(F.avg(F.when(F.col("value") >= 50, 1.0)
-                               .otherwise(0.0)), 4).alias("high_share")))
-
-
-@q("a8_count_distinct",
-   "SELECT event_type, count(DISTINCT user_id) AS users FROM events "
-   "GROUP BY event_type",
-   "A8 distinct cardinality (exact; approx variant in bench)")
-def a8(spark, sf):
-    return (load(spark, sf, "events").groupBy("event_type")
-            .agg(F.countDistinct("user_id").alias("users")))
-
-
-@q("a9_extraction_metrics",
-   "SELECT source, count(*) AS docs, ROUND(avg(n_chars), 4) AS avg_chars "
-   "FROM documents GROUP BY source",
-   "A9 per-partition metrics table shape")
-def a9(spark, sf):
-    return (load(spark, sf, "documents").groupBy("source")
-            .agg(F.count(F.lit(1)).alias("docs"),
-                 F.round(F.avg("n_chars"), 4).alias("avg_chars")))
-
-
-@q("a10_rollup",
-   "SELECT source, lang, count(*) AS cnt FROM documents "
-   "GROUP BY ROLLUP(source, lang)",
-   "grouping-sets family: ROLLUP")
-def a10(spark, sf):
-    return (load(spark, sf, "documents").rollup("source", "lang")
-            .agg(F.count(F.lit(1)).alias("cnt")))
-
-
-# --------------------------------------------------------------- windows (W)
-
-@q("w1_sessionize_gaps_islands",
-   "WITH flagged AS (SELECT user_id, ts, CASE WHEN ts - lag(ts) OVER "
-   "(PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE "
-   "OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
-   "THEN 1 ELSE 0 END AS new_session FROM events) "
-   "SELECT user_id, CAST(sum(new_session) AS BIGINT) AS sessions "
-   "FROM flagged GROUP BY user_id",
-   "W1 run-length line detection: gaps-and-islands sessionization")
-def w1(spark, sf):
-    e = load(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    lag_ts = F.lag("ts").over(w)
-    new_s = F.when(
-        lag_ts.isNull()
-        | (F.col("ts") - lag_ts > F.expr("INTERVAL 30 MINUTES")), 1
-    ).otherwise(0)
-    return (e.select("user_id", new_s.alias("new_session"))
-            .groupBy("user_id")
-            .agg(F.sum("new_session").alias("sessions")))
-
-
-@q("w2_local_minima",
-   "WITH s AS (SELECT user_id, sum(value) AS v FROM events GROUP BY user_id), "
-   "w AS (SELECT user_id, v, lag(v) OVER (ORDER BY user_id) AS pv, "
-   "lead(v) OVER (ORDER BY user_id) AS nv FROM s) "
-   "SELECT user_id FROM w WHERE v < pv AND v < nv",
-   "W2 peak finding: lag/lead local-minima detection")
-def w2(spark, sf):
-    e = load(spark, sf, "events")
-    s = e.groupBy("user_id").agg(F.sum("value").alias("v"))
-    w = Window.orderBy("user_id")
-    cur = (s.withColumn("pv", F.lag("v").over(w))
-           .withColumn("nv", F.lead("v").over(w)))
-    return (cur.where((F.col("v") < F.col("pv"))
-                      & (F.col("v") < F.col("nv")))
-            .select("user_id"))
-
-
-@q("w3_gradient_diff",
-   "SELECT event_id, ROUND(value - lag(value) OVER "
-   "(PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta FROM events",
-   "W3 np.diff analog: lag arithmetic")
-def w3(spark, sf):
-    e = load(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return e.select(
-        "event_id",
-        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta"))
-
-
-@q("w4_rank_per_group",
-   "SELECT user_id, event_id FROM (SELECT user_id, event_id, row_number() "
-   "OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
-   "FROM events) WHERE rn <= 3",
-   "W4 RTL ranking analog: row_number per partition, top-3")
-def w4(spark, sf):
-    e = load(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy(
-        F.desc("ts"), F.desc("event_id"))
-    return (e.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= 3).select("user_id", "event_id"))
-
-
-@q("w5_analytic_rebase",
-   "SELECT event_id, ROUND(value - min(value) OVER "
-   "(PARTITION BY user_id), 4) AS rebased FROM events",
-   "W5 line-offset rebasing: analytic window over full partition")
-def w5(spark, sf):
-    e = load(spark, sf, "events")
-    w = Window.partitionBy("user_id")
-    return e.select(
-        "event_id",
-        F.round(F.col("value") - F.min("value").over(w), 4).alias("rebased"))
-
-
-@q("w6_tumbling_window_counts",
-   "SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS win_start, count(*) AS cnt "
-   "FROM events GROUP BY 1",
-   "streaming-analog tumbling window aggregation (batch form)")
-def w6(spark, sf):
-    e = load(spark, sf, "events")
-    return (e.groupBy(F.window("ts", "5 minutes").alias("w"))
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .select(F.col("w.start").alias("win_start"), "cnt"))
-
-
-# ---------------------------------------------------------- sorts/top-k (T)
-
-@q("t3_global_topk",
-   "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem "
-   "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10",
-   "T3 top-k widest segments: TakeOrderedAndProject")
-def t3(spark, sf):
-    return (load(spark, sf, "lineitem")
-            .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
-            .select("l_orderkey", "l_linenumber", "l_extendedprice")
-            .limit(10))
-
-
-@q("t4_bottomk",
-   "SELECT event_id, value FROM events ORDER BY value ASC, event_id LIMIT 20",
-   "T4 lowest-confidence chart: bottom-k")
-def t4(spark, sf):
-    return (load(spark, sf, "events")
-            .orderBy(F.asc("value"), "event_id")
-            .select("event_id", "value").limit(20))
-
-
-# ------------------------------------------------------------- set ops (§2.7)
-
-@q("set_except_resume_predicate",
-   "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey AS c_custkey "
-   "FROM orders",
-   "EXCEPT: urls-not-in-checkpoint resume predicate shape")
-def set_except(spark, sf):
-    c = load(spark, sf, "customer").select("c_custkey")
-    o = load(spark, sf, "orders").select(
-        F.col("o_custkey").alias("c_custkey"))
-    return c.exceptAll(o).distinct()
-
-
-@q("set_intersect",
-   "SELECT DISTINCT user_id FROM events WHERE event_type = 'click' "
-   "INTERSECT SELECT DISTINCT user_id FROM events "
-   "WHERE event_type = 'purchase'",
-   "INTERSECT over derived sets")
-def set_intersect(spark, sf):
-    e = load(spark, sf, "events")
-    a = e.where(F.col("event_type") == "click").select("user_id").distinct()
-    b = e.where(F.col("event_type") == "purchase") \
-         .select("user_id").distinct()
-    return a.intersect(b)
-
-
-@q("set_union",
-   "SELECT DISTINCT user_id FROM events WHERE event_type = 'click' "
-   "UNION SELECT DISTINCT o_custkey AS user_id FROM orders "
-   "WHERE o_orderstatus = 'F'",
-   "UNION (distinct) across heterogeneous sources")
-def set_union(spark, sf):
-    e = (load(spark, sf, "events")
-         .where(F.col("event_type") == "click").select("user_id"))
-    o = (load(spark, sf, "orders")
-         .where(F.col("o_orderstatus") == "F")
-         .select(F.col("o_custkey").alias("user_id")))
-    return e.union(o).distinct()
-
-
-# -------------------------------------------------- scalar functions (§2.8)
-
-@q("f4_hash_bucketing",
-   "SELECT CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 8 "
-   "AS bucket, count(*) AS cnt FROM documents GROUP BY 1",
-   "F4 url-hash bucketing (md5-based so DuckDB can mirror it; production "
-   "uses xxhash64, ocr_spark.functions.bucketing)")
-def f4(spark, sf):
-    d = load(spark, sf, "documents")
-    bucket = (F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
-              .cast("long") % 8)
-    return (d.groupBy(bucket.alias("bucket"))
-            .agg(F.count(F.lit(1)).alias("cnt")))
-
-
-@q("f8_json_extraction",
-   "SELECT event_type, ROUND(avg(CAST(json_extract_string(props, '$.k') "
-   "AS DOUBLE)), 4) AS avg_k FROM events GROUP BY event_type",
-   "F8 JSON field plumbing (reference persists JSON result columns)")
-def f8(spark, sf):
-    e = load(spark, sf, "events")
-    k = F.get_json_object("props", "$.k").cast("double")
-    return (e.groupBy("event_type")
-            .agg(F.round(F.avg(k), 4).alias("avg_k")))
-
-
-@q("f9_time_partition_pruning",
-   "SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS cnt "
-   "FROM events GROUP BY 1",
-   "F9 warc_ts date bucketing: partition-pruning key shape (string-typed "
-   "so Spark DATE vs DuckDB TIMESTAMP representations can't diverge)")
-def f9(spark, sf):
-    e = load(spark, sf, "events")
-    return (e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
-            .agg(F.count(F.lit(1)).alias("cnt")))
-
-
-@q("f10_array_explode_topwords",
-   "SELECT word, count(*) AS cnt FROM (SELECT unnest(string_split(text, ' ')) "
-   "AS word FROM documents) WHERE word <> '' "
-   "GROUP BY word ORDER BY cnt DESC, word LIMIT 50",
-   "F10 array ops: split/explode/agg word counts")
-def f10(spark, sf):
-    d = load(spark, sf, "documents")
-    return (d.select(F.explode(F.split("text", " ", -1)).alias("word"))
-            .where(F.col("word") != "")
-            .groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
-            .orderBy(F.desc("cnt"), "word").limit(50))
-
-
-@q("f1_string_reverse_concat",
-   "SELECT doc_id, concat(lang, ':', reverse(substr(text, 1, 20))) AS tag "
-   "FROM documents",
-   "F1 string concat/reverse family")
-def f1(spark, sf):
-    d = load(spark, sf, "documents")
-    return d.select(
-        "doc_id",
-        F.concat(F.col("lang"), F.lit(":"),
-                 F.reverse(F.substring("text", 1, 20))).alias("tag"))
-
-
-@q("f5_math_family",
-   "SELECT event_id, ROUND(abs(value - 50.0), 4) AS dist, "
-   "CAST(FLOOR(value / 10) AS BIGINT) AS decile, "
-   "GREATEST(value, 10.0) AS clamped FROM events",
-   "F5/F6 math + clamping family")
-def f5(spark, sf):
-    e = load(spark, sf, "events")
-    return e.select(
-        "event_id",
-        F.round(F.abs(F.col("value") - 50.0), 4).alias("dist"),
-        F.floor(F.col("value") / 10).cast("long").alias("decile"),
-        F.greatest(F.col("value"), F.lit(10.0)).alias("clamped"))
-
-
-@q("a2_vertical_profile",
-   "SELECT event_type, ROUND(sum(value), 4) AS ink FROM events "
-   "GROUP BY event_type",
-   "A2 vertical projection profile: same hash-agg primitive as A1 on the "
-   "other grouping axis")
-def a2(spark, sf):
-    e = load(spark, sf, "events")
-    return e.groupBy("event_type").agg(
-        F.round(F.sum("value"), 4).alias("ink"))
-
-
-@q("t1_sort_rtl",
-   "SELECT event_id, ts FROM events ORDER BY ts DESC, event_id LIMIT 50",
-   "T1 ordering (RTL analog: descending sort) — TakeOrderedAndProject, "
-   "no global sort")
-def t1(spark, sf):
-    e = load(spark, sf, "events")
-    return (e.select("event_id", "ts")
-            .orderBy(F.desc("ts"), "event_id").limit(50))
-
-
-@q("t5_early_exit_probe",
-   "SELECT count(*) AS found FROM "
-   "(SELECT 1 FROM events WHERE value > 99.9 LIMIT 1)",
-   "T5 early exit: LIMIT 1 existence probe (CollectLimit short-circuits "
-   "the scan)")
-def t5(spark, sf):
-    e = load(spark, sf, "events")
-    probe = e.where(F.col("value") > 99.9).select(F.lit(1)).limit(1)
-    return probe.agg(F.count(F.lit(1)).alias("found"))
-
-
-@q("f2_trim_empty_tests",
-   "SELECT doc_id, length(trim(text)) AS n FROM documents "
-   "WHERE length(trim(text)) > 0",
-   "F2 trim/length emptiness predicate")
-def f2(spark, sf):
-    d = load(spark, sf, "documents")
-    n = F.length(F.trim(F.col("text")))
-    return d.select("doc_id", n.alias("n")).where(F.col("n") > 0)
-
-
-@q("f3_substring_membership",
-   "SELECT doc_id, CAST(contains(text, 'data') AS INT) AS has_marker "
-   "FROM documents",
-   "F3 substring membership predicate")
-def f3(spark, sf):
-    d = load(spark, sf, "documents")
-    return d.select(
-        "doc_id",
-        F.col("text").contains("data").cast("int").alias("has_marker"))
-
-
-@q("f6_clamp",
-   "SELECT event_id, ROUND(GREATEST(5.0, LEAST(95.0, value)), 4) "
-   "AS clamped FROM events",
-   "F6 clamping: greatest(lo, least(hi, x)) — the pad-clamp analog")
-def f6(spark, sf):
-    e = load(spark, sf, "events")
-    return e.select(
-        "event_id",
-        F.round(F.greatest(F.lit(5.0), F.least(F.lit(95.0), F.col("value"))),
-                4).alias("clamped"))
-
-
-@q("f7_normalize",
-   "SELECT event_id, ROUND(value / 255.0, 6) AS norm FROM events",
-   "F7 normalization arithmetic (img/255 analog)")
-def f7(spark, sf):
-    e = load(spark, sf, "events")
-    return e.select(
-        "event_id", F.round(F.col("value") / 255.0, 6).alias("norm"))
-
-
 @q("j8_asof_join",
    "WITH clicks AS (SELECT user_id, ts, ROUND(max(value), 4) AS value "
    "FROM events WHERE event_type = 'click' GROUP BY user_id, ts), "
@@ -634,8 +489,9 @@ def f7(spark, sf):
    "ON p.user_id = c.user_id AND p.ts >= c.ts",
    "as-of (point-in-time) join: latest prior click value per purchase — "
    "union-tag + last(ignorenulls) window, ONE shuffle on the key, no "
-   "per-row probe join (operators/asof.py); DuckDB native ASOF JOIN "
-   "oracle")
+   "per-row probe join (operators/asof.py; skew_safe=True range-"
+   "partitions a hot key across partitions, tests/test_operators.py); "
+   "DuckDB native ASOF JOIN oracle")
 def j8(spark, sf):
     from ocr_spark.operators.asof import asof_join
 
@@ -649,64 +505,6 @@ def j8(spark, sf):
                     value_cols=["value"], prefix="")
     return out.select("event_id", "user_id",
                       F.col("value").alias("last_click_value"))
-
-
-@q("j7_levenshtein_alignment",
-   "SELECT doc_id, CAST(levenshtein(substr(text, 1, 40), "
-   "replace(substr(text, 1, 40), 'e', '')) AS INT) AS edit_dist, "
-   "CAST(length(substr(text, 1, 40)) AS INT) AS expected_len "
-   "FROM documents",
-   "J4 alignment metric promised by SURVEY: per-doc edit distance between "
-   "expected text and a found-with-missing-chars variant (reference "
-   "analog: verify_characters char mapping, /root/reference/overflow/"
-   "segment_according_to_sentence.py:203-236). levenshtein() is a narrow "
-   "JVM-side expression — per-doc cost only, no shuffle.")
-def j7(spark, sf):
-    d = load(spark, sf, "documents")
-    expected = F.substring("text", 1, 40)
-    found = F.expr("replace(substring(text, 1, 40), 'e', '')")
-    return d.select(
-        "doc_id",
-        F.levenshtein(expected, found).cast("int").alias("edit_dist"),
-        F.length(expected).cast("int").alias("expected_len"))
-
-
-@q("s10_stratified_split",
-   "SELECT lang, CASE WHEN "
-   "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) "
-   "% 10 < 8 THEN 'train' ELSE 'eval' END AS split, count(*) AS cnt "
-   "FROM documents GROUP BY lang, split",
-   "SURVEY §3.3 stratified train/eval split (reference analog: "
-   "train_test_split(stratify=labels), /root/reference/"
-   "hebrew-ocr-cnn.py:102-110). Deterministic hash split so the oracle "
-   "can mirror it value-for-value; the seeded-random variant "
-   "(df.sampleBy) is exercised in tests/test_operators.py.")
-def s10(spark, sf):
-    from ocr_spark.operators.hashing import md5long
-    d = load(spark, sf, "documents")
-    split = F.when(
-        md5long(F.col("doc_id").cast("string")) % 10 < 8, "train"
-    ).otherwise("eval")
-    return (d.select("lang", split.alias("split"))
-            .groupBy("lang", "split").agg(F.count(F.lit(1)).alias("cnt")))
-
-
-@q("a8_approx_count_distinct",
-   "SELECT event_type, count(DISTINCT user_id) AS users_exact, "
-   "TRUE AS approx_ok FROM events GROUP BY event_type",
-   "A8 approx variant: HyperLogLog++ sketches differ engine-to-engine, so "
-   "the verifiable contract is the ACCURACY BOUND — approx within 10% of "
-   "exact (rsd=0.02 => typical error ~2%) — which the oracle states as a "
-   "constant. At 10^12 rows approx replaces the exact distinct's full "
-   "shuffle of user ids with fixed-size mergeable sketches.")
-def a8_approx(spark, sf):
-    e = load(spark, sf, "events")
-    agg = e.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("users_exact"),
-        F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"))
-    ok = (F.abs(F.col("_approx") - F.col("users_exact"))
-          / F.col("users_exact") <= 0.1)
-    return agg.select("event_type", "users_exact", ok.alias("approx_ok"))
 
 
 @q("w6_greedy_overlap_accept", None,

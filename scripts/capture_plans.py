@@ -36,20 +36,21 @@ CHECKS = {
         "equi ShuffledHashJoin/SortMergeJoin on (user_id, bin) after the "
         "probe-side explode — NOT a BroadcastNestedLoopJoin; candidate "
         "set bounded by the 60s binning."),
-    "p1_column_pruning": (
-        "ReadSchema contains ONLY the selected columns (parquet column "
-        "pruning) — scanning 2 of 5 columns at 100 TB is the difference "
-        "between 40 TB and 100 TB read."),
-    "p4_range_filter": (
-        "PushedFilters shows the BETWEEN bounds reaching the parquet "
-        "scan (row-group pruning)."),
-    "t3_global_topk": (
-        "TakeOrderedAndProject — per-partition top-k heap + driver merge, "
-        "never a global sort."),
-    "a1_projection_profile_sum": (
-        "HashAggregate partial -> Exchange -> HashAggregate final: "
-        "map-side combine shrinks the shuffle to one row per key per "
-        "partition."),
+    "lineitem_topk_filtered": (
+        "PushedFilters shows the quantity BETWEEN bounds and the price "
+        "threshold reaching the parquet scan (row-group pruning), then "
+        "TakeOrderedAndProject — per-partition top-k heap + driver "
+        "merge, never a global sort."),
+    "a1_profile_local_minima": (
+        "ReadSchema contains ONLY user_id, value (parquet column pruning "
+        "— the P1 evidence: 2 of 6 columns scanned); HashAggregate "
+        "partial -> Exchange -> HashAggregate final (map-side combine "
+        "shrinks the shuffle to one row per key per partition) before "
+        "the tiny lag/lead window."),
+    "j7_golden_alignment": (
+        "extraction UDF runs NARROW over the pages scan (ArrowEvalPython "
+        "before any Exchange — blobs never shuffle); the alignment "
+        "full-outer join shuffles only url + extracted text."),
     "dedup_minhash_signatures": (
         "single Exchange keyed by doc_id; all 16 lanes min-aggregated in "
         "one pass with partial aggregation (the unpivot happens after "
