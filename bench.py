@@ -96,17 +96,21 @@ def run_default() -> None:
     spark = get_spark(app_name="ocr_spark_bench")
     specs = {s.name: s for s in all_queries()}
     timings: dict[str, float] = {}
+    spreads: list[float] = []
     for name in HEADLINE:
         spec = specs[name]
         # min of 2 runs: the sandbox host shows large external CPU-noise
         # spikes (identical warmed plans vary 5-10x); min is the robust
-        # statistic for "what the plan actually costs".
-        best = float("inf")
+        # statistic for "what the plan actually costs". The per-query
+        # max/min spread is reported as noise_bound so a reader can tell
+        # a real regression from a noisy round (VERDICT r2 #5).
+        runs = []
         for _ in range(2):
             t0 = time.perf_counter()
             _force(spec.spark(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
+        spreads.append(max(runs) / min(runs))
 
     # Extraction throughput segment over the synthetic page corpus.
     from ocr_spark.plans.extract_job import extract_pages
@@ -137,6 +141,13 @@ def run_default() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # host-noise evidence: max/min ratio of the two timed runs per
+        # query — median ~1 means a quiet round, a large max means some
+        # query's min may still sit in a noise spike
+        "noise_bound": {
+            "median_spread": round(statistics.median(spreads), 3),
+            "max_spread": round(max(spreads), 3),
+        },
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()

@@ -388,33 +388,39 @@ def embedding_near_dup_pairs_banded(
     the naive cross join's N^2.
 
     Shape: one explode to (id, band, band_bucket) — never the O(N^2)
-    cross join — a within-(band, bucket) self-join carrying the vectors,
-    exact cosine per hit, then a (id_a, id_b) groupBy that dedups pairs
-    colliding in several bands (shuffles only ids + one float). AQE
-    splits any degenerate bucket.
+    cross join — then a within-(band, bucket) self-join carrying the
+    vectors. Pairs colliding in several bands are deduplicated WITHOUT an
+    extra shuffle by the first-matching-band rule: a pair is emitted only
+    from the smallest band index where it collides (both sides carry the
+    full band-hash array — n_bands small longs — so "no earlier band
+    matched" is a local filter on the join output). Exact cosine runs
+    once per surviving pair. AQE splits any degenerate bucket.
     """
     per = len(planes) // n_bands
     assert per * n_bands == len(planes), "n_bands must divide len(planes)"
-    bands = F.array(*[
-        F.struct(F.lit(i).alias("band"),
-                 lsh_bucket_expr(vec_col, planes[i * per:(i + 1) * per])
-                 .alias("bh"))
+    bands_arr = F.array(*[
+        lsh_bucket_expr(vec_col, planes[i * per:(i + 1) * per])
         for i in range(n_bands)])
     withb = df.select(F.col(id_col), F.col(vec_col),
-                      F.explode(bands).alias("b")) \
-              .select(id_col, vec_col,
-                      F.col("b.band").alias("band"),
-                      F.col("b.bh").alias("bh"))
+                      bands_arr.alias("_bands")) \
+              .select(id_col, vec_col, "_bands",
+                      F.posexplode("_bands").alias("band", "bh"))
     a = withb.select(F.col(id_col).alias("id_a"),
-                     F.col(vec_col).alias("_va"), "band", "bh")
+                     F.col(vec_col).alias("_va"),
+                     F.col("_bands").alias("_ba"), "band", "bh")
     bb = withb.select(F.col(id_col).alias("id_b"),
-                      F.col(vec_col).alias("_vb"), "band", "bh")
+                      F.col(vec_col).alias("_vb"),
+                      F.col("_bands").alias("_bb"), "band", "bh")
+    earlier_match = F.exists(
+        F.zip_with(F.slice("_ba", F.lit(1), F.col("band")),
+                   F.slice("_bb", F.lit(1), F.col("band")),
+                   lambda x, y: x == y),
+        lambda m: m)
     return (a.join(bb, ["band", "bh"])
-            .where(F.col("id_a") < F.col("id_b"))
+            .where((F.col("id_a") < F.col("id_b")) & ~earlier_match)
             .select("id_a", "id_b",
                     F.round(cosine(F.col("_va"), F.col("_vb")),
                             round_to).alias("cos"))
-            .groupBy("id_a", "id_b").agg(F.first("cos").alias("cos"))
             .where(F.col("cos") >= threshold))
 
 

@@ -96,3 +96,22 @@ def test_huge_doc_survives_arrow_batching(spark, corpus):
                          n_buckets=2, salt_n=2)
            .select(F.length("extracted_text").alias("n")).collect())
     assert res and res[0]["n"] > 1_000_000
+
+
+def test_golden_alignment_fixture_deterministic(tmp_path):
+    """The j7_golden_alignment oracle reads a parquet regenerated on
+    demand — its validity rests on the synth corpus being byte-stable
+    across regenerations. Rebuild with the same (n, seed) into a fresh
+    dir and compare every golden row."""
+    import pyarrow.parquet as pq
+
+    from ocr_spark.queries import golden_q
+    from ocr_spark.synth import write_corpus
+
+    fix = golden_q.ensure_fixture()
+    _, fresh_golden = write_corpus(
+        str(tmp_path / "re"), golden_q._N_DOCS, seed=golden_q._SEED)
+    a = pq.read_table(f"{fix}/golden.parquet").to_pylist()
+    b = pq.read_table(fresh_golden).to_pylist()
+    assert len(a) == len(b) == golden_q._N_DOCS
+    assert a == b
