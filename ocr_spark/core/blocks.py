@@ -106,8 +106,10 @@ def segment_blocks(root: Node) -> list[Block]:
             if text:
                 tag, depth, boiler = ctx[-1]
                 n_words = _words(text)
-                a_words = _words(normalize_ws("".join(anchor_frags)))
-                a_words = min(a_words, n_words)
+                # most blocks carry no anchors — skip the second
+                # normalize+split entirely for them
+                a_words = (min(_words(normalize_ws("".join(anchor_frags))),
+                               n_words) if anchor_frags else 0)
                 blocks.append(Block(
                     block_id=len(blocks),
                     tag=tag,

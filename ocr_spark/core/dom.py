@@ -49,20 +49,35 @@ _SCOPE_TAGS = frozenset({
 
 
 class Node:
-    """One element or text node. Children ordered; ids are preorder."""
+    """One element or text node. Children ordered; ids are preorder.
 
-    __slots__ = ("node_id", "tag", "parent", "depth", "children", "attrs", "text")
+    Attributes parse LAZILY from the raw source slice the tokenizer
+    carries (tokenizer.py module docstring): the extraction hot path
+    never reads them, so the parse runs only for consumers that actually
+    call .attr()/.attrs, and only once per node.
+    """
+
+    __slots__ = ("node_id", "tag", "parent", "depth", "children",
+                 "_attr_src", "_attrs", "text")
 
     def __init__(self, node_id: int, tag: str, parent: "Node | None",
-                 attrs: list[tuple[str, str]] | None = None,
+                 attr_src: str = "",
                  text: str | None = None) -> None:
         self.node_id = node_id
         self.tag = tag  # "#text" for text nodes
         self.parent = parent
         self.depth = 0 if parent is None else parent.depth + 1
         self.children: list[Node] = []
-        self.attrs = attrs or []
+        self._attr_src = attr_src
+        self._attrs: list[tuple[str, str]] | None = None
         self.text = text
+
+    @property
+    def attrs(self) -> list[tuple[str, str]]:
+        if self._attrs is None:
+            from ocr_spark.core.tokenizer import _parse_attrs
+            self._attrs = _parse_attrs(self._attr_src)
+        return self._attrs
 
     def attr(self, name: str) -> str | None:
         for k, v in self.attrs:  # first occurrence wins
@@ -96,7 +111,7 @@ def build_dom(tokens: list[tuple]) -> Node:
             next_id += 1
             parent.children.append(node)
         elif kind == "start":
-            tag, attrs, self_closing = tok[1], tok[2], tok[3]
+            tag, attr_src, self_closing = tok[1], tok[2], tok[3]
             closes = _IMPLICIT_CLOSE.get(tag)
             if closes is not None:
                 # Search up the open stack for an implicitly-closeable
@@ -113,7 +128,7 @@ def build_dom(tokens: list[tuple]) -> Node:
                 if idx is not None:
                     del open_stack[idx:]
             parent = open_stack[-1]
-            node = Node(next_id, tag, parent, attrs=attrs)
+            node = Node(next_id, tag, parent, attr_src=attr_src)
             next_id += 1
             parent.children.append(node)
             if tag not in VOID_TAGS and not self_closing:

@@ -11,8 +11,16 @@ costs O(#tags) Python-level iterations, not O(#chars) — the hot inner work
 stays in C string primitives (the "vectorized inner math" discipline of
 BASELINE.json:6).
 
-Token kinds: ("start", tag, attrs, self_closing), ("end", tag),
+Token kinds: ("start", tag, attr_src, self_closing), ("end", tag),
 ("text", data), ("comment", data), ("doctype", data).
+
+attr_src is the RAW attribute soup (the exact source slice between the
+tag name and '>'), parsed on demand via _parse_attrs: nothing in the
+extraction hot path ever reads attributes (block segmentation and link
+density key off tag names alone), so eager per-tag attribute parsing was
+pure overhead — measured ~8% of tokenize+DOM time on the bench mix.
+Consumers that need attributes call Node.attr()/Node.attrs, which parse
+lazily and cache.
 
 Totality: malformed input NEVER raises. Unterminated constructs at EOF are
 consumed silently (dropped); a lone '<' that opens no construct is literal
@@ -81,7 +89,8 @@ def tokenize(html: str) -> TokenStream:
     recoveries = 0
     n = len(html)
     i = 0
-    lower = html.lower()
+    lower = None  # lowercased copy, built lazily on first RAWTEXT tag
+                  # (an O(n) copy most documents never need)
 
     while i < n:
         lt = html.find("<", i)
@@ -156,13 +165,14 @@ def tokenize(html: str) -> TokenStream:
             continue
 
         tag = m.group(1).lower()
-        attrs = _parse_attrs(m.group(2))
         self_closing = m.group(3) == "/"
-        tokens.append(("start", tag, attrs, self_closing))
+        tokens.append(("start", tag, m.group(2), self_closing))
         i = m.end()
 
         # RAWTEXT mode: consume verbatim until the matching close tag.
         if tag in RAWTEXT_TAGS and not self_closing:
+            if lower is None:
+                lower = html.lower()
             close = lower.find("</" + tag, i)
             if close < 0:
                 # Unterminated rawtext: content runs to EOF, no close token.

@@ -1,6 +1,6 @@
 from __future__ import annotations
 
-from ocr_spark.core.tokenizer import tokenize
+from ocr_spark.core.tokenizer import _parse_attrs, tokenize
 
 
 def toks(html):
@@ -13,13 +13,14 @@ def test_plain_text():
 
 def test_simple_tag():
     assert toks("<p>x</p>") == [
-        ("start", "p", [], False), ("text", "x"), ("end", "p")]
+        ("start", "p", "", False), ("text", "x"), ("end", "p")]
 
 
 def test_attrs_quoted_unquoted():
     ts = toks('<a href="/x" class=\'c\' data-k=v disabled>t</a>')
     assert ts[0][0] == "start" and ts[0][1] == "a"
-    attrs = dict(ts[0][2])
+    # tokens carry the RAW attr soup; parsing is lazy (Node.attrs)
+    attrs = dict(_parse_attrs(ts[0][2]))
     assert attrs == {"href": "/x", "class": "c", "data-k": "v",
                      "disabled": ""}
 
@@ -27,12 +28,12 @@ def test_attrs_quoted_unquoted():
 def test_gt_inside_quoted_attr():
     ts = toks('<img alt="a > b">after')
     assert ts[0][:2] == ("start", "img")
-    assert dict(ts[0][2])["alt"] == "a > b"
+    assert dict(_parse_attrs(ts[0][2]))["alt"] == "a > b"
     assert ("text", "after") in ts
 
 
 def test_self_closing():
-    assert toks("<br/>")[0] == ("start", "br", [], True)
+    assert toks("<br/>")[0] == ("start", "br", "", True)
 
 
 def test_comment_and_doctype():
