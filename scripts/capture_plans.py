@@ -83,6 +83,12 @@ CHECKS = {
         "+ running window (last ignorenulls) — no per-left-row probe "
         "join, no range explosion; the union of both sides rides the "
         "same Exchange."),
+    "dedup_embedding_cosine": (
+        "banded LSH near-dup: ONE posexplode to (id, band, bucket), one "
+        "self-join keyed on (band, bucket) — never a cross join — and NO "
+        "pair-dedup Exchange: multi-band collisions are removed by the "
+        "first-matching-band filter (both sides carry the n_bands hash "
+        "array), so exact cosine runs once per surviving pair."),
     "dedup_ngram_jaccard": (
         "shingle document-frequency cap BEFORE the inverted-index "
         "self-join (df <= 5 filter on the aggregated shingle counts) — "
