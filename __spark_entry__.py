@@ -54,6 +54,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (omitted => rows-only check)."""
     from ocr_spark.queries import all_queries
+    from ocr_spark.queries.golden_q import ensure_fixture
 
+    # j7_golden_alignment's oracle reads a deterministic fixture parquet;
+    # materialize it here so DuckDB can run even if the driver evaluates
+    # oracles before invoking the Spark side.
+    ensure_fixture()
     return {spec.name: spec.sql for spec in all_queries()
             if spec.sql is not None}

@@ -35,6 +35,16 @@ import re
 # RAWTEXT elements: content is character data until the matching close tag.
 RAWTEXT_TAGS = frozenset({"script", "style", "textarea", "title", "xmp"})
 
+# ASCII-case-insensitive close-tag search per rawtext tag (HTML5 matches
+# '</script' ASCII-case-insensitively). Searching a lowercased COPY of the
+# document is wrong: str.lower() can change string length ('İ' U+0130
+# lowercases to TWO code points), silently misaligning every rawtext slice
+# after such a character — a Turkish page with İ before a <script> leaked
+# the close tag into the script text and swallowed following content.
+# re.ASCII restricts IGNORECASE to ASCII folding (no 'ſ' matching 's').
+_RAWTEXT_CLOSE_RE = {t: re.compile("</" + t, re.IGNORECASE | re.ASCII)
+                     for t in RAWTEXT_TAGS}
+
 _TAG_NAME_RE = re.compile(r"[a-zA-Z][a-zA-Z0-9:_\-]*")
 _END_TAG_RE = re.compile(r"</\s*([a-zA-Z][a-zA-Z0-9:_\-]*)[^>]*>")
 _ATTR_RE = re.compile(
@@ -89,8 +99,6 @@ def tokenize(html: str) -> TokenStream:
     recoveries = 0
     n = len(html)
     i = 0
-    lower = None  # lowercased copy, built lazily on first RAWTEXT tag
-                  # (an O(n) copy most documents never need)
 
     while i < n:
         lt = html.find("<", i)
@@ -171,9 +179,8 @@ def tokenize(html: str) -> TokenStream:
 
         # RAWTEXT mode: consume verbatim until the matching close tag.
         if tag in RAWTEXT_TAGS and not self_closing:
-            if lower is None:
-                lower = html.lower()
-            close = lower.find("</" + tag, i)
+            cm = _RAWTEXT_CLOSE_RE[tag].search(html, i)
+            close = cm.start() if cm else -1
             if close < 0:
                 # Unterminated rawtext: content runs to EOF, no close token.
                 recoveries += 1

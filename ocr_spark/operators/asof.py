@@ -43,7 +43,8 @@ from pyspark.sql.window import Window
 def asof_join(left: DataFrame, right: DataFrame, keys: list[str],
               ts_col: str, value_cols: list[str],
               prefix: str = "asof_", skew_safe: bool = False,
-              num_partitions: int | None = None) -> DataFrame:
+              num_partitions: int | None = None,
+              materialize: bool = True) -> DataFrame:
     """left columns + ``<prefix><value_col>`` columns (null when no right
     row precedes the left row in its key group).
 
@@ -80,7 +81,7 @@ def asof_join(left: DataFrame, right: DataFrame, keys: list[str],
     if skew_safe:
         return _asof_range_partitioned(
             left, right, merged, keys, ts_col, value_cols, out_names,
-            payload, num_partitions)
+            payload, num_partitions, materialize)
     w = (Window.partitionBy(*keys)
          .orderBy(ts_col, "_side")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -95,7 +96,8 @@ def _asof_range_partitioned(left: DataFrame, right: DataFrame,
                             merged: DataFrame, keys: list[str],
                             ts_col: str, value_cols: list[str],
                             out_names: list[str], payload: str,
-                            num_partitions: int | None) -> DataFrame:
+                            num_partitions: int | None,
+                            materialize: bool) -> DataFrame:
     """Skew-safe as-of: range-partition the tagged union by (keys, ts,
     side) so a hot key spans many partitions, fill the running
     last-right-payload per partition with a vectorized pandas group-ffill,
@@ -116,6 +118,14 @@ def _asof_range_partitioned(left: DataFrame, right: DataFrame,
     holds more than ~rows/num_partitions rows, hot key or not. Equal
     (keys, ts, side) tuples land in one partition (RangePartitioner maps
     equal tuples together), so right-before-left tie order is preserved.
+
+    Unlike the lazy window path, this mode is EAGER by default
+    (materialize=True): the boundary pass already runs a job, and the
+    fill output is localCheckpointed so the cached union and the carry
+    broadcast can be released before returning — repeated skew_safe
+    calls do not accumulate cached copies of their inputs.
+    materialize=False returns the lazy fill plan (useful for plan
+    inspection) and leaves the union cached until the context GCs it.
     """
     spark = merged.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
@@ -222,4 +232,9 @@ def _asof_range_partitioned(left: DataFrame, right: DataFrame,
             yield out
             cur_key, cur_payload = _scan_batch(pdf, cur_key, cur_payload)
 
-    return part.mapInPandas(fill_fn, schema=out_schema)
+    res = part.mapInPandas(fill_fn, schema=out_schema)
+    if materialize:
+        res = res.localCheckpoint(eager=True)
+        part.unpersist()
+        bc_carry.unpersist()
+    return res

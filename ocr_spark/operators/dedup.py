@@ -141,7 +141,12 @@ def dedup_components(pairs: DataFrame, max_iters: int = 25,
     long multi-round job cannot recompute). Pass a reliable directory
     (HDFS/object store on a cluster) to use eager ``checkpoint`` instead:
     each round's labels are persisted to fault-tolerant storage, the
-    correct setting for production runs.
+    correct setting for production runs. The SparkContext's global
+    checkpoint dir is restored afterwards (setting it is unavoidably a
+    context-wide mutation). Checkpoint FILES are not auto-deleted
+    (spark.cleaner.referenceTracking.cleanCheckpoints defaults to false)
+    — point checkpoint_dir at a per-run path and clean it with the run's
+    scratch space.
 
     Raises RuntimeError if max_iters is exhausted before convergence —
     partially-propagated labels are WRONG components, never returned
@@ -149,8 +154,12 @@ def dedup_components(pairs: DataFrame, max_iters: int = 25,
     the default 25 covers any graph a duplicate cluster can produce
     (diameter up to ~2^25).
     """
+    prev_ckpt_dir = None
     if checkpoint_dir is not None:
-        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        sc = pairs.sparkSession.sparkContext
+        prev = sc._jsc.sc().getCheckpointDir()
+        prev_ckpt_dir = prev.get() if prev.isDefined() else None
+        sc.setCheckpointDir(checkpoint_dir)
 
         def ckpt(df: DataFrame) -> DataFrame:
             return df.checkpoint(eager=True)
@@ -158,6 +167,15 @@ def dedup_components(pairs: DataFrame, max_iters: int = 25,
         def ckpt(df: DataFrame) -> DataFrame:
             return df.localCheckpoint(eager=True)
 
+    try:
+        return _propagate_components(pairs, max_iters, ckpt)
+    finally:
+        if prev_ckpt_dir is not None:
+            pairs.sparkSession.sparkContext.setCheckpointDir(prev_ckpt_dir)
+
+
+def _propagate_components(pairs: DataFrame, max_iters: int,
+                          ckpt) -> DataFrame:
     edges = ckpt(pairs.select(F.col("id_a").alias("src"),
                               F.col("id_b").alias("dst"))
                  .union(pairs.select(F.col("id_b").alias("src"),

@@ -181,9 +181,17 @@ def centroid_assign_udf(df: DataFrame, centroids: list[list[float]]):
     def assign(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype="int32")
-        V = np.array(vecs.tolist(), dtype=np.float64)
-        sims = np.round(_cosine_matrix(V, bc.value), ARGMAX_ROUND)
-        return pd.Series(np.argmax(sims, axis=1) + 1, dtype="int32")
+        # NULL vectors assign NULL (matching the expression path, whose
+        # cosine over a null array is null) — mask them out of the matmul
+        # instead of letting np.array build an object array and crash.
+        valid = vecs.notna()
+        out = pd.Series([None] * len(vecs), dtype="object",
+                        index=vecs.index)
+        if valid.any():
+            V = np.array(vecs[valid].tolist(), dtype=np.float64)
+            sims = np.round(_cosine_matrix(V, bc.value), ARGMAX_ROUND)
+            out[valid] = (np.argmax(sims, axis=1) + 1).tolist()
+        return out
 
     return assign
 

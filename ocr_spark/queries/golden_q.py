@@ -39,20 +39,33 @@ _LEV_PREFIX = 2000
 
 
 def ensure_fixture() -> str:
-    """Materialize the alignment corpus (idempotent, atomic, no Spark)."""
+    """Materialize the alignment corpus (idempotent, atomic, no Spark).
+
+    Runs at QUERY time, never at import time (import of the registry must
+    stay pure — no multi-second corpus I/O, importable from a read-only
+    checkout). A directory without the _READY marker (interrupted write,
+    partial copy) is rebuilt, never trusted."""
     marker = os.path.join(FIXTURE_DIR, "_READY")
     if not os.path.exists(marker):
         import shutil
         import uuid
 
         from ocr_spark.synth import write_corpus
+        if os.path.isdir(FIXTURE_DIR):   # stale partial dir: rebuild
+            shutil.rmtree(FIXTURE_DIR, ignore_errors=True)
         tmp = FIXTURE_DIR + f".tmp-{uuid.uuid4().hex[:8]}"
         write_corpus(tmp, _N_DOCS, seed=_SEED)
         open(os.path.join(tmp, "_READY"), "w").close()
         try:
             os.rename(tmp, FIXTURE_DIR)
-        except OSError:  # lost a concurrent race: keep the winner
+        except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
+            # lost a concurrent race — valid only if the winner FINISHED
+            if not os.path.exists(marker):
+                raise RuntimeError(
+                    f"golden fixture at {FIXTURE_DIR} exists without its "
+                    f"_READY marker and could not be replaced; remove it "
+                    f"and retry")
     return FIXTURE_DIR
 
 
@@ -86,7 +99,10 @@ def _spark(spark, sf):
 
 
 def _oracle_sql() -> str:
-    ensure_fixture()
+    # Pure string construction — the fixture path is deterministic, so
+    # nothing needs to exist at import time. Materialization happens in
+    # the Spark fn and in __spark_entry__.oracle_sql() (whichever the
+    # driver calls first).
     golden = os.path.join(FIXTURE_DIR, "golden.parquet")
     return (
         "SELECT url, CAST(0 AS INT) AS edit_dist, "

@@ -153,13 +153,21 @@ def run_streaming_dedup(
     With a TTL, availableNow never self-terminates: processing-time
     timers make MicroBatchExecution keep scheduling (empty) batches to
     fire them, forever. Production TTL streams run continuously anyway;
-    for this bounded entry point we drain the source, wait out the TTL
-    (a processing-time timer set during the data batches cannot be DUE
-    before ttl_ms has elapsed — empty batches that finish earlier fire
-    nothing and must not count), then require two empty batches that
-    STARTED after that point (those do expire every due timer), then stop
-    the query — the checkpoint stays consistent because stop() lands on
-    batch boundaries.
+    for this bounded entry point we drain the source, wait ttl_ms past
+    the LAST data batch we observed (a processing-time timer is due
+    ttl_ms after the batch that set it — empty batches finishing earlier
+    fire nothing and must not count), then require two empty batches
+    whose batchId is newer than everything seen at that point (those do
+    expire every due timer), then stop the query — the checkpoint stays
+    consistent because stop() lands on batch boundaries.
+
+    Bookkeeping is by batchId, never by position in q.recentProgress:
+    that list is a ring buffer (spark.sql.streaming.numRecentProgress-
+    Updates, default 100), so with a long TTL the index-based view of
+    "fresh" entries can be permanently empty while batches keep running.
+    The TTL anchor is our observation time of the newest data batch — an
+    upper bound on when its timers were set, so waiting ttl_ms from it
+    is always sufficient (t_start seeds it conservatively).
     """
     import time as _time
 
@@ -176,19 +184,30 @@ def run_streaming_dedup(
         q.awaitTermination()
         return
     deadline = _time.time() + 120
-    n_before_ttl = None
+    last_data_seen = t_start      # observation time of newest data batch
+    last_data_batch = -1
+    gate_batch = None             # newest batchId visible when TTL elapsed
     while _time.time() < deadline:
         if q.awaitTermination(1):
             return
-        if _time.time() - t_start < ttl_ms / 1000.0:
-            continue  # timers set this invocation cannot be due yet
         prog = q.recentProgress
-        if n_before_ttl is None:
-            n_before_ttl = len(prog)
+        if not prog:
             continue
-        fresh = prog[n_before_ttl:]
-        if (len(fresh) >= 2
-                and all(p["numInputRows"] == 0 for p in fresh[-2:])):
+        newest_data = max((p["batchId"] for p in prog
+                           if p["numInputRows"] > 0), default=-1)
+        if newest_data > last_data_batch:
+            last_data_batch = newest_data
+            last_data_seen = _time.time()
+            gate_batch = None     # new data resets the drain gate
+        if _time.time() - last_data_seen < ttl_ms / 1000.0:
+            continue              # timers from that batch not due yet
+        if gate_batch is None:
+            gate_batch = max(p["batchId"] for p in prog)
+            continue
+        fresh_empty = [p["batchId"] for p in prog
+                       if p["batchId"] > gate_batch
+                       and p["numInputRows"] == 0]
+        if len(fresh_empty) >= 2:
             break
     q.stop()
     q.awaitTermination()

@@ -549,7 +549,11 @@ def test_asof_join_skew_safe_matches_window_path(spark):
     got = asof_join(left, right, ["user_id"], "ts", ["value"],
                     skew_safe=True, num_partitions=8)
 
-    plan = got._jdf.queryExecution().executedPlan().toString()
+    # default (materialized) output is checkpoint-truncated; inspect the
+    # lazy form for the range-partitioning evidence
+    lazy = asof_join(left, right, ["user_id"], "ts", ["value"],
+                     skew_safe=True, num_partitions=8, materialize=False)
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan.lower()
 
     a = {r["row_id"]: r["asof_value"] for r in ref.collect()}
@@ -591,3 +595,60 @@ def test_banded_near_dup_beats_single_band_recall(spark):
     assert single <= banded
     assert len(banded & planted) > len(single & planted)
     assert len(banded & planted) >= 25  # real recall, not a fluke
+
+
+def test_asof_join_skew_safe_randomized_parity(spark):
+    """Randomized adversarial parity: several seeds of irregular
+    key/ts/NULL mixes (duplicate left timestamps, keys with no right
+    rows, right rows after all left rows) — skew_safe output must equal
+    the window path row-for-row at several partition counts, including
+    num_partitions larger than the row count (empty partitions)."""
+    import datetime as _dt
+    import random
+
+    from ocr_spark.operators.asof import asof_join
+
+    base = _dt.datetime(2025, 3, 1)
+    for seed, nparts in [(1, 4), (2, 16), (3, 64)]:
+        rng = random.Random(seed)
+        keys = list(range(1, 8))
+        left_rows = [(rng.choice(keys),
+                      base + _dt.timedelta(seconds=rng.randrange(0, 300)),
+                      i)
+                     for i in range(250)]
+        right_rows = [(rng.choice(keys[:-2]),   # last 2 keys: no right rows
+                       base + _dt.timedelta(seconds=rng.randrange(0, 300)),
+                       None if rng.random() < 0.2 else
+                       round(rng.random() * 100, 4))
+                      for _ in range(60)]
+        # dedupe right on (key, ts) — ambiguous duplicates are the
+        # documented precondition
+        seen = {}
+        for k, t, v in right_rows:
+            seen[(k, t)] = v
+        right_rows = [(k, t, v) for (k, t), v in sorted(seen.items())]
+        left = spark.createDataFrame(
+            left_rows, "user_id int, ts timestamp, row_id int")
+        right = spark.createDataFrame(
+            right_rows, "user_id int, ts timestamp, value double")
+        ref = {r["row_id"]: r["asof_value"] for r in asof_join(
+            left, right, ["user_id"], "ts", ["value"]).collect()}
+        got = {r["row_id"]: r["asof_value"] for r in asof_join(
+            left, right, ["user_id"], "ts", ["value"],
+            skew_safe=True, num_partitions=nparts).collect()}
+        assert got == ref, (seed, nparts)
+
+
+def test_ivf_batched_null_vectors_match_expression_path(spark):
+    """NULL embeddings must assign NULL in BOTH quantizer paths (the
+    batched UDF previously crashed on them)."""
+    rows = [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    a = {r["vec_id"]: r["centroid"] for r in
+         S.ivf_assign(df, "vec_id", "embedding", cents,
+                      batched=False).collect()}
+    b = {r["vec_id"]: r["centroid"] for r in
+         S.ivf_assign(df, "vec_id", "embedding", cents,
+                      batched=True).collect()}
+    assert a == b == {1: 1, 2: None, 3: 2}

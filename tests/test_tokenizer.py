@@ -100,3 +100,27 @@ def test_total_on_random_bytes():
     for _ in range(200):
         s = "".join(chr(rng.randrange(32, 127)) for _ in range(rng.randrange(0, 200)))
         tokenize(s)
+
+
+def test_rawtext_close_after_length_changing_unicode():
+    """Regression: 'İ' (U+0130) lowercases to TWO code points, so a
+    lowercased-copy search misaligns every index after it — the script
+    close tag leaked into the script text and following content was
+    swallowed. Close-tag search must be ASCII-case-insensitive on the
+    ORIGINAL string."""
+    ts = toks("<p>İstanbul İzmir İstanbul</p>"
+              "<script>var x=1;</script><p>after</p>")
+    script_text = [t[1] for t in ts if t[0] == "text"]
+    assert "var x=1;" in script_text
+    assert ("text", "after") in ts
+    # and ASCII-case-insensitive close still matched (</SCRIPT etc.)
+    ts2 = toks("<p>İİİ</p><script>y</SCRIPT>z")
+    assert ("text", "y") in ts2 and ("text", "z") in ts2
+
+
+def test_rawtext_close_not_full_unicode_casefold():
+    """HTML5 close-tag matching is ASCII-case-insensitive only: 'ſ'
+    (LATIN SMALL LETTER LONG S) must NOT close a <script>."""
+    s = tokenize("<script>a</ſcript>b</script>")
+    text = "".join(t[1] for t in s.tokens if t[0] == "text")
+    assert text == "a</ſcript>b"
