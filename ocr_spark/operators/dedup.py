@@ -133,8 +133,9 @@ def dedup_components(pairs: DataFrame, max_iters: int = 25,
     doubles per iteration and re-evaluates the whole history each round
     (measured: 2.2s -> 31s by iteration 4 on 1.6k edges). This is the
     standard Spark iterative-graph discipline; for trillion-edge graphs
-    you would switch to large-star/small-star (Kiveris et al.,
-    "Connected Components in MapReduce", SoCC 2014 — public method).
+    use :func:`dedup_components_star` (same output contract, edge-only
+    state, hub-splitting rounds — tested equivalent on every graph
+    shape including the hot-hub case).
 
     ``checkpoint_dir=None`` uses eager ``localCheckpoint`` (executor-local
     blocks — fast, but executor loss kills lineage-truncated data, so a
@@ -154,6 +155,55 @@ def dedup_components(pairs: DataFrame, max_iters: int = 25,
     the default 25 covers any graph a duplicate cluster can produce
     (diameter up to ~2^25).
     """
+    return _run_with_ckpt(pairs, checkpoint_dir,
+                          lambda ckpt: _propagate_components(
+                              pairs, max_iters, ckpt))
+
+
+def dedup_components_star(pairs: DataFrame, max_iters: int = 50,
+                          checkpoint_dir: str | None = None) -> DataFrame:
+    """Same contract as :func:`dedup_components` — (doc_id, component)
+    with component = the minimum id reachable through the pair graph —
+    via alternating LARGE-STAR / SMALL-STAR rounds (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014 — public
+    method). This is the trillion-edge execution strategy the
+    pointer-jumping docstring cites:
+
+      * state is the EDGE LIST only — no (node, label) table joined
+        against the edges every round, so per-round shuffle volume is
+        O(|E|) grouped-aggregate traffic, all partial-aggregated;
+      * high-degree hubs split by construction: large-star re-points
+        every neighbor LARGER than a node to the minimum of its
+        neighborhood, so a giant star's fan-in lands on the min node in
+        one round instead of serializing a skewed label join;
+      * O(log n) rounds to a fixpoint (proved in the paper).
+
+    large-star (over both edge orientations): for each node u with
+    neighborhood N(u), m = min(N(u) + [u]); emit (v, m) for every
+    v in N(u) with v > u. small-star (over big->small orientation):
+    m = min(N(u) + [u]); emit (v, m) for v in N(u) + [u], v != m. At the
+    fixpoint the edge set is a star per component, every node pointing
+    at its component minimum.
+
+    Convergence is detected by exact set equality (two subtracts) —
+    O(|E|) but safe; at planetary scale compare (count, checksum) per
+    round instead and accept the astronomically-unlikely false stop.
+    Ids may be any orderable type (ints, url strings): `greatest/least`
+    and `min` use the same ordering as the label-propagation path, so
+    both strategies pick identical canonical survivors.
+
+    checkpoint_dir semantics and the non-convergence RuntimeError match
+    :func:`dedup_components`.
+    """
+    return _run_with_ckpt(pairs, checkpoint_dir,
+                          lambda ckpt: _star_components(
+                              pairs, max_iters, ckpt))
+
+
+def _run_with_ckpt(pairs: DataFrame, checkpoint_dir: str | None, body):
+    """Run body(ckpt) with eager localCheckpoint (default) or eager
+    reliable checkpoint into checkpoint_dir, restoring the context's
+    previous checkpoint dir afterwards."""
     prev_ckpt_dir = None
     if checkpoint_dir is not None:
         sc = pairs.sparkSession.sparkContext
@@ -168,7 +218,7 @@ def dedup_components(pairs: DataFrame, max_iters: int = 25,
             return df.localCheckpoint(eager=True)
 
     try:
-        return _propagate_components(pairs, max_iters, ckpt)
+        return body(ckpt)
     finally:
         if prev_ckpt_dir is not None:
             pairs.sparkSession.sparkContext.setCheckpointDir(prev_ckpt_dir)
@@ -222,6 +272,55 @@ def _propagate_components(pairs: DataFrame, max_iters: int,
             f"max_iters — pointer jumping needs only O(log diameter) "
             f"rounds.")
     return labels.select(F.col("node").alias("doc_id"), "component")
+
+
+def _star_components(pairs: DataFrame, max_iters: int, ckpt) -> DataFrame:
+    raw = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    # nodes BEFORE dropping self-loops: a doc whose only pair is (x, x)
+    # is its own component, exactly as label propagation resolves it
+    nodes = ckpt(raw.select(F.col("a").alias("node"))
+                 .union(raw.select(F.col("b").alias("node"))).distinct())
+    # canonical big->small orientation, self-loops dropped
+    edges = ckpt(raw.where(F.col("a") != F.col("b"))
+                 .select(F.greatest("a", "b").alias("src"),
+                         F.least("a", "b").alias("dst")).distinct())
+    converged = False
+    for _ in range(max_iters):
+        both = edges.union(edges.select(F.col("dst").alias("src"),
+                                        F.col("src").alias("dst")))
+        lmins = (both.groupBy("src").agg(F.min("dst").alias("mn"))
+                 .select("src", F.least("mn", F.col("src")).alias("m")))
+        # large-star emits (v, m) for v > u: src=v > u >= m keeps the
+        # big->small orientation with no self-loops
+        ls = (both.join(lmins, "src")
+              .where(F.col("dst") > F.col("src"))
+              .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+              .distinct())
+        smins = ls.groupBy("src").agg(F.min("dst").alias("m"))
+        ss = (ls.join(smins, "src")
+              .where(F.col("dst") != F.col("m"))
+              .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+              .union(smins.select("src", F.col("m").alias("dst")))
+              .distinct())
+        new_edges = ckpt(ss)
+        changed = (new_edges.subtract(edges).count()
+                   + edges.subtract(new_edges).count())
+        edges = new_edges
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"dedup_components_star did not converge in {max_iters} "
+            f"rounds (edge set still changing); returning would hand the "
+            f"caller a non-star (wrong) edge set. Raise max_iters — "
+            f"large-star/small-star needs only O(log n) rounds.")
+    comp = edges.select(F.col("src").alias("doc_id"),
+                        F.col("dst").alias("component"))
+    roots = (nodes.join(comp, nodes.node == comp.doc_id, "left_anti")
+             .select(F.col("node").alias("doc_id"),
+                     F.col("node").alias("component")))
+    return comp.union(roots)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str,
