@@ -176,7 +176,9 @@ def dedup_components_star(pairs: DataFrame, max_iters: int = 50,
         every neighbor LARGER than a node to the minimum of its
         neighborhood, so a giant star's fan-in lands on the min node in
         one round instead of serializing a skewed label join;
-      * O(log n) rounds to a fixpoint (proved in the paper).
+      * O(log^2 n) rounds to a fixpoint PROVED for this alternating
+        variant in the paper; O(log n) observed in practice (also per
+        the paper's experiments).
 
     large-star (over both edge orientations): for each node u with
     neighborhood N(u), m = min(N(u) + [u]); emit (v, m) for every
@@ -314,7 +316,8 @@ def _star_components(pairs: DataFrame, max_iters: int, ckpt) -> DataFrame:
             f"dedup_components_star did not converge in {max_iters} "
             f"rounds (edge set still changing); returning would hand the "
             f"caller a non-star (wrong) edge set. Raise max_iters — "
-            f"large-star/small-star needs only O(log n) rounds.")
+            f"large-star/small-star converges in O(log n) rounds in "
+            f"practice (O(log^2 n) proved worst case).")
     comp = edges.select(F.col("src").alias("doc_id"),
                         F.col("dst").alias("component"))
     roots = (nodes.join(comp, nodes.node == comp.doc_id, "left_anti")

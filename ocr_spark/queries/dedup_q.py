@@ -131,15 +131,18 @@ _COMPONENTS_SQL = (
 
 
 @q("dedup_cluster_components", _COMPONENTS_SQL,
-   "near-dup pairs -> duplicate clusters via iterative min-label "
-   "propagation (connected components); survivor selection = keep "
-   "component id, drop the rest")
+   "near-dup pairs -> duplicate clusters (connected components) via the "
+   "large-star/small-star edge-only strategy — the trillion-edge path, "
+   "so the driver oracle exercises it; the pointer-jumping strategy is "
+   "pytest-verified equivalent on every graph shape "
+   "(test_dedup_components_star_matches_pointer_jumping); survivor "
+   "selection = keep component id, drop the rest")
 def cluster_components(spark, sf):
     d = load(spark, sf, "documents")
     sig = D.minhash_signatures(d, "doc_id", "text", N_HASHES)
     buckets = D.lsh_band_buckets(sig, "doc_id", BAND_SIZE)
     pairs = D.lsh_candidate_pairs(buckets, "doc_id")
-    return D.dedup_components(pairs)
+    return D.dedup_components_star(pairs)
 
 
 MAX_SHINGLE_DF = D.DEFAULT_MAX_SHINGLE_DF
