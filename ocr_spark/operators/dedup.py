@@ -276,6 +276,31 @@ def _propagate_components(pairs: DataFrame, max_iters: int,
     return labels.select(F.col("node").alias("doc_id"), "component")
 
 
+def _star_round(edges: DataFrame) -> DataFrame:
+    """One alternating large-star + small-star round over a big->small
+    edge set; returns the new edge set (same orientation, no self-loops).
+    Split out so the per-round physical plan can be captured on its own
+    (scripts/capture_plans.py): the whole round is grouped-aggregate +
+    equi-join traffic keyed by src — edge-only state, no node-label
+    table."""
+    both = edges.union(edges.select(F.col("dst").alias("src"),
+                                    F.col("src").alias("dst")))
+    lmins = (both.groupBy("src").agg(F.min("dst").alias("mn"))
+             .select("src", F.least("mn", F.col("src")).alias("m")))
+    # large-star emits (v, m) for v > u: src=v > u >= m keeps the
+    # big->small orientation with no self-loops
+    ls = (both.join(lmins, "src")
+          .where(F.col("dst") > F.col("src"))
+          .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+          .distinct())
+    smins = ls.groupBy("src").agg(F.min("dst").alias("m"))
+    return (ls.join(smins, "src")
+            .where(F.col("dst") != F.col("m"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .union(smins.select("src", F.col("m").alias("dst")))
+            .distinct())
+
+
 def _star_components(pairs: DataFrame, max_iters: int, ckpt) -> DataFrame:
     raw = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     # nodes BEFORE dropping self-loops: a doc whose only pair is (x, x)
@@ -288,23 +313,7 @@ def _star_components(pairs: DataFrame, max_iters: int, ckpt) -> DataFrame:
                          F.least("a", "b").alias("dst")).distinct())
     converged = False
     for _ in range(max_iters):
-        both = edges.union(edges.select(F.col("dst").alias("src"),
-                                        F.col("src").alias("dst")))
-        lmins = (both.groupBy("src").agg(F.min("dst").alias("mn"))
-                 .select("src", F.least("mn", F.col("src")).alias("m")))
-        # large-star emits (v, m) for v > u: src=v > u >= m keeps the
-        # big->small orientation with no self-loops
-        ls = (both.join(lmins, "src")
-              .where(F.col("dst") > F.col("src"))
-              .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-              .distinct())
-        smins = ls.groupBy("src").agg(F.min("dst").alias("m"))
-        ss = (ls.join(smins, "src")
-              .where(F.col("dst") != F.col("m"))
-              .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-              .union(smins.select("src", F.col("m").alias("dst")))
-              .distinct())
-        new_edges = ckpt(ss)
+        new_edges = ckpt(_star_round(edges))
         changed = (new_edges.subtract(edges).count()
                    + edges.subtract(new_edges).count())
         edges = new_edges

@@ -94,10 +94,25 @@ CHECKS = {
         "self-join (df <= 5 filter on the aggregated shingle counts) — "
         "bounds per-key fan-out to df*(df-1)/2 candidate pairs; without "
         "it common shingles are hot keys with near-quadratic blowup."),
+    "dedup_components_star_round": (
+        "ONE large-star/small-star round (the per-iteration unit of the "
+        "registered dedup_cluster_components query): state is the EDGE "
+        "LIST only — every shuffle is either a partial-aggregated "
+        "HashAggregate min keyed by src or an equi-join on src, so "
+        "per-round traffic is O(|E|) with map-side combine and no "
+        "(node, label) table rides along. High-degree hubs split by "
+        "construction (large-star re-points all larger neighbors at the "
+        "neighborhood min), so there is no skewed label join to salt. "
+        "The INITIAL plan below shows the large-star subtree three times "
+        "(feeding smins and both join sides) — verified NOT to "
+        "re-execute: the final adaptive plan reuses the identical "
+        "shuffle stages (3 ReusedExchange nodes, 7 distinct "
+        "ShuffleQueryStages from the 11 static Exchanges)."),
 }
 
 
 def main() -> None:
+    from pyspark.sql import functions as F
     from ocr_spark.plans.extract_job import extract_pages
     from ocr_spark.queries import all_queries
     from ocr_spark.session import get_spark
@@ -131,6 +146,28 @@ def main() -> None:
             df = extract_pages(
                 spark.read.parquet(pages_path),
                 n_buckets=64, salt_n=8)
+        elif name == "dedup_components_star_round":
+            # The registered dedup_cluster_components query is iterative
+            # (eager checkpoints between rounds), so its final plan is a
+            # union over checkpointed RDD scans — capture the ROUND
+            # transformation instead, over the same candidate pairs the
+            # query feeds it.
+            from ocr_spark.operators import dedup as D
+            from ocr_spark.queries.dedup_q import BAND_SIZE, N_HASHES
+            from ocr_spark.queries import load
+            d = load(spark, SF, "documents")
+            sig = D.minhash_signatures(d, "doc_id", "text", N_HASHES)
+            buckets = D.lsh_band_buckets(sig, "doc_id", BAND_SIZE)
+            pairs = D.lsh_candidate_pairs(buckets, "doc_id")
+            # Rounds execute over the PREVIOUS round's eager checkpoint
+            # (lineage truncated), so the per-round plan as actually run
+            # starts from the checkpoint scan — mirror that here, or the
+            # dump inlines the whole minhash pipeline several times over.
+            edges = (pairs.where(F.col("id_a") != F.col("id_b"))
+                     .select(F.greatest("id_a", "id_b").alias("src"),
+                             F.least("id_a", "id_b").alias("dst"))
+                     .distinct().localCheckpoint(eager=True))
+            df = D._star_round(edges)
         else:
             df = specs[name].spark(spark, SF)
         buf = io.StringIO()
