@@ -144,10 +144,12 @@ def dedup_components(pairs: DataFrame, max_iters: int = 25,
     each round's labels are persisted to fault-tolerant storage, the
     correct setting for production runs. The SparkContext's global
     checkpoint dir is restored afterwards (setting it is unavoidably a
-    context-wide mutation). Checkpoint FILES are not auto-deleted
-    (spark.cleaner.referenceTracking.cleanCheckpoints defaults to false)
-    — point checkpoint_dir at a per-run path and clean it with the run's
-    scratch space.
+    context-wide mutation). Superseded rounds are freed EAGERLY (blocks
+    unpersisted, reliable rdd-N dirs deleted) the moment the next round
+    lands, so the live working set is O(|E|), not O(rounds x |E|); only
+    the FINAL round's storage — which backs the returned DataFrame —
+    outlives the call, so still point checkpoint_dir at a per-run path
+    cleaned with the run's scratch space.
 
     Raises RuntimeError if max_iters is exhausted before convergence —
     partially-propagated labels are WRONG components, never returned
@@ -195,7 +197,12 @@ def dedup_components_star(pairs: DataFrame, max_iters: int = 50,
     both strategies pick identical canonical survivors.
 
     checkpoint_dir semantics and the non-convergence RuntimeError match
-    :func:`dedup_components`.
+    :func:`dedup_components`. The default ``max_iters=50`` is a guard
+    sized to the OBSERVED behavior (the paper measures single-digit
+    round counts even on trillion-edge graphs), ~5x margin included —
+    not to the proved O(log^2 n) worst case, which for a pathological
+    graph would exceed it and raise loudly; pass a larger ``max_iters``
+    then rather than trusting a silent cap.
     """
     return _run_with_ckpt(pairs, checkpoint_dir,
                           lambda ckpt: _star_components(
@@ -224,6 +231,31 @@ def _run_with_ckpt(pairs: DataFrame, checkpoint_dir: str | None, body):
     finally:
         if prev_ckpt_dir is not None:
             pairs.sparkSession.sparkContext.setCheckpointDir(prev_ckpt_dir)
+
+
+def _release_ckpt(df: DataFrame) -> None:
+    """Deterministically free the storage behind a ckpt()-produced round
+    once it is superseded (nothing downstream references it): unpersist
+    the backing RDD's blocks, and in reliable-checkpoint mode also
+    delete its rdd-N directory. Without this an N-round run holds N
+    copies of the O(|E|) working set until the nondeterministic
+    ContextCleaner gets to them (py4j references delay GC) — exactly
+    wrong at the scale the star path targets. Best-effort: on any
+    failure cleanup falls back to the ContextCleaner."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() != "LogicalRDD":
+            return
+        jrdd = plan.rdd()
+        ckpt_file = jrdd.getCheckpointFile()
+        jrdd.unpersist(False)
+        if ckpt_file.isDefined():
+            sc = df.sparkSession.sparkContext
+            path = sc._jvm.org.apache.hadoop.fs.Path(ckpt_file.get())
+            fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
+            fs.delete(path, True)
+    except Exception:
+        pass
 
 
 def _propagate_components(pairs: DataFrame, max_iters: int,
@@ -262,6 +294,7 @@ def _propagate_components(pairs: DataFrame, max_iters: int,
                    .join(labels.alias("o"), "node")
                    .where(F.col("n.component") != F.col("o.component"))
                    .count())
+        _release_ckpt(labels)
         labels = new_labels
         if changed == 0:
             converged = True
@@ -273,7 +306,18 @@ def _propagate_components(pairs: DataFrame, max_iters: int,
             f"caller partially-propagated (wrong) components. Raise "
             f"max_iters — pointer jumping needs only O(log diameter) "
             f"rounds.")
+    _release_ckpt(edges)  # the returned plan references only labels
     return labels.select(F.col("node").alias("doc_id"), "component")
+
+
+def _canonical_edges(pairs: DataFrame) -> DataFrame:
+    """Big->small oriented, self-loop-free, distinct edge set from a
+    candidate-pair list (id_a, id_b) — the round-input shape of the star
+    strategy. Shared with scripts/capture_plans.py so the captured
+    per-round plan cannot drift from what the operator actually runs."""
+    return (pairs.where(F.col("id_a") != F.col("id_b"))
+            .select(F.greatest("id_a", "id_b").alias("src"),
+                    F.least("id_a", "id_b").alias("dst")).distinct())
 
 
 def _star_round(edges: DataFrame) -> DataFrame:
@@ -302,20 +346,18 @@ def _star_round(edges: DataFrame) -> DataFrame:
 
 
 def _star_components(pairs: DataFrame, max_iters: int, ckpt) -> DataFrame:
-    raw = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     # nodes BEFORE dropping self-loops: a doc whose only pair is (x, x)
     # is its own component, exactly as label propagation resolves it
-    nodes = ckpt(raw.select(F.col("a").alias("node"))
-                 .union(raw.select(F.col("b").alias("node"))).distinct())
-    # canonical big->small orientation, self-loops dropped
-    edges = ckpt(raw.where(F.col("a") != F.col("b"))
-                 .select(F.greatest("a", "b").alias("src"),
-                         F.least("a", "b").alias("dst")).distinct())
+    nodes = ckpt(pairs.select(F.col("id_a").alias("node"))
+                 .union(pairs.select(F.col("id_b").alias("node")))
+                 .distinct())
+    edges = ckpt(_canonical_edges(pairs))
     converged = False
     for _ in range(max_iters):
         new_edges = ckpt(_star_round(edges))
         changed = (new_edges.subtract(edges).count()
                    + edges.subtract(new_edges).count())
+        _release_ckpt(edges)
         edges = new_edges
         if changed == 0:
             converged = True

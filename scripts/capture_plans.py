@@ -102,7 +102,11 @@ CHECKS = {
         "per-round traffic is O(|E|) with map-side combine and no "
         "(node, label) table rides along. High-degree hubs split by "
         "construction (large-star re-points all larger neighbors at the "
-        "neighborhood min), so there is no skewed label join to salt. "
+        "neighborhood min), so skew DECAYS round over round instead of "
+        "recurring as it would in a per-round label join — but the "
+        "FIRST round's equi-join on src still sees the raw hub degree "
+        "(only the aggregate mins are skew-free via partial agg), so "
+        "keep AQE skewJoin enabled for that stage. "
         "The INITIAL plan below shows the large-star subtree three times "
         "(feeding smins and both join sides) — verified NOT to "
         "re-execute: the final adaptive plan reuses the identical "
@@ -112,7 +116,6 @@ CHECKS = {
 
 
 def main() -> None:
-    from pyspark.sql import functions as F
     from ocr_spark.plans.extract_job import extract_pages
     from ocr_spark.queries import all_queries
     from ocr_spark.session import get_spark
@@ -163,10 +166,7 @@ def main() -> None:
             # (lineage truncated), so the per-round plan as actually run
             # starts from the checkpoint scan — mirror that here, or the
             # dump inlines the whole minhash pipeline several times over.
-            edges = (pairs.where(F.col("id_a") != F.col("id_b"))
-                     .select(F.greatest("id_a", "id_b").alias("src"),
-                             F.least("id_a", "id_b").alias("dst"))
-                     .distinct().localCheckpoint(eager=True))
+            edges = D._canonical_edges(pairs).localCheckpoint(eager=True)
             df = D._star_round(edges)
         else:
             df = specs[name].spark(spark, SF)

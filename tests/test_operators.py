@@ -448,8 +448,12 @@ def test_dedup_components_reliable_checkpoint(spark, tmp_path):
                     pairs, checkpoint_dir=str(tmp_path / "ckpt")).collect()}
     assert local == reliable == {(1, 1), (2, 1), (3, 1), (4, 1),
                                  (7, 7), (8, 7)}
+    import glob
     import os
     assert os.listdir(str(tmp_path / "ckpt"))  # reliable files really land
+    # superseded rounds' rdd-N dirs are deleted eagerly: only the FINAL
+    # labels (which back the returned DataFrame) survive the call
+    assert len(glob.glob(str(tmp_path / "ckpt" / "*" / "rdd-*"))) == 1
 
 
 def test_dedup_components_nonconvergence_raises(spark):
@@ -500,8 +504,34 @@ def test_dedup_components_star_string_ids_and_reliable_ckpt(spark, tmp_path):
            for r in D.dedup_components_star(
                pairs, checkpoint_dir=str(tmp_path / "ckpt")).collect()}
     assert got == want
+    import glob
     import os
     assert os.listdir(str(tmp_path / "ckpt"))
+    # eager cleanup of superseded rounds: only nodes + final edges remain
+    assert len(glob.glob(str(tmp_path / "ckpt" / "*" / "rdd-*"))) == 2
+
+
+def test_dedup_components_release_superseded_rounds(spark):
+    """A multi-round run must not accumulate one persisted copy of the
+    working set per round: superseded checkpoints are freed eagerly, so
+    the persistent-RDD count grows by at most the SURVIVING state (star:
+    nodes + final edges; pointer jumping: final labels) — not by
+    O(rounds). ContextCleaner may free other RDDs concurrently, hence
+    <= bounds."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 21)], ["id_a", "id_b"])
+    jsc = spark.sparkContext._jsc.sc()
+
+    before = jsc.getPersistentRDDs().size()
+    star = D.dedup_components_star(chain)
+    assert jsc.getPersistentRDDs().size() - before <= 2
+    # the retained state still backs the result after the frees
+    assert {r["component"] for r in star.collect()} == {1}
+
+    before = jsc.getPersistentRDDs().size()
+    pj = D.dedup_components(chain)
+    assert jsc.getPersistentRDDs().size() - before <= 1
+    assert {r["component"] for r in pj.collect()} == {1}
 
 
 def test_dedup_components_star_nonconvergence_raises(spark):
