@@ -452,3 +452,57 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                             / (F.col("n_a") + F.col("n_b") - F.col("inter")),
                             4).alias("jaccard"))
             .where(F.col("jaccard") >= threshold))
+
+
+def dedup_repeated_lines(df: DataFrame, id_col: str, text_col: str,
+                         min_count: int = 2) -> DataFrame:
+    """Corpus-level repeated-line removal — the boilerplate-dedup pass of
+    public web-text pipelines (CCNet, Wenzek et al. 2020 §3; RefinedWeb,
+    Penedo et al. 2023 §3.3): a line whose trimmed form occurs >=
+    ``min_count`` times across the corpus is boilerplate (nav menus,
+    cookie banners, footers that survived per-page extraction
+    heuristics), and EVERY occurrence is removed. Complements the
+    per-page block classifier (core/blocks.py drops nav/header/footer
+    SUBTREES per page; this pass catches repeats the per-page heuristic
+    cannot see, e.g. identical sentences inside content tags across a
+    site). Reference analog: the per-page boilerplate tags the block
+    classifier keys on — lifted to corpus frequency evidence.
+
+    Returns ``df``'s columns plus ``clean_text`` (the document with
+    repeated lines removed, remaining lines byte-identical and in
+    order, blank lines preserved; NULL text stays NULL) and
+    ``n_dup_lines`` (occurrences removed). Blank/whitespace-only lines
+    are never counted or removed. Counts are occurrence-level and
+    corpus-wide, so a line repeated ``min_count`` times WITHIN one
+    document is also removed — the CCNet convention.
+
+    Scale shape (100 TB): the frequency pass explodes (id, pos,
+    md5(trim(line))) — 128-bit keys, the line text itself never enters a
+    shuffle — into one partial-aggregated groupBy (map-side combine
+    collapses each partition's repeats, which is exactly where
+    boilerplate mass concentrates). Removal positions come back as one
+    sorted int array per affected doc; that table is orders of
+    magnitude smaller than the corpus, so AQE converts the final left
+    join to a broadcast and the text column never crosses an Exchange
+    (worst case: one doc_id-keyed shuffle). Reassembly is a narrow
+    higher-order filter + concat_ws, no UDF. md5 truncation risk is
+    nil at 128 bits; the only cross-engine caveat is hash collision vs
+    a string-keyed oracle (~2^-64 per pair).
+    """
+    lines = F.split(F.col(text_col), "\n", -1)
+    ex = (df.select(F.col(id_col), F.posexplode(lines).alias("pos", "line"))
+          .where(F.trim("line") != "")
+          .select(id_col, "pos", F.md5(F.trim("line")).alias("lh")))
+    dup = (ex.groupBy("lh").agg(F.count(F.lit(1)).alias("_c"))
+           .where(F.col("_c") >= min_count).select("lh"))
+    dup_pos = (ex.join(dup, "lh").groupBy(id_col)
+               .agg(F.sort_array(F.collect_list("pos")).alias("_dup_pos")))
+    dp = F.coalesce(F.col("_dup_pos"),
+                    F.array().cast("array<int>"))
+    clean = F.when(
+        F.col(text_col).isNull(), F.lit(None).cast("string")).otherwise(
+        F.concat_ws("\n", F.filter(
+            lines, lambda x, i: ~F.array_contains(dp, i))))
+    return (df.join(dup_pos, id_col, "left")
+            .select(*df.columns, clean.alias("clean_text"),
+                    F.size(dp).cast("int").alias("n_dup_lines")))

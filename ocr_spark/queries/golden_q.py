@@ -73,6 +73,7 @@ def _spark(spark, sf):
     # The alignment corpus is its own deterministic fixture — the sf dir
     # has no golden table; sf is accepted (and ignored) for the driver's
     # uniform (spark, sf_dir) calling convention.
+    from ocr_spark.operators.dedup import dedup_repeated_lines
     from ocr_spark.plans.extract_job import extract_udf
 
     fix = ensure_fixture()
@@ -83,8 +84,19 @@ def _spark(spark, sf):
     extracted = (pages
                  .select("url",
                          extract_udf(F.col("html"), F.col("lang")).alias("r"))
-                 .select("url", F.col("r.extracted_text").alias("got")))
-    j = extracted.join(golden, "url", "full_outer")
+                 .select("url", F.col("r.extracted_text").alias("got"))
+                 # line-dedup references the extraction output from three
+                 # subtrees (line counts, removal positions, final join);
+                 # cache so the UDF runs once over the fixture instead of
+                 # 3x (at corpus scale this input would be a persisted
+                 # results table already)
+                 .cache())
+    # corpus-level repeated-line removal runs on the EXTRACTED text while
+    # the oracle recomputes it from the golden parquet in SQL — the hash
+    # compare therefore verifies extraction byte-identity AND the
+    # line-frequency + reassembly semantics in one query
+    cleaned = dedup_repeated_lines(extracted, "url", "got")
+    j = cleaned.join(golden, "url", "full_outer")
     return j.select(
         "url",
         F.levenshtein(F.substring("got", 1, _LEV_PREFIX),
@@ -95,7 +107,9 @@ def _spark(spark, sf):
         F.when(F.col("got").isNull(), 1).otherwise(0)
         .cast("int").alias("missing"),
         F.when(F.col("expected").isNull(), 1).otherwise(0)
-        .cast("int").alias("extra"))
+        .cast("int").alias("extra"),
+        F.col("n_dup_lines").cast("int").alias("n_dup_lines"),
+        F.md5("clean_text").alias("clean_md5"))
 
 
 def _oracle_sql() -> str:
@@ -105,11 +119,29 @@ def _oracle_sql() -> str:
     # driver calls first).
     golden = os.path.join(FIXTURE_DIR, "golden.parquet")
     return (
-        "SELECT url, CAST(0 AS INT) AS edit_dist, "
+        # Line-dedup columns are recomputed INDEPENDENTLY from the golden
+        # text (string-keyed line frequencies, string_agg reassembly) —
+        # not constants like the byte-identity columns — so they verify
+        # dedup_repeated_lines' counting + reassembly semantics against
+        # an engine that shares none of its code.
+        "WITH d AS (SELECT url, decode(expected_text) AS txt "
+        f"FROM read_parquet('{golden}')), "
+        "s AS (SELECT url, string_split(txt, chr(10)) AS ls FROM d), "
+        "l AS (SELECT url, unnest(ls) AS line, "
+        "generate_subscripts(ls, 1) AS pos FROM s), "
+        "dh AS (SELECT trim(line) AS tl FROM l WHERE trim(line) <> '' "
+        "GROUP BY 1 HAVING count(*) >= 2), "
+        "k AS (SELECT l.url, "
+        "COALESCE(string_agg(l.line, chr(10) ORDER BY l.pos) "
+        "FILTER (WHERE dh.tl IS NULL), '') AS clean, "
+        "count(*) FILTER (WHERE dh.tl IS NOT NULL) AS n_dup "
+        "FROM l LEFT JOIN dh ON trim(l.line) = dh.tl GROUP BY l.url) "
+        "SELECT d.url, CAST(0 AS INT) AS edit_dist, "
         "CAST(1 AS INT) AS exact_match, "
-        "CAST(length(decode(expected_text)) AS INT) AS expected_len, "
-        "CAST(0 AS INT) AS missing, CAST(0 AS INT) AS extra "
-        f"FROM read_parquet('{golden}')")
+        "CAST(length(txt) AS INT) AS expected_len, "
+        "CAST(0 AS INT) AS missing, CAST(0 AS INT) AS extra, "
+        "CAST(n_dup AS INT) AS n_dup_lines, md5(clean) AS clean_md5 "
+        "FROM d JOIN k USING (url)")
 
 
 QUERIES.append(QuerySpec(
@@ -118,4 +150,8 @@ QUERIES.append(QuerySpec(
     "table (full-outer join, per-url levenshtein + exact-match + "
     "missing/extra) — the byte-identity gate expressed as a driver-"
     "checkable query; oracle reads the same deterministic golden parquet "
-    "and asserts zero divergence"))
+    "and asserts zero divergence. Composite since r3: also runs "
+    "dedup_repeated_lines (CCNet-style corpus-level boilerplate line "
+    "removal) over the extracted text, with per-url removed-occurrence "
+    "counts and cleaned-text md5 recomputed independently by the oracle "
+    "from the golden text"))

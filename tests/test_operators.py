@@ -733,3 +733,41 @@ def test_ivf_batched_null_vectors_match_expression_path(spark):
          S.ivf_assign(df, "vec_id", "embedding", cents,
                       batched=True).collect()}
     assert a == b == {1: 1, 2: None, 3: 2}
+
+
+def test_dedup_repeated_lines(spark):
+    """CCNet-style corpus-level boilerplate removal: every occurrence of
+    a line whose TRIMMED form repeats >= min_count times corpus-wide is
+    removed; kept lines stay byte-identical and ordered; blank lines are
+    never counted or removed; NULL text stays NULL; within-doc repeats
+    count toward the corpus threshold."""
+    rows = [
+        (1, "alpha\nNAV MENU\nbody one\n\nNAV MENU"),
+        (2, "NAV MENU\nbody two"),
+        (3, "body three\n  NAV MENU  \ntail"),   # trim-matched, kept raw
+        (4, "unique only"),
+        (5, "x\nx"),                              # within-doc repeat
+        (6, "\n\n"),                              # blanks only
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["clean_text"], r["n_dup_lines"])
+           for r in D.dedup_repeated_lines(df, "doc_id", "text").collect()}
+    assert got == {
+        1: ("alpha\nbody one\n", 2),
+        2: ("body two", 1),
+        3: ("body three\ntail", 1),
+        4: ("unique only", 0),
+        5: ("", 2),
+        6: ("\n\n", 0),
+        7: (None, 0),
+    }
+    # higher threshold: NAV MENU (4 occurrences) still goes, x (2) stays
+    got3 = {r["doc_id"]: (r["clean_text"], r["n_dup_lines"])
+            for r in D.dedup_repeated_lines(
+                df, "doc_id", "text", min_count=3).collect()}
+    assert got3[5] == ("x\nx", 0)
+    assert got3[1] == ("alpha\nbody one\n", 2)
+    # original columns ride along untouched
+    assert set(D.dedup_repeated_lines(df, "doc_id", "text").columns) \
+        == {"doc_id", "text", "clean_text", "n_dup_lines"}
