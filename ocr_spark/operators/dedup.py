@@ -506,3 +506,66 @@ def dedup_repeated_lines(df: DataFrame, id_col: str, text_col: str,
     return (df.join(dup_pos, id_col, "left")
             .select(*df.columns, clean.alias("clean_text"),
                     F.size(dp).cast("int").alias("n_dup_lines")))
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, id_col: str,
+                  text_col: str, bench_text_col: str | None = None,
+                  k: int = 13) -> DataFrame:
+    """Benchmark-overlap decontamination — the eval-leakage filter of
+    public LLM training pipelines (GPT-3, Brown et al. 2020 App. C;
+    Gopher, Rae et al. 2021 §A.3): a training document sharing any
+    k-word shingle with the evaluation ``benchmark`` set is flagged so
+    downstream eval numbers aren't inflated by memorized test items.
+    ``k=13`` is the published GPT-3 convention; small corpora want a
+    smaller k.
+
+    Returns ``docs``'s columns plus ``n_bench_hits`` (distinct doc
+    shingles found in the benchmark set) and ``contaminated`` (0/1).
+
+    Scale shape (100 TB corpus, eval set KBs-MBs): the benchmark
+    shingle set is tiny BY DEFINITION, so it is md5-hashed and
+    explicitly broadcast; the corpus side explodes (id, shingle-hash)
+    narrow — document text never enters a shuffle — and the broadcast
+    hash semi-join + one partial-aggregated per-doc count is the whole
+    data movement. Shingling reuses :func:`word_shingles` (distinct
+    per doc), so hit counts are distinct-shingle counts.
+    """
+    hits = contaminated_ids(docs, benchmark, id_col, text_col,
+                            bench_text_col, k)
+    n_hits = F.coalesce(F.col("_hits"), F.lit(0))
+    return (docs.join(hits, id_col, "left")
+            .select(*docs.columns,
+                    n_hits.cast("int").alias("n_bench_hits"),
+                    (n_hits > 0).cast("int").alias("contaminated")))
+
+
+def contaminated_ids(docs: DataFrame, benchmark: DataFrame, id_col: str,
+                     text_col: str, bench_text_col: str | None = None,
+                     k: int = 13) -> DataFrame:
+    """The semi-join core of :func:`decontaminate`: (id, _hits) for docs
+    sharing >= 1 k-shingle with the benchmark — absent rows are clean.
+    Use directly when downstream only needs the flagged set (a left join
+    against THIS table instead of calling decontaminate avoids
+    re-scanning the corpus just to attach flags — at 100 TB the second
+    full-corpus scan is the dominant cost of the convenience wrapper)."""
+    btc = bench_text_col or text_col
+    bsh = (benchmark
+           .select(F.explode(word_shingles(F.col(btc), k)).alias("sh"))
+           .select(F.md5("sh").alias("shh")).distinct())
+    # Tiny-input escape hatch (same regime and rationale as
+    # extract_pages): shingling is the per-row-expensive stage, and a
+    # scan with fewer splits than slots would run it nearly serially.
+    # The round-robin exchange moves text, but only when the input is
+    # small enough for that to be cheap; at corpus scale the scan has
+    # >> slots splits and the shingle pass stays narrow.
+    src = docs.select(F.col(id_col), F.col(text_col))
+    slots = docs.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < slots:
+        src = src.repartition(slots)
+    dsh = (src.select(F.col(id_col),
+                      F.explode(word_shingles(F.col(text_col), k))
+                      .alias("sh"))
+           .select(id_col, F.md5("sh").alias("shh")))
+    return (dsh.join(F.broadcast(bsh), "shh")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("_hits")))

@@ -113,33 +113,59 @@ def repetition_q(spark, sf):
    "WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents "
    "GROUP BY md5(text)), "
    "w AS (SELECT d.doc_id, d.lang, "
-   "list_filter(string_split(d.text, ' '), x -> x <> '') AS ws, "
-   "length(d.text) AS n_chars, d.text FROM documents d "
-   "JOIN surv USING (doc_id)), "
+   "list_filter(string_split(d.text, ' '), x -> x <> '') AS ws "
+   "FROM documents d JOIN surv USING (doc_id)), "
    "f AS (SELECT doc_id, lang, len(ws) AS n_words, "
    "ROUND(len(list_distinct(ws)) / greatest(len(ws), 1), 4) AS dr "
-   "FROM w) "
-   "SELECT lang, count(*) AS kept, "
-   "ROUND(avg(n_words), 4) AS avg_words FROM f "
+   "FROM w), "
+   # decontamination mirror: 3-shingles over ALL docs (same construction
+   # as the minhash/jaccard _SH_CTE), benchmark = doc_id < 5 slice
+   "aw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+   "ash AS (SELECT DISTINCT doc_id, shingle FROM ("
+   "SELECT doc_id, unnest(CASE WHEN len(ws) >= 3 THEN "
+   "list_transform(range(1, len(ws) - 1), "
+   "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) "
+   "ELSE [array_to_string(ws, ' ')] END) AS shingle FROM aw)), "
+   "bsh AS (SELECT DISTINCT shingle FROM ash WHERE doc_id < 5), "
+   "contam AS (SELECT DISTINCT doc_id FROM ash JOIN bsh USING (shingle)) "
+   "SELECT lang, count(*) FILTER (WHERE c.doc_id IS NULL) AS kept, "
+   "ROUND(avg(n_words) FILTER (WHERE c.doc_id IS NULL), 4) AS avg_words, "
+   "count(*) FILTER (WHERE c.doc_id IS NOT NULL) AS n_contam "
+   "FROM f LEFT JOIN contam c ON f.doc_id = c.doc_id "
    "WHERE n_words >= 20 AND dr >= 0.3 GROUP BY lang",
    "end-to-end curation composition: exact-dedup survivors -> "
-   "length + repetition quality gate -> per-lang corpus stats. The text "
-   "column NEVER crosses an Exchange: features are computed narrow on "
-   "the scan and the gate applied before the survivor join, so the "
-   "shuffles carry only ids + small stats (dedup groupBy ships md5+id)")
+   "length + repetition quality gate -> benchmark decontamination "
+   "(GPT-3-style k-shingle overlap vs a deterministic stand-in eval "
+   "slice, doc_id < 5; at scale the benchmark is an external eval "
+   "table) -> per-lang corpus stats. The text column NEVER crosses an "
+   "Exchange: features are computed narrow on the scan, the gate is "
+   "applied before the survivor join, and the contamination semi-join "
+   "broadcasts the benchmark shingle-hash set, so the shuffles carry "
+   "only ids + small stats (dedup groupBy ships md5+id)")
 def curation_pipeline(spark, sf):
     from pyspark.sql import functions as F
 
-    from ocr_spark.operators.dedup import exact_dedup_survivors
+    from ocr_spark.operators.dedup import contaminated_ids, \
+        exact_dedup_survivors
 
     d = load(spark, sf, "documents")
     surv = exact_dedup_survivors(d, "doc_id", "text").select("doc_id")
     feats = T.repetition_stats(d, "doc_id", "text", carry=("lang",))
     gated = feats.where((F.col("n_words") >= 20)
                         & (F.col("distinct_ratio") >= 0.3))
-    return (gated.join(surv, "doc_id").groupBy("lang")
-            .agg(F.count(F.lit(1)).alias("kept"),
-                 F.round(F.avg("n_words"), 4).alias("avg_words")))
+    bench = d.where(F.col("doc_id") < 5).select("text")
+    # left join against the flagged-id set (absent row == clean) rather
+    # than decontaminate()'s docs+flags wrapper — skips the second
+    # full-corpus scan the wrapper needs to re-attach text columns
+    hits = contaminated_ids(d.select("doc_id", "text"), bench,
+                            "doc_id", "text", k=3)
+    clean = F.col("_hits").isNull()
+    return (gated.join(surv, "doc_id").join(hits, "doc_id", "left")
+            .groupBy("lang")
+            .agg(F.sum(F.when(clean, 1).otherwise(0)).alias("kept"),
+                 F.round(F.avg(F.when(clean, F.col("n_words"))), 4)
+                 .alias("avg_words"),
+                 F.sum(F.when(clean, 0).otherwise(1)).alias("n_contam")))
 
 
 @q("text_fingerprint",

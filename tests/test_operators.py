@@ -771,3 +771,29 @@ def test_dedup_repeated_lines(spark):
     # original columns ride along untouched
     assert set(D.dedup_repeated_lines(df, "doc_id", "text").columns) \
         == {"doc_id", "text", "clean_text", "n_dup_lines"}
+
+
+def test_decontaminate(spark):
+    """GPT-3-style benchmark-overlap flagging: any shared k-shingle
+    marks a training doc contaminated; hit counts are distinct-shingle
+    counts; docs shorter than k fall back to the whole-text shingle
+    (word_shingles semantics)."""
+    docs = spark.createDataFrame([
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "a completely different sentence with no overlap at all"),
+        (3, "quick brown fox seen again here"),     # shares 1 shingle
+        (4, "short text"),                          # < k words, no match
+    ], ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [("the quick brown fox runs",)], ["text"])
+    got = {r["doc_id"]: (r["n_bench_hits"], r["contaminated"])
+           for r in D.decontaminate(docs, bench, "doc_id", "text",
+                                    k=3).collect()}
+    # bench 3-shingles: {the quick brown, quick brown fox, brown fox runs}
+    assert got == {1: (2, 1), 2: (0, 0), 3: (1, 1), 4: (0, 0)}
+    # whole-text fallback: doc shorter than k matches only byte-equal
+    got13 = {r["doc_id"]: r["contaminated"]
+             for r in D.decontaminate(
+                 docs, docs.where("doc_id = 4").select("text"),
+                 "doc_id", "text", k=13).collect()}
+    assert got13 == {1: 0, 2: 0, 3: 0, 4: 1}
