@@ -552,16 +552,8 @@ def contaminated_ids(docs: DataFrame, benchmark: DataFrame, id_col: str,
     bsh = (benchmark
            .select(F.explode(word_shingles(F.col(btc), k)).alias("sh"))
            .select(F.md5("sh").alias("shh")).distinct())
-    # Tiny-input escape hatch (same regime and rationale as
-    # extract_pages): shingling is the per-row-expensive stage, and a
-    # scan with fewer splits than slots would run it nearly serially.
-    # The round-robin exchange moves text, but only when the input is
-    # small enough for that to be cheap; at corpus scale the scan has
-    # >> slots splits and the shingle pass stays narrow.
-    src = docs.select(F.col(id_col), F.col(text_col))
-    slots = docs.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < slots:
-        src = src.repartition(slots)
+    from ocr_spark.operators.util import spread_small_scan
+    src = spread_small_scan(docs.select(F.col(id_col), F.col(text_col)))
     dsh = (src.select(F.col(id_col),
                       F.explode(word_shingles(F.col(text_col), k))
                       .alias("sh"))

@@ -156,3 +156,44 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col),
                      F.md5(norm).alias("md5_fp"),
                      rolling.alias("rolling_fp"))
+
+
+def model_quality_scores(df: DataFrame, id_col: str, text_col: str,
+                         weights: DataFrame, bias: float = 0.0) -> DataFrame:
+    """fastText-style linear quality-classifier scoring — the
+    model-based filter of public curation pipelines (CCNet, Wenzek et
+    al. 2020 §4.4; LLaMA, Touvron et al. 2023 §2 both score pages with
+    a linear text classifier): ``sigmoid(bias + mean word weight)``
+    over a (word, weight) vocabulary table.
+
+    Returns ``(id_col, model_score)`` for every doc with >= 1 word
+    (wordless docs are absent — left-join and decide their default
+    downstream). Out-of-vocabulary words contribute weight 0 but DO
+    count in the mean's denominator, the standard bag-of-words
+    convention.
+
+    Scale shape (100 TB): a trained classifier vocabulary is ~1-2M
+    rows / tens of MB — explicitly broadcast, never shuffled against
+    the corpus. One narrow explode of (id, word), one LEFT broadcast
+    lookup, one partial-aggregated per-doc (count, weighted-sum) —
+    document text never enters a shuffle, and no UDF: the whole score
+    is codegen'd expressions. The model stays a TABLE, not an inlined
+    literal expression (the IVF literal-centroid lesson — weights
+    change per model version; plans must not embed them).
+    """
+    from ocr_spark.operators.util import spread_small_scan
+    exploded = spread_small_scan(
+        df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col),
+        F.explode(words_of(F.col(text_col))).alias("word"))
+    per_doc = (exploded
+               .join(F.broadcast(weights), "word", "left")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("_n"),
+                    F.sum(F.coalesce(F.col("weight"), F.lit(0.0)))
+                    .alias("_sw")))
+    x = F.lit(bias) + F.col("_sw") / F.col("_n")
+    return per_doc.select(
+        F.col(id_col),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-x)), 4)
+        .alias("model_score"))

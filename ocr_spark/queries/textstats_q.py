@@ -22,6 +22,24 @@ def _sql_list(vals) -> str:
 
 _STOP = _sql_list(T.STOPWORDS)
 
+# Stand-in linear-classifier vocabulary for model_quality_scores: a
+# deterministic md5-derived integer weight (k/1000 in [-1, 1]) per
+# marker/stopword. Production swaps in a TRAINED model's (word, weight)
+# table — the mechanism under test (broadcast vocab lookup + codegen'd
+# sigmoid, never an inlined literal expression) is identical.
+
+
+def _weight_k(word: str) -> int:
+    import hashlib
+    return int(hashlib.md5(word.encode()).hexdigest()[:15], 16) % 2001 \
+        - 1000
+
+
+_VOCAB = sorted(set(T.STOPWORDS)
+                | {w for ms in T.LANG_MARKERS.values() for w in ms})
+_WEIGHTS = [(w, _weight_k(w)) for w in _VOCAB]
+_WT_VALUES = ", ".join(f"('{w}', {k})" for w, k in _WEIGHTS)
+
 
 @q("text_quality_score",
    "WITH f AS (SELECT doc_id, text, "
@@ -30,8 +48,13 @@ _STOP = _sql_list(T.STOPWORDS)
    "g AS (SELECT doc_id, len(ws) AS n_words, n_chars, "
    "len(list_filter(ws, w -> list_contains(" + _STOP + ", w))) AS stops, "
    "n_chars - length(regexp_replace(text, '[^\\w ]', '', 'g')) AS punct, "
-   "length(replace(text, ' ', '')) AS alpha FROM f) "
-   "SELECT doc_id, n_words, "
+   "length(replace(text, ' ', '')) AS alpha FROM f), "
+   "wt(word, k) AS (VALUES " + _WT_VALUES + "), "
+   "e AS (SELECT doc_id, unnest(ws) AS word FROM f), "
+   "m AS (SELECT e.doc_id, count(*) AS n, "
+   "sum(COALESCE(wt.k / 1000.0, 0.0)) AS sw "
+   "FROM e LEFT JOIN wt USING (word) GROUP BY e.doc_id) "
+   "SELECT g.doc_id, n_words, "
    "ROUND(stops / greatest(n_words, 1), 4) AS stop_ratio, "
    "ROUND(punct / greatest(n_chars, 1), 4) AS punct_ratio, "
    "ROUND(alpha / greatest(n_words, 1), 4) AS avg_word_len, "
@@ -39,11 +62,20 @@ _STOP = _sql_list(T.STOPWORDS)
    "+ (stops / greatest(n_words, 1)) * 0.3 "
    "+ (1.0 - punct / greatest(n_chars, 1)) * 0.2 "
    "+ least((alpha / greatest(n_words, 1)) / 8.0, 1.0) * 0.1, 4) "
-   "AS quality FROM g",
-   "quality scoring: length/punct/stopword shallow features")
+   "AS quality, "
+   "ROUND(1.0 / (1.0 + exp(-(sw / n))), 4) AS model_score "
+   "FROM g LEFT JOIN m ON g.doc_id = m.doc_id",
+   "quality scoring: length/punct/stopword shallow features + "
+   "fastText-style linear-classifier score over a broadcast (word, "
+   "weight) vocabulary (deterministic stand-in weights; trained-model "
+   "table at production)")
 def quality(spark, sf):
-    return T.quality_features(load(spark, sf, "documents"),
-                              "doc_id", "text")
+    d = load(spark, sf, "documents")
+    base = T.quality_features(d, "doc_id", "text")
+    wt = spark.createDataFrame([(w, k / 1000.0) for w, k in _WEIGHTS],
+                               ["word", "weight"])
+    scores = T.model_quality_scores(d, "doc_id", "text", wt)
+    return base.join(scores, "doc_id", "left")
 
 
 def _lang_sql() -> str:

@@ -74,10 +74,22 @@ CHECKS = {
         "still NO Exchange: Hamming<=1 probing is one extra bit_count/XOR "
         "in the same Filter — scan -> Filter -> TakeOrderedAndProject."),
     "curation_pipeline": (
-        "the text column appears in NO Exchange: repetition features are "
-        "computed narrow on the scan and the quality gate applies before "
-        "the survivor join, so every shuffle carries only ids + small "
+        "the text column appears in NO Exchange beyond the tiny-input "
+        "pre-spread (a no-op at corpus scale): repetition features are "
+        "computed narrow on the scan, the quality gate applies before "
+        "the survivor join, and the r3 decontamination stage probes a "
+        "BroadcastExchange of the benchmark shingle-hash set (look for "
+        "BroadcastHashJoin on shh) before one partial-aggregated per-doc "
+        "count — so every data-bearing shuffle carries only ids + small "
         "stats (the dedup groupBy ships md5+id)."),
+    "text_quality_score": (
+        "model_quality_scores keeps the classifier a TABLE: the (word, "
+        "weight) vocabulary arrives via BroadcastExchange into a "
+        "BroadcastHashJoin (LEFT) under the narrow word explode — no "
+        "weight literals in the expression tree, no UDF (sigmoid is "
+        "whole-stage codegen) — followed by ONE partial-aggregated "
+        "per-doc (count, weighted-sum) shuffle carrying ids + two "
+        "numbers; the shallow-feature branch stays narrow on the scan."),
     "j8_asof_join": (
         "ONE shuffle keyed by user_id feeding a single in-partition sort "
         "+ running window (last ignorenulls) — no per-left-row probe "

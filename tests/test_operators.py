@@ -797,3 +797,27 @@ def test_decontaminate(spark):
                  docs, docs.where("doc_id = 4").select("text"),
                  "doc_id", "text", k=13).collect()}
     assert got13 == {1: 0, 2: 0, 3: 0, 4: 1}
+
+
+def test_model_quality_scores(spark):
+    """Linear-classifier scoring: sigmoid(mean word weight) with OOV
+    words contributing 0 but counted in the denominator; wordless docs
+    absent from the output (caller left-joins)."""
+    import math
+    docs = spark.createDataFrame([
+        (1, "good good bad other"),
+        (2, "other words only"),
+        (3, ""),
+    ], ["doc_id", "text"])
+    wt = spark.createDataFrame(
+        [("good", 0.5), ("bad", -0.5)], ["word", "weight"])
+    got = {r["doc_id"]: r["model_score"]
+           for r in T.model_quality_scores(
+               docs, "doc_id", "text", wt).collect()}
+    sig = lambda x: round(1.0 / (1.0 + math.exp(-x)), 4)  # noqa: E731
+    assert got == {1: sig(0.5 / 4), 2: sig(0.0)}
+    # bias shifts the operating point
+    got_b = {r["doc_id"]: r["model_score"]
+             for r in T.model_quality_scores(
+                 docs, "doc_id", "text", wt, bias=1.0).collect()}
+    assert got_b[2] == sig(1.0)
