@@ -343,29 +343,55 @@ def f10(spark, sf):
             .orderBy(F.desc("cnt"), "word").limit(50))
 
 
+# Target mixture for sample_to_mixture: varied per-source keep
+# fractions (1/4, 1/2, 3/4, 1 cycling over the 20 synth sources) — a
+# deterministic stand-in for a real pipeline's tuned mixing weights.
+_MIX = {f"src{i}": (i % 4 + 1) / 4 for i in range(20)}
+_MIX_VALUES = ", ".join(
+    f"('{s}', {int(round(f * 1_000_000))})" for s, f in _MIX.items())
+
+
 @q("s10_stratified_split",
-   "SELECT lang, CASE WHEN "
+   "WITH h AS (SELECT lang, source, "
    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) "
-   "% 10 < 8 THEN 'train' ELSE 'eval' END AS split, "
-   "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) "
-   "% 8 AS bucket, count(*) AS cnt "
-   "FROM documents GROUP BY lang, split, bucket",
+   "AS hv FROM documents), "
+   "g AS (SELECT lang, source, hv, "
+   "CASE WHEN hv % 10 < 8 THEN 'train' ELSE 'eval' END AS split, "
+   "hv % 8 AS bucket FROM h), "
+   "wt(source, ppm) AS (VALUES " + _MIX_VALUES + "), "
+   "b AS (SELECT lang, split, bucket, count(*) AS cnt "
+   "FROM g GROUP BY 1, 2, 3), "
+   "m AS (SELECT lang, split, bucket, count(*) AS mix_kept "
+   "FROM g LEFT JOIN wt USING (source) "
+   "WHERE hv % 1000000 < COALESCE(ppm, 1000000) GROUP BY 1, 2, 3) "
+   "SELECT b.lang, b.split, b.bucket, b.cnt, "
+   "COALESCE(m.mix_kept, 0) AS mix_kept FROM b LEFT JOIN m "
+   "ON b.lang = m.lang AND b.split = m.split AND b.bucket = m.bucket",
    "SURVEY §3.3 stratified train/eval split (reference analog: "
    "train_test_split(stratify=labels), /root/reference/"
    "hebrew-ocr-cnn.py:102-110) + F4 hash bucketing (the same md5-derived "
    "bucketing primitive at a second modulus — production uses xxhash64, "
-   "ocr_spark.functions.bucketing). Deterministic hash split so the "
-   "oracle mirrors value-for-value; the seeded-random variant "
-   "(df.sampleBy) is exercised in tests/test_operators.py.")
+   "ocr_spark.functions.bucketing) + r3 mixture reweighting (The Pile/"
+   "LLaMA data-mixing shape): mix_kept counts the docs surviving "
+   "sample_to_mixture's deterministic per-source thinning toward the "
+   "_MIX target distribution. Deterministic hashes so the oracle "
+   "mirrors value-for-value; the seeded-random variant (df.sampleBy) "
+   "is exercised in tests/test_operators.py.")
 def s10(spark, sf):
     from ocr_spark.operators.hashing import md5long
+    from ocr_spark.operators.sampling import sample_to_mixture
     d = load(spark, sf, "documents")
     h = md5long(F.col("doc_id").cast("string"))
     split = F.when(h % 10 < 8, "train").otherwise("eval")
-    return (d.select("lang", split.alias("split"),
-                     (h % 8).alias("bucket"))
-            .groupBy("lang", "split", "bucket")
-            .agg(F.count(F.lit(1)).alias("cnt")))
+    keys = ["lang", "split", "bucket"]
+    base = (d.select("lang", split.alias("split"), (h % 8).alias("bucket"))
+            .groupBy(keys).agg(F.count(F.lit(1)).alias("cnt")))
+    mixed = (sample_to_mixture(d, "doc_id", "source", _MIX)
+             .select("lang", split.alias("split"), (h % 8).alias("bucket"))
+             .groupBy(keys).agg(F.count(F.lit(1)).alias("mix_kept")))
+    return (base.join(mixed, keys, "left")
+            .select(*keys, "cnt",
+                    F.coalesce("mix_kept", F.lit(0)).alias("mix_kept")))
 
 
 # ----------------------------------------------------------------- joins

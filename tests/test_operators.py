@@ -821,3 +821,34 @@ def test_model_quality_scores(spark):
              for r in T.model_quality_scores(
                  docs, "doc_id", "text", wt, bias=1.0).collect()}
     assert got_b[2] == sig(1.0)
+
+
+def test_sample_to_mixture(spark):
+    """Deterministic per-source thinning: keep iff md5long(id) % 1e6 <
+    frac*1e6 — exact Python mirror; unlisted sources keep `default`;
+    re-running selects the SAME rows (restartable sampling)."""
+    import hashlib
+
+    def h(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+
+    from ocr_spark.operators.sampling import sample_to_mixture
+    rows = [(i, "a" if i % 3 == 0 else ("b" if i % 3 == 1 else "c"))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    targets = {"a": 0.5, "b": 1.0}          # c falls to default
+    for default, got_rows in (
+            (0.25, None), (1.0, None)):
+        got = {r["doc_id"] for r in sample_to_mixture(
+            df, "doc_id", "source", targets, default=default).collect()}
+        ppm = {"a": 500_000, "b": 1_000_000, "c": int(default * 1_000_000)}
+        want = {i for i, s in rows if h(i) % 1_000_000 < ppm[s]}
+        assert got == want
+        assert {r["doc_id"] for r in sample_to_mixture(
+            df, "doc_id", "source", targets,
+            default=default).collect()} == want  # stable on re-run
+    # sanity: thinning actually thins and keeps full-weight sources
+    kept = sample_to_mixture(df, "doc_id", "source", targets, 0.25)
+    by_src = {r["source"]: r["n"] for r in kept.groupBy("source")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_src["b"] == 100 and by_src["a"] < 100 and by_src["c"] < 50
