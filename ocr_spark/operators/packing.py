@@ -1,0 +1,76 @@
+"""Token-budget shard packing: a distributed prefix sum.
+
+Training-data pipelines pack the curated corpus into fixed-token-budget
+shards (the sequence-packing / shard-writing step of GPT-3 App. B and
+The Pile's output stage): documents are laid out in a deterministic
+global order and each is assigned to the shard where its first token
+lands, ``shard_id = floor(start_offset / budget)``.
+
+The naive Spark spelling — a global ``Window.orderBy`` cumulative sum —
+collapses to ONE partition and dies at scale. This module does the
+textbook two-phase distributed prefix sum instead:
+
+1. range-bucket the 60-bit doc hash into ``n_buckets`` CONTIGUOUS hash
+   ranges (bucket boundaries respect the global (hash, id) order);
+2. one tiny partial-aggregated groupBy computes each bucket's token sum
+   (``n_buckets`` rows to the driver — same cost class as the k-means
+   driver combine);
+3. the driver turns those into exclusive per-bucket offsets, broadcast
+   back as a tiny join table;
+4. a per-bucket window cumsum (parallel across buckets) plus the offset
+   yields the exact global prefix sum.
+
+No single-partition stage anywhere; the only full-data shuffle is the
+per-bucket window sort, which is what a 100 TB shard-writer needs
+anyway (each bucket becomes a contiguous run of output shards).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.hashing import md5long
+
+HASH_BITS = 60  # md5long yields values in [0, 2^60)
+
+
+def assign_token_shards(df: DataFrame, id_col: str, tokens_col: str,
+                        budget: int, n_buckets: int = 64) -> DataFrame:
+    """Append ``shard_id``: the fixed-``budget`` token shard in which this
+    document STARTS, under the deterministic global order
+    ``(md5long(id), id)``. Documents may straddle a boundary — standard
+    concatenate-then-split packing semantics; the id-hash order is
+    reproducible across runs and engines, so a resumed job writes the
+    same shards.
+
+    Exactness: offsets and cumulative sums are integer arithmetic; the
+    final ``floor(start / budget)`` is exact for corpora under 2^53
+    total tokens (a 100 TB corpus is ~10^13 tokens, well inside).
+    """
+    if n_buckets < 1 or n_buckets & (n_buckets - 1):
+        raise ValueError("n_buckets must be a power of two")
+    div = (1 << HASH_BITS) // n_buckets
+    h = md5long(F.col(id_col).cast("string"))
+    base = df.withColumn("_h", h).withColumn(
+        "_b", (F.col("_h") / F.lit(div)).cast("long"))
+
+    # Phase 1+2: per-bucket token totals -> driver (<= n_buckets rows).
+    parts = {r["_b"]: r["_t"] for r in
+             base.groupBy("_b").agg(F.sum(tokens_col).alias("_t")).collect()}
+    running, offsets = 0, []
+    for b in range(n_buckets):
+        offsets.append((b, running))
+        running += int(parts.get(b, 0) or 0)
+
+    # Phase 3+4: broadcast offsets, per-bucket window cumsum.
+    spark = df.sparkSession
+    off = spark.createDataFrame(offsets, ["_b", "_off"])
+    w = (Window.partitionBy("_b").orderBy("_h", id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    start = (F.col("_off") + F.sum(tokens_col).over(w)
+             - F.col(tokens_col)).alias("_start")
+    return (base.join(F.broadcast(off), "_b")
+            .withColumn("shard_id",
+                        F.floor(start / F.lit(budget)).cast("long"))
+            .drop("_h", "_b", "_off"))

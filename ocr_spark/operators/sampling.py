@@ -1,4 +1,5 @@
-"""Corpus sampling operators: deterministic mixture reweighting.
+"""Corpus sampling operators: deterministic mixture reweighting and
+per-source quota caps.
 
 The data-mixing step of public LLM pipelines (The Pile, Gao et al. 2020
 Table 1 mixing weights; LLaMA, Touvron et al. 2023 §2 sampling
@@ -8,7 +9,7 @@ corpus matches a target source distribution.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ocr_spark.operators.hashing import md5long
@@ -41,3 +42,34 @@ def sample_to_mixture(df: DataFrame, id_col: str, source_col: str,
         F.col("_keep_ppm"), F.lit(int(round(default * PPM))))
     return (df.join(F.broadcast(t), source_col, "left")
             .where(keep).drop("_keep_ppm"))
+
+
+def cap_per_source(df: DataFrame, id_col: str, source_col: str,
+                   cap: int, exact: bool = False) -> DataFrame:
+    """Per-source document quota (the C4 / RefinedWeb per-domain cap:
+    Raffel et al. 2020 §2.2, Penedo et al. 2023 §3.1 — stop one hot
+    domain from dominating the training mix).
+
+    Default (scale path): one partial-aggregated groupBy computes the
+    per-source counts (a tiny table — one row per source/domain),
+    broadcast back; each row keeps iff
+    ``md5long(id) % 1e6 < floor(cap * 1e6 / count)`` — deterministic
+    thinning to an EXPECTED ``cap`` docs per source, no ordering, no
+    skewed window, re-runs keep the same documents. ``floor`` on a
+    double division is exact both engines for cap < ~2^43.
+
+    ``exact=True``: a per-source ``row_number`` over the deterministic
+    ``(md5long(id), id)`` order keeps exactly ``cap``. Honest caveat: a
+    hot source's rows sort inside ONE partition — fine for dims or
+    small caps, wrong tool for a 100 TB hot domain (use the default).
+    """
+    h = md5long(F.col(id_col).cast("string"))
+    if exact:
+        w = Window.partitionBy(source_col).orderBy(h, id_col)
+        return (df.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") <= cap).drop("_rn"))
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_src_cnt"))
+    keep_ppm = F.least(F.lit(PPM).cast("long"),
+                       F.floor(F.lit(cap) * PPM / F.col("_src_cnt")))
+    return (df.join(F.broadcast(counts), source_col)
+            .where((h % PPM) < keep_ppm).drop("_src_cnt"))

@@ -363,10 +363,18 @@ _MIX_VALUES = ", ".join(
    "FROM g GROUP BY 1, 2, 3), "
    "m AS (SELECT lang, split, bucket, count(*) AS mix_kept "
    "FROM g LEFT JOIN wt USING (source) "
-   "WHERE hv % 1000000 < COALESCE(ppm, 1000000) GROUP BY 1, 2, 3) "
+   "WHERE hv % 1000000 < COALESCE(ppm, 1000000) GROUP BY 1, 2, 3), "
+   "c AS (SELECT source, count(*) AS scnt FROM documents GROUP BY 1), "
+   "k AS (SELECT lang, split, bucket, count(*) AS cap_kept "
+   "FROM g JOIN c USING (source) "
+   "WHERE hv % 1000000 < least(1000000, "
+   "CAST(floor(10 * 1000000 / scnt) AS BIGINT)) GROUP BY 1, 2, 3) "
    "SELECT b.lang, b.split, b.bucket, b.cnt, "
-   "COALESCE(m.mix_kept, 0) AS mix_kept FROM b LEFT JOIN m "
-   "ON b.lang = m.lang AND b.split = m.split AND b.bucket = m.bucket",
+   "COALESCE(m.mix_kept, 0) AS mix_kept, "
+   "COALESCE(k.cap_kept, 0) AS cap_kept FROM b LEFT JOIN m "
+   "ON b.lang = m.lang AND b.split = m.split AND b.bucket = m.bucket "
+   "LEFT JOIN k "
+   "ON b.lang = k.lang AND b.split = k.split AND b.bucket = k.bucket",
    "SURVEY §3.3 stratified train/eval split (reference analog: "
    "train_test_split(stratify=labels), /root/reference/"
    "hebrew-ocr-cnn.py:102-110) + F4 hash bucketing (the same md5-derived "
@@ -376,10 +384,14 @@ _MIX_VALUES = ", ".join(
    "sample_to_mixture's deterministic per-source thinning toward the "
    "_MIX target distribution. Deterministic hashes so the oracle "
    "mirrors value-for-value; the seeded-random variant (df.sampleBy) "
-   "is exercised in tests/test_operators.py.")
+   "is exercised in tests/test_operators.py. r3 also folds the C4/"
+   "RefinedWeb per-domain quota (cap_per_source, operators/sampling.py): "
+   "cap_kept counts survivors of the deterministic floor(cap*1e6/count) "
+   "thinning toward an expected 10 docs/source — counts broadcast back, "
+   "no ordering, no skewed window.")
 def s10(spark, sf):
     from ocr_spark.operators.hashing import md5long
-    from ocr_spark.operators.sampling import sample_to_mixture
+    from ocr_spark.operators.sampling import cap_per_source, sample_to_mixture
     d = load(spark, sf, "documents")
     h = md5long(F.col("doc_id").cast("string"))
     split = F.when(h % 10 < 8, "train").otherwise("eval")
@@ -389,9 +401,13 @@ def s10(spark, sf):
     mixed = (sample_to_mixture(d, "doc_id", "source", _MIX)
              .select("lang", split.alias("split"), (h % 8).alias("bucket"))
              .groupBy(keys).agg(F.count(F.lit(1)).alias("mix_kept")))
-    return (base.join(mixed, keys, "left")
+    capped = (cap_per_source(d, "doc_id", "source", cap=10)
+              .select("lang", split.alias("split"), (h % 8).alias("bucket"))
+              .groupBy(keys).agg(F.count(F.lit(1)).alias("cap_kept")))
+    return (base.join(mixed, keys, "left").join(capped, keys, "left")
             .select(*keys, "cnt",
-                    F.coalesce("mix_kept", F.lit(0)).alias("mix_kept")))
+                    F.coalesce("mix_kept", F.lit(0)).alias("mix_kept"),
+                    F.coalesce("cap_kept", F.lit(0)).alias("cap_kept")))
 
 
 # ----------------------------------------------------------------- joins

@@ -100,13 +100,23 @@ def lang_id_q(spark, sf):
 
 
 @q("text_token_counts",
-   "SELECT doc_id, "
+   "WITH t AS (SELECT doc_id, "
    "len(list_filter(string_split(text, ' '), w -> w <> '')) AS ws_tokens, "
-   "len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]|[^\\w ]')) AS bpe_tokens "
-   "FROM documents",
-   "token counting: whitespace + BPE-ish regex estimate")
+   "len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]|[^\\w ]')) AS bpe_tokens, "
+   + sql_md5long("CAST(doc_id AS VARCHAR)") + " AS hv FROM documents) "
+   "SELECT doc_id, ws_tokens, bpe_tokens, "
+   "CAST(floor((sum(ws_tokens) OVER (ORDER BY hv, doc_id "
+   "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ws_tokens) "
+   "/ 2000) AS BIGINT) AS shard_id FROM t",
+   "token counting: whitespace + BPE-ish regex estimate; r3 adds "
+   "token-budget shard packing (shard_id) — the oracle's global window "
+   "cumsum is what Spark must NOT do (single partition); "
+   "assign_token_shards computes the identical prefix sum with "
+   "range-bucket partials + broadcast offsets (operators/packing.py)")
 def tokens(spark, sf):
-    return T.token_counts(load(spark, sf, "documents"), "doc_id", "text")
+    from ocr_spark.operators.packing import assign_token_shards
+    base = T.token_counts(load(spark, sf, "documents"), "doc_id", "text")
+    return assign_token_shards(base, "doc_id", "ws_tokens", budget=2000)
 
 
 @q("text_scrub_pii",

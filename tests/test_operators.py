@@ -852,3 +852,67 @@ def test_sample_to_mixture(spark):
     by_src = {r["source"]: r["n"] for r in kept.groupBy("source")
               .agg(F.count(F.lit(1)).alias("n")).collect()}
     assert by_src["b"] == 100 and by_src["a"] < 100 and by_src["c"] < 50
+
+
+def test_cap_per_source(spark):
+    """Per-source quota: exact mode keeps exactly `cap` rows per source
+    (the hash-smallest ones); default mode mirrors the deterministic
+    floor(cap*1e6/count) thinning exactly and is stable on re-run."""
+    import hashlib
+
+    def h(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+
+    from ocr_spark.operators.sampling import cap_per_source
+    rows = [(i, "hot" if i < 240 else "cold") for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+
+    ex = cap_per_source(df, "doc_id", "source", cap=50, exact=True)
+    got = {}
+    for r in ex.collect():
+        got.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(got["hot"]) == 50 and len(got["cold"]) == 50
+    want_hot = set(sorted((i for i, s in rows if s == "hot"),
+                          key=lambda i: (h(i), i))[:50])
+    assert got["hot"] == want_hot
+
+    th = cap_per_source(df, "doc_id", "source", cap=50)
+    cnt = {"hot": 240, "cold": 60}
+    want = {i for i, s in rows
+            if h(i) % 1_000_000 < min(1_000_000, 50 * 1_000_000 // cnt[s])}
+    got_th = {r["doc_id"] for r in th.collect()}
+    assert got_th == want
+    assert {r["doc_id"] for r in cap_per_source(
+        df, "doc_id", "source", cap=50).collect()} == want
+    # cap >= count -> keep everything (threshold saturates at 1e6)
+    assert cap_per_source(df, "doc_id", "source", cap=1000).count() == 300
+
+
+def test_assign_token_shards(spark):
+    """Distributed prefix sum == serial prefix sum: shard ids match an
+    exact Python cumsum over the (md5long(id), id) order, and are
+    independent of the bucket count (1 bucket == 64 buckets)."""
+    import hashlib
+
+    def h(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+
+    from ocr_spark.operators.packing import assign_token_shards
+    rows = [(i, (i * 37) % 90 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "tokens"])
+
+    order = sorted(rows, key=lambda r: (h(r[0]), r[0]))
+    want, start = {}, 0
+    for i, t in order:
+        want[i] = start // 1000
+        start += t
+
+    for nb in (1, 64):
+        got = {r["doc_id"]: r["shard_id"] for r in assign_token_shards(
+            df, "doc_id", "tokens", budget=1000, n_buckets=nb).collect()}
+        assert got == want, f"n_buckets={nb}"
+    # columns preserved + shard_id appended
+    out = assign_token_shards(df, "doc_id", "tokens", 1000)
+    assert set(out.columns) == {"doc_id", "tokens", "shard_id"}
+    with pytest.raises(ValueError):
+        assign_token_shards(df, "doc_id", "tokens", 1000, n_buckets=3)
