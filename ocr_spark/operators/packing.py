@@ -50,10 +50,13 @@ def assign_token_shards(df: DataFrame, id_col: str, tokens_col: str,
     """
     if n_buckets < 1 or n_buckets & (n_buckets - 1):
         raise ValueError("n_buckets must be a power of two")
-    div = (1 << HASH_BITS) // n_buckets
+    # Exact integer range-bucketing: h >> (60 - log2 B). A double-division
+    # spelling is monotone but rounds h near 2^60 UP, creating a phantom
+    # bucket n_buckets that the offsets inner join would silently drop.
+    shift = HASH_BITS - (n_buckets.bit_length() - 1)
     h = md5long(F.col(id_col).cast("string"))
     base = df.withColumn("_h", h).withColumn(
-        "_b", (F.col("_h") / F.lit(div)).cast("long"))
+        "_b", F.shiftright(F.col("_h"), shift))
 
     # Phase 1+2: per-bucket token totals -> driver (<= n_buckets rows).
     parts = {r["_b"]: r["_t"] for r in

@@ -106,6 +106,13 @@ CHECKS = {
         "self-join (df <= 5 filter on the aggregated shingle counts) — "
         "bounds per-key fan-out to df*(df-1)/2 candidate pairs; without "
         "it common shingles are hot keys with near-quadratic blowup."),
+    "text_token_counts": (
+        "the shard-packing prefix sum shuffles ONCE with Exchange "
+        "hashpartitioning(_b) — NEVER Exchange SinglePartition, which is "
+        "what the naive global Window.orderBy cumsum (the DuckDB "
+        "oracle's spelling) would plan — with the per-bucket offsets "
+        "arriving via BroadcastExchange; the window sort runs parallel "
+        "across the 64 contiguous hash ranges."),
     "dedup_components_star_round": (
         "ONE large-star/small-star round (the per-iteration unit of the "
         "registered dedup_cluster_components query): state is the EDGE "
