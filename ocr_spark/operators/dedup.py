@@ -561,3 +561,54 @@ def contaminated_ids(docs: DataFrame, benchmark: DataFrame, id_col: str,
     return (dsh.join(F.broadcast(bsh), "shh")
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("_hits")))
+
+
+def duplicated_span_stats(df: DataFrame, id_col: str, text_col: str,
+                          k: int = 8, min_count: int = 2) -> DataFrame:
+    """Exact duplicated-substring spans at k-gram resolution — the
+    shuffle-friendly variant of suffix-array ExactSubstr dedup (Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models
+    Better" §4.1): any substring of >= k words duplicated anywhere in
+    the corpus (across OR within documents, >= ``min_count``
+    occurrences) is covered by duplicated k-grams, so the merged union
+    of duplicated k-gram windows recovers every such region exactly,
+    quantized to word boundaries.
+
+    Returns (id, dup_spans, dup_words) for affected docs — callers left
+    join and coalesce to zero. Semantics: positional k-grams (NOT the
+    distinct shingle set), windows [pos, pos+k) merged when gaps <= k.
+
+    Scale shape (why this beats a literal suffix array on Spark): the
+    explode emits one (id, pos, hash) row per word — linear, narrow, no
+    text in the rows; duplicated grams come from ONE partial-aggregated
+    groupBy on the hash (uniform keys); the join back is an equi-join
+    whose output is bounded by its input; the per-doc span merge is a
+    sort + one fold over an array bounded by document length. A suffix
+    array needs O(corpus) sorted global state — this needs only
+    per-hash counts. Cost is the k-factor hash work, all codegen'd.
+    """
+    ws = F.filter(F.split(F.col(text_col), " ", -1), lambda w: w != "")
+    n = F.size(ws)
+    pos = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>"))
+    grams = (df.select(
+        F.col(id_col), ws.alias("_ws"), F.explode(pos).alias("pos"))
+        .select(id_col, "pos",
+                md5long(F.array_join(F.slice("_ws", F.col("pos"), k), " "))
+                .alias("_gh")))
+    dup = (grams.groupBy("_gh").agg(F.count(F.lit(1)).alias("_c"))
+           .where(F.col("_c") >= min_count).select("_gh"))
+    ps = (grams.join(dup, "_gh")
+          .groupBy(id_col)
+          .agg(F.sort_array(F.collect_list("pos")).alias("_ps")))
+    n_ps = F.size("_ps")
+    idx = F.when(n_ps >= 2, F.sequence(F.lit(2), n_ps)).otherwise(
+        F.array().cast("array<int>"))
+    gap = lambda j: (F.element_at("_ps", j)  # noqa: E731
+                     - F.element_at("_ps", j - F.lit(1)))
+    spans = F.lit(1) + F.aggregate(
+        idx, F.lit(0), lambda a, j: a + F.when(gap(j) > k, 1).otherwise(0))
+    words = F.lit(k) + F.aggregate(
+        idx, F.lit(0), lambda a, j: a + F.least(gap(j), F.lit(k)))
+    return ps.select(F.col(id_col), spans.cast("int").alias("dup_spans"),
+                     words.cast("int").alias("dup_words"))

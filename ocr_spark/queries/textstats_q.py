@@ -135,20 +135,57 @@ def scrub_pii_q(spark, sf):
     return T.scrub_pii(load(spark, sf, "documents"), "doc_id", "text")
 
 
+_SPAN_K = 8
+
 @q("text_repetition_stats",
    "WITH w AS (SELECT doc_id, "
    "list_filter(string_split(text, ' '), x -> x <> '') AS ws "
-   "FROM documents) "
-   "SELECT doc_id, len(ws) AS n_words, "
+   "FROM documents), "
+   "g AS (SELECT doc_id, i AS pos, "
+   + sql_md5long(f"array_to_string(ws[i:i+{_SPAN_K - 1}], ' ')")
+   + " AS gh FROM w, "
+   f"unnest(range(1, greatest(len(ws) - {_SPAN_K} + 2, 1))) AS t(i)), "
+   "d AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2), "
+   "s AS (SELECT doc_id, list_sort(list(pos)) AS ps "
+   "FROM g JOIN d USING (gh) GROUP BY doc_id), "
+   "m AS (SELECT doc_id, "
+   "CAST(1 + COALESCE(list_sum(list_transform(range(2, len(ps) + 1), "
+   f"j -> CASE WHEN ps[j] - ps[j-1] > {_SPAN_K} THEN 1 ELSE 0 END)), 0) "
+   "AS INT) AS dup_spans, "
+   f"CAST({_SPAN_K} + COALESCE(list_sum(list_transform("
+   "range(2, len(ps) + 1), "
+   f"j -> least(ps[j] - ps[j-1], {_SPAN_K}))), 0) AS INT) AS dup_words "
+   "FROM s) "
+   "SELECT w.doc_id, len(ws) AS n_words, "
    "ROUND(len(list_distinct(ws)) / greatest(len(ws), 1), 4) "
    "AS distinct_ratio, "
    "ROUND(COALESCE(list_max(map_values(list_aggregate(ws, 'histogram'))), "
-   "0) / greatest(len(ws), 1), 4) AS top_word_share FROM w",
+   "0) / greatest(len(ws), 1), 4) AS top_word_share, "
+   "COALESCE(m.dup_spans, 0) AS dup_spans, "
+   "COALESCE(m.dup_words, 0) AS dup_words, "
+   "ROUND(COALESCE(m.dup_words, 0) / greatest(len(ws), 1), 4) "
+   "AS dup_word_frac "
+   "FROM w LEFT JOIN m ON w.doc_id = m.doc_id",
    "Gopher-style repetition filters: distinct-word ratio + top-word "
-   "share (spam/boilerplate detectors)")
+   "share (spam/boilerplate detectors); r3 adds exact duplicated-"
+   "substring spans at k-gram resolution (duplicated_span_stats — the "
+   "shuffle-friendly ExactSubstr variant, Lee et al. 2021): dup_spans/"
+   "dup_words/dup_word_frac over corpus-wide >= 2-occurrence 8-gram "
+   "windows, merged per doc")
 def repetition_q(spark, sf):
-    return T.repetition_stats(load(spark, sf, "documents"),
-                              "doc_id", "text")
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.dedup import duplicated_span_stats
+    d = load(spark, sf, "documents")
+    base = T.repetition_stats(d, "doc_id", "text")
+    spans = duplicated_span_stats(d, "doc_id", "text", k=_SPAN_K)
+    return (base.join(spans, "doc_id", "left")
+            .select("doc_id", "n_words", "distinct_ratio", "top_word_share",
+                    F.coalesce("dup_spans", F.lit(0)).alias("dup_spans"),
+                    F.coalesce("dup_words", F.lit(0)).alias("dup_words"),
+                    F.round(F.coalesce("dup_words", F.lit(0))
+                            / F.greatest("n_words", F.lit(1)), 4)
+                    .alias("dup_word_frac")))
 
 
 @q("curation_pipeline",

@@ -916,3 +916,51 @@ def test_assign_token_shards(spark):
     assert set(out.columns) == {"doc_id", "tokens", "shard_id"}
     with pytest.raises(ValueError):
         assign_token_shards(df, "doc_id", "tokens", 1000, n_buckets=3)
+
+
+def test_duplicated_span_stats(spark):
+    """k-gram span dedup == exact Python mirror: positional k-grams,
+    global count >= min_count, merged union of [pos, pos+k) windows.
+    Covers cross-doc shares, within-doc repeats, docs < k words, and
+    clean docs (absent from the output)."""
+    import hashlib
+
+    k = 3
+    shared = "the quick brown fox jumps over"
+    rows = [
+        (1, shared + " lazy dogs today"),
+        (2, "intro words first " + shared + " and unrelated tail here"),
+        (3, "repeat me now repeat me now totally"),   # within-doc repeat
+        (4, "two words"),                              # < k words
+        (5, "completely unique sentence with fresh vocabulary only"),
+    ]
+    from ocr_spark.operators.dedup import duplicated_span_stats
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["dup_spans"], r["dup_words"])
+           for r in duplicated_span_stats(df, "doc_id", "text", k=k)
+           .collect()}
+
+    # exact mirror
+    from collections import Counter
+    grams = {}
+    for i, t in rows:
+        ws = [w for w in t.split(" ") if w]
+        grams[i] = [(p + 1, " ".join(ws[p:p + k]))
+                    for p in range(len(ws) - k + 1)]
+    cnt = Counter(g for gs in grams.values() for _, g in gs)
+    want = {}
+    for i, gs in grams.items():
+        pos = sorted(p for p, g in gs if cnt[g] >= 2)
+        if not pos:
+            continue
+        spans, words = 1, k
+        for a, b in zip(pos, pos[1:]):
+            d = b - a
+            spans += d > k
+            words += min(d, k)
+        want[i] = (spans, words)
+    assert got == want
+    assert 1 in want and 2 in want and 3 in want
+    assert 4 not in got and 5 not in got
+    # doc 3's within-doc repeat is found without any cross-doc partner
+    assert want[3][0] >= 1
