@@ -454,3 +454,96 @@ def embedding_near_dup_pairs(
                     F.round(cosine(F.col("_va"), F.col("_vb")),
                             round_to).alias("cos"))
             .where(F.col("cos") >= threshold))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jegou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search"): the memory lever for billion-vector ANN.
+# A dim-D float32 vector (e.g. 768 dims = 3 KB) compresses to m small
+# codes (m bytes at ksub=256) by quantizing each of m subvectors against
+# its own ksub-entry codebook; queries rank candidates in the compressed
+# domain via an asymmetric-distance LUT (m x ksub table computed ONCE
+# per query) without ever decompressing. At 100 TB this is what lets the
+# candidate codes table live in memory next to the IVF cells.
+# ---------------------------------------------------------------------------
+
+
+def _pq_subdists(V: "np.ndarray", C_s: "np.ndarray") -> "np.ndarray":
+    """(n, ksub) squared L2 distances, accumulated dim-by-dim in
+    ascending order — the SAME left-to-right fold as the DuckDB oracle's
+    list_sum(list_transform(...)), so distances are bit-identical and
+    the rounded argmin agrees across engines."""
+    acc = np.zeros((V.shape[0], C_s.shape[0]), dtype=np.float64)
+    for d in range(V.shape[1]):
+        diff = V[:, None, d] - C_s[None, :, d]
+        acc = acc + diff * diff
+    return acc
+
+
+def pq_encode(df: DataFrame, id_col: str, vec_col: str,
+              codebooks: list[list[list[float]]]) -> DataFrame:
+    """(id, codes array<int>) — per-subspace nearest-codeword indices
+    (0-based, ties to the lowest index, ARGMAX_ROUND-stable).
+
+    Scale shape: the (m, ksub, dsub) codebook ships ONCE per executor as
+    a Spark broadcast feeding an Arrow-batched pandas UDF (the IVF
+    centroid_assign_udf lesson — never inline model state as literals);
+    encoding is a NARROW map, no join, no shuffle, and the output rows
+    carry m ints instead of the full vector."""
+    CB = np.asarray(codebooks, dtype=np.float64)  # (m, ksub, dsub)
+    m, _, dsub = CB.shape
+    bc = df.sparkSession.sparkContext.broadcast(CB)
+
+    @F.pandas_udf("array<int>")
+    def enc(vecs: pd.Series) -> pd.Series:
+        out = pd.Series([None] * len(vecs), dtype="object",
+                        index=vecs.index)
+        valid = vecs.notna()
+        if valid.any():
+            V = np.array(vecs[valid].tolist(), dtype=np.float64)
+            codes = np.empty((V.shape[0], m), dtype=np.int32)
+            for s in range(m):
+                D = _pq_subdists(V[:, s * dsub:(s + 1) * dsub], bc.value[s])
+                codes[:, s] = np.argmin(np.round(D, ARGMAX_ROUND), axis=1)
+            # list values must arrive index-aligned; a bare list-of-lists
+            # is misread as an element-wise masked assignment
+            out[valid] = pd.Series([c.tolist() for c in codes],
+                                   index=out.index[valid], dtype="object")
+        return out
+
+    return df.select(F.col(id_col), enc(F.col(vec_col)).alias("codes"))
+
+
+def pq_adc_lut(query_vec: list[float],
+               codebooks: list[list[list[float]]]) -> list[list[float]]:
+    """Per-query asymmetric-distance lookup table (m, ksub): squared L2
+    from each query subvector to every codeword, same dim-ascending fold
+    as encoding, rounded to ARGMAX_ROUND. Driver-side and tiny — this is
+    the ONE table a PQ query needs; candidates are never decompressed."""
+    CB = np.asarray(codebooks, dtype=np.float64)
+    m, _, dsub = CB.shape
+    Q = np.asarray(query_vec, dtype=np.float64).reshape(1, m * dsub)
+    return [np.round(_pq_subdists(Q[:, s * dsub:(s + 1) * dsub], CB[s]),
+                     ARGMAX_ROUND)[0].tolist() for s in range(m)]
+
+
+def pq_adc_topk(codes_df: DataFrame, id_col: str, codes_col: str,
+                lut: list[list[float]], k: int = 10,
+                round_to: int = 4) -> DataFrame:
+    """Compressed-domain top-k: adc = sum_s lut[s][code_s], smallest
+    first (ties to the lowest id). The LUT is PER-QUERY runtime data
+    (like the inlined query vectors of the exact-path queries), m*ksub
+    doubles flattened into one literal array — the codebook itself never
+    enters the plan. Pure expressions over the codes column -> scan +
+    Filter + TakeOrderedAndProject, zero Exchange."""
+    m, ksub = len(lut), len(lut[0])
+    flat = F.array(*[F.lit(float(x)) for row in lut for x in row])
+    codes = F.col(codes_col)
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0),
+        lambda a, s: a + F.element_at(
+            flat, s * ksub + F.element_at(codes, s + F.lit(1)) + F.lit(1)))
+    return (codes_df.select(F.col(id_col),
+                            F.round(adc, round_to).alias("pq_adc"))
+            .orderBy(F.col("pq_adc").asc(), F.col(id_col))
+            .limit(k))

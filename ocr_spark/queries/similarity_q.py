@@ -245,11 +245,47 @@ def ivf_topk(spark, sf):
                         _centroids(spark, sf), k=5)
 
 
+# Stand-in PQ codebook (m=8 subspaces x ksub=16 codewords x dsub=8 dims
+# for the 64-dim embeddings): deterministic md5-derived values in
+# [-1, 1], inlined identically as SQL VALUES so DuckDB mirrors encode +
+# ADC value-for-value. Production swaps in codebooks TRAINED per
+# subspace (the kmeans_fit loop over F.slice'd vectors); the mechanism
+# under test — broadcast codebook Arrow encode, per-query LUT, compressed-
+# domain ranking — is identical (same stand-in-model pattern as the
+# model_quality_scores vocabulary).
+PQ_M, PQ_KSUB, PQ_DSUB = 8, 16, 8
+
+
+def _pq_codebook() -> list[list[list[float]]]:
+    import hashlib
+
+    def val(s, c, d):
+        h = int(hashlib.md5(f"pq|{s}|{c}|{d}".encode()).hexdigest()[:15],
+                16)
+        return (h % 2001 - 1000) / 1000.0
+
+    return [[[val(s, c, d) for d in range(PQ_DSUB)]
+             for c in range(PQ_KSUB)] for s in range(PQ_M)]
+
+
+_PQ_CB = _pq_codebook()
+
+
+def _sql_pq_values() -> str:
+    rows = []
+    for s in range(PQ_M):
+        for c in range(PQ_KSUB):
+            cw = "[" + ", ".join(repr(v) for v in _PQ_CB[s][c]) + "]"
+            rows.append(f"({s + 1}, {c}, {cw})")
+    return "cb(s, c, cw) AS (VALUES " + ", ".join(rows) + ")"
+
+
 def _make_ivf_nprobe_spec() -> QuerySpec:
     n_probe = 2
     qcs = "[" + ", ".join(
         f"ROUND({_sql_cos('(SELECT qe FROM q)', _sql_cvec(j))}, "
         f"{S.ARGMAX_ROUND})" for j in range(1, N_CENTROIDS + 1)) + "]"
+    sub = f"list_sum(list_transform(range(1, {PQ_DSUB + 1}), "
     sql = (
         "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM "
         "embeddings WHERE vec_id = 0), "
@@ -258,26 +294,66 @@ def _make_ivf_nprobe_spec() -> QuerySpec:
         f"range(1, {N_CENTROIDS + 1}), j -> {{'c': -cs[j], 'j': j}})), "
         f"s -> CAST(s.j AS INT))[1:{n_probe}] AS cells FROM qcs), "
         "a AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, "
-        + _sql_centroid_of(_V) + " AS centroid FROM embeddings) "
-        "SELECT vec_id, ROUND(list_dot_product(v, (SELECT qe FROM q)) / "
+        + _sql_centroid_of(_V) + " AS centroid FROM embeddings), "
+        "ivfr AS (SELECT vec_id, cos, CAST(row_number() OVER "
+        "(ORDER BY cos DESC, vec_id) AS INT) AS rank FROM "
+        "(SELECT vec_id, ROUND(list_dot_product(v, (SELECT qe FROM q)) / "
         "(sqrt(list_dot_product(v, v)) * sqrt((SELECT "
         "list_dot_product(qe, qe) FROM q))), 4) AS cos "
-        "FROM a WHERE list_contains((SELECT cells FROM qcells), centroid) "
-        "ORDER BY cos DESC, vec_id LIMIT 5")
+        "FROM a WHERE list_contains((SELECT cells FROM qcells), centroid)"
+        ") ORDER BY rank LIMIT 5), "
+        + _sql_pq_values() + ", "
+        f"lutt AS (SELECT s, c, ROUND({sub}"
+        f"d -> (qe[(s-1)*{PQ_DSUB} + d] - cw[d])^2)), "
+        f"{S.ARGMAX_ROUND}) AS dist FROM cb, q), "
+        "ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve "
+        "FROM embeddings WHERE vec_id <> 0), "
+        f"dists AS (SELECT vec_id, s, c, ROUND({sub}"
+        f"d -> (ve[(s-1)*{PQ_DSUB} + d] - cw[d])^2)), "
+        f"{S.ARGMAX_ROUND}) AS dist FROM ev, cb), "
+        "cd AS (SELECT vec_id, s, c FROM (SELECT vec_id, s, c, "
+        "row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, c) "
+        "AS rn FROM dists) WHERE rn = 1), "
+        "adc AS (SELECT vec_id, ROUND(list_sum(list(l.dist ORDER BY "
+        "l.s)), 4) AS pq_adc FROM cd JOIN lutt l USING (s, c) "
+        "GROUP BY vec_id), "
+        "pqr AS (SELECT vec_id AS pq_vec_id, pq_adc, CAST(row_number() "
+        "OVER (ORDER BY pq_adc, vec_id) AS INT) AS rank FROM adc "
+        "ORDER BY rank LIMIT 5) "
+        "SELECT rank, vec_id, cos, pq_vec_id, pq_adc "
+        "FROM ivfr JOIN pqr USING (rank)")
 
     def spark_fn(spark, sf):
+        from pyspark.sql import Window
         qv = _query_vec(spark, sf)
         emb = load(spark, sf, "embeddings")
-        return S.ivf_search_nprobe(emb, "vec_id", "embedding", qv,
-                                   _centroids(spark, sf), k=5,
-                                   nprobe=n_probe)
+        ivf = S.ivf_search_nprobe(emb, "vec_id", "embedding", qv,
+                                  _centroids(spark, sf), k=5,
+                                  nprobe=n_probe)
+        # rank windows run over the already-top-5 results (driver-scale)
+        wi = Window.orderBy(F.col("cos").desc(), F.col("vec_id"))
+        ivf_r = ivf.withColumn("rank", F.row_number().over(wi))
+        enc = S.pq_encode(emb.where(F.col("vec_id") != 0),
+                          "vec_id", "embedding", _PQ_CB)
+        pq = S.pq_adc_topk(enc, "vec_id", "codes",
+                           S.pq_adc_lut(qv, _PQ_CB), k=5)
+        wp = Window.orderBy(F.col("pq_adc").asc(), F.col("vec_id"))
+        pq_r = (pq.withColumn("rank", F.row_number().over(wp))
+                .select(F.col("vec_id").alias("pq_vec_id"),
+                        "pq_adc", "rank"))
+        return (ivf_r.join(pq_r, "rank")
+                .select("rank", "vec_id", "cos", "pq_vec_id", "pq_adc"))
 
     return QuerySpec(
         "sim_ivf_topk_nprobe2", spark_fn, sql,
         "IVF ANN with nprobe=2: exact ranking inside the query's two "
         "nearest cells — recovers boundary-neighbor recall that fixed "
         "nprobe=1 loses, scanning nprobe/n_centroids of the table; "
-        "cell list tie-breaks toward the lowest index on both engines")
+        "cell list tie-breaks toward the lowest index on both engines. "
+        "r3 folds in product quantization (Jegou et al. 2011): "
+        "pq_vec_id/pq_adc are the compressed-domain top-5 by asymmetric "
+        "distance over 8x16x8 codes (rank-joined) — broadcast-codebook "
+        "Arrow encode, per-query LUT, codes 32x smaller than vectors")
 
 
 QUERIES.append(_make_ivf_nprobe_spec())

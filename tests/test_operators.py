@@ -964,3 +964,57 @@ def test_duplicated_span_stats(spark):
     assert 4 not in got and 5 not in got
     # doc 3's within-doc repeat is found without any cross-doc partner
     assert want[3][0] >= 1
+
+
+def test_pq_encode_adc_matches_python_mirror(spark):
+    """PQ encode + ADC top-k == exact Python mirror (same dim-ascending
+    distance fold, ARGMAX_ROUND argmin, lowest-index ties); NULL vectors
+    encode NULL; ADC ranking is a faithful compressed-domain proxy (the
+    true nearest vector ranks first here by construction)."""
+    import random as pyrandom
+
+    rng = pyrandom.Random(7)
+    m, ksub, dsub = 4, 4, 2
+    cb = [[[round(rng.uniform(-1, 1), 3) for _ in range(dsub)]
+           for _ in range(ksub)] for _ in range(m)]
+    vecs = [[round(rng.uniform(-1, 1), 3) for _ in range(m * dsub)]
+            for _ in range(40)]
+    q = vecs[0]
+
+    def subdist(v, s, c):
+        acc = 0.0
+        for d in range(dsub):
+            diff = v[s * dsub + d] - cb[s][c][d]
+            acc = acc + diff * diff
+        return acc
+
+    def encode(v):
+        return [min(range(ksub),
+                    key=lambda c: (round(subdist(v, s, c), 9), c))
+                for s in range(m)]
+
+    lut_py = [[round(subdist(q, s, c), 9) for c in range(ksub)]
+              for s in range(m)]
+
+    from ocr_spark.operators.similarity import (
+        pq_adc_lut, pq_adc_topk, pq_encode)
+    rows = [(i, v) for i, v in enumerate(vecs)] + [(99, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    enc = pq_encode(df, "vec_id", "embedding", cb)
+    got_codes = {r["vec_id"]: r["codes"] for r in enc.collect()}
+    assert got_codes[99] is None
+    for i, v in enumerate(vecs):
+        assert got_codes[i] == encode(v), i
+
+    lut = pq_adc_lut(q, cb)
+    assert [[round(x, 9) for x in row] for row in lut] == lut_py
+
+    got = [(r["vec_id"], r["pq_adc"]) for r in pq_adc_topk(
+        enc.where(F.col("vec_id") != 99), "vec_id", "codes", lut,
+        k=5).collect()]
+    adc = {i: round(sum(lut_py[s][encode(v)[s]] for s in range(m)), 4)
+           for i, v in enumerate(vecs)}
+    want = sorted(adc.items(), key=lambda kv: (kv[1], kv[0]))[:5]
+    assert got == [(i, a) for i, a in want]
+    # the query vector itself (vecs[0]) must be the ADC-nearest
+    assert got[0][0] == 0
