@@ -16,6 +16,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -612,3 +614,105 @@ def duplicated_span_stats(df: DataFrame, id_col: str, text_col: str,
         idx, F.lit(0), lambda a, j: a + F.least(gap(j), F.lit(k)))
     return ps.select(F.col(id_col), spans.cast("int").alias("dup_spans"),
                      words.cast("int").alias("dup_words"))
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup vs a historical corpus, Bloom-prefiltered.
+#
+# The recurring production shape: yesterday's 100 TB corpus is already
+# deduped; today's crawl must drop everything already seen WITHOUT
+# re-shuffling the whole batch against the history. A Bloom filter over
+# the history fingerprints, built distributed and broadcast, answers
+# "definitely new" locally — only the (true-dup + false-positive) sliver
+# of the batch enters the exact anti-join. Bloom filters have NO false
+# negatives, so the final row set is EXACTLY the plain anti-join's (the
+# oracle stays plain SQL); the filter is purely a shuffle-volume lever.
+#
+# Scale notes:
+#   * mask build: ONE pass over the history fingerprint column (8 bytes a
+#     row), coalesced to `coalesce_to` partitions; each partition emits
+#     one n_bits/8-byte mask, OR-reduced on the driver — driver cost is
+#     coalesce_to * n_bits/8 bytes (32 * 16 MiB at n_bits=2^27), constant
+#     in history size. Size n_bits ~ 10x history cardinality for ~1% fp.
+#   * membership: Arrow-batched pandas UDF over the broadcast mask —
+#     vectorized numpy gather, no per-row Python.
+#   * in production the history side of the residual anti-join is a
+#     persisted fingerprint table bucketed by the hash, so only the
+#     Bloom-positive batch sliver shuffles.
+
+DEFAULT_BLOOM_BITS = 1 << 20
+DEFAULT_BLOOM_HASHES = 5
+
+
+def _bloom_positions(h, n_bits: int, n_hashes: int):
+    """k bit positions per 60-bit hash via double hashing (Kirsch &
+    Mitzenmacher 2006): pos_i = (h1 + i*h2) mod n_bits. `h` is a numpy
+    int64 array; returns a list of k int64 arrays."""
+    h1 = h % n_bits
+    h2 = ((h // n_bits) % n_bits) | 1  # odd -> full-cycle stride
+    return [(h1 + i * h2) % n_bits for i in range(n_hashes)]
+
+
+def build_bloom_mask(hashes: DataFrame, hash_col: str,
+                     n_bits: int = DEFAULT_BLOOM_BITS,
+                     n_hashes: int = DEFAULT_BLOOM_HASHES,
+                     coalesce_to: int = 32):
+    """Bloom bitmask (numpy uint8, n_bits/8 bytes) over a hash column.
+
+    mapInPandas emits one partial mask per (coalesced) partition; the
+    driver ORs them. n_bits must be a multiple of 8."""
+
+    def build(batches):
+        mask = np.zeros(n_bits // 8, np.uint8)
+        for pdf in batches:
+            h = pdf[hash_col].to_numpy(np.int64)
+            for pos in _bloom_positions(h, n_bits, n_hashes):
+                np.bitwise_or.at(mask, pos >> 3,
+                                 (1 << (pos & 7)).astype(np.uint8))
+        yield pd.DataFrame({"mask": [mask.tobytes()]})
+
+    rows = (hashes.select(hash_col).coalesce(coalesce_to)
+            .mapInPandas(build, "mask binary").collect())
+    out = np.zeros(n_bits // 8, np.uint8)
+    for r in rows:
+        out |= np.frombuffer(r["mask"], np.uint8)
+    return out
+
+
+def bloom_member_udf(spark, mask, n_bits: int = DEFAULT_BLOOM_BITS,
+                     n_hashes: int = DEFAULT_BLOOM_HASHES):
+    """Vectorized membership test against a broadcast Bloom mask."""
+    bc = spark.sparkContext.broadcast(mask.tobytes())
+
+    @F.pandas_udf("boolean")
+    def member(h: pd.Series) -> pd.Series:
+        m = np.frombuffer(bc.value, np.uint8)
+        hv = h.to_numpy(np.int64)
+        ok = np.ones(len(hv), bool)
+        for pos in _bloom_positions(hv, n_bits, n_hashes):
+            ok &= (m[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+        return pd.Series(ok)
+
+    return member
+
+
+def dedup_incremental(batch: DataFrame, history: DataFrame, id_col: str,
+                      text_col: str, n_bits: int = DEFAULT_BLOOM_BITS,
+                      n_hashes: int = DEFAULT_BLOOM_HASHES,
+                      coalesce_to: int = 32) -> DataFrame:
+    """Batch rows whose text content does NOT appear in `history`.
+
+    Exact result (identical to a plain left-anti join on the content
+    hash); the Bloom prefilter only decides which rows may skip the
+    join. The batch is scanned twice (both scans column-pruned); only
+    Bloom-positive rows carry their payload into the anti-join shuffle.
+    """
+    spark = batch.sparkSession
+    hist_h = history.select(md5long(F.col(text_col)).alias("_h"))
+    mask = build_bloom_mask(hist_h, "_h", n_bits, n_hashes, coalesce_to)
+    member = bloom_member_udf(spark, mask, n_bits, n_hashes)
+    b = batch.withColumn("_h", md5long(F.col(text_col)))
+    definite_new = b.where(~member(F.col("_h")))
+    survivors = (b.where(member(F.col("_h")))
+                 .join(hist_h.distinct(), "_h", "left_anti"))
+    return definite_new.unionByName(survivors).drop("_h")

@@ -1,0 +1,118 @@
+"""URL canonicalization + recrawl (keep-latest-capture) dedup.
+
+The first pass of every Common-Crawl-style pipeline: the same page is
+fetched many times under cosmetically different URLs (scheme/host case,
+tracking params, fragments, trailing slash) and across many crawl
+snapshots. Canonicalize first, then keep exactly one capture per
+canonical URL — otherwise every downstream content-dedup operator pays
+for recrawl copies that a pure string normalization would have removed.
+
+Reference parity note: the reference keys its result cache on the raw
+uploaded filename (ocr_project/ocr_app/views.py upload handling — one
+artifact per name, newest write wins); this operator is the corpus-scale
+version of that "one canonical key, latest capture wins" rule.
+
+Scale shape (100 TB):
+  * `canonicalize_url` is a pure expression column — no UDF, no shuffle,
+    fully codegen'd; Catalyst keeps it inside the scan's WholeStageCodegen.
+  * `dedup_latest_capture` is ONE partial-aggregated groupBy on the
+    canonical URL: max_by carries (ts, id) only, so map-side combine
+    collapses recrawl copies before the shuffle. A hot canonical URL is
+    bounded by its recrawl count (thousands), never by corpus size —
+    no salting needed.
+
+Every regex/normalization step is engine-portable (same semantics in
+Spark's Java regex and DuckDB's RE2) so the oracle can mirror it
+string-for-string.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Query parameters that never identify content (trackers). Kept as exact
+# prefixes / names so the DuckDB mirror is a starts_with + equality list.
+TRACKING_PREFIXES = ("utm_",)
+TRACKING_NAMES = ("gclid", "fbclid", "ref", "mc_cid", "mc_eid")
+
+
+def _is_tracking(param: Column) -> Column:
+    cond = F.lit(False)
+    for p in TRACKING_PREFIXES:
+        cond = cond | param.startswith(p)
+    for n in TRACKING_NAMES:
+        cond = cond | param.startswith(n + "=") | (param == n)
+    return cond
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of a URL, as a pure (codegen-able) expression.
+
+    Steps, in order (each mirrored in `ORACLE_CANON_SQL`):
+      1. strip the fragment (``#...``);
+      2. lowercase the ``scheme://host[:port]`` prefix (authority only —
+         path/query case is significant);
+      3. drop the default port (``:80`` for http, ``:443`` for https);
+      4. drop tracking query params (``utm_*``, gclid, fbclid, ref,
+         mc_cid, mc_eid), sort the survivors bytewise, rejoin; drop the
+         ``?`` entirely when none survive;
+      5. strip one trailing ``/`` from the path.
+    """
+    u = F.regexp_replace(url, "#.*$", "")
+    auth = F.regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)", 1)
+    rest = F.substring(u, F.length(auth) + F.lit(1), F.length(u))
+    auth = F.lower(auth)
+    auth = F.regexp_replace(auth, "^(http://.*):80$", "$1")
+    auth = F.regexp_replace(auth, "^(https://.*):443$", "$1")
+    path = F.when(rest.contains("?"),
+                  F.substring_index(rest, "?", 1)).otherwise(rest)
+    qs = F.when(rest.contains("?"),
+                F.substring_index(rest, "?", -1)).otherwise(F.lit(""))
+    params = F.filter(
+        F.split(qs, "&"),
+        lambda p: (p != "") & ~_is_tracking(p))
+    qs_canon = F.array_join(F.array_sort(params), "&")
+    path = F.regexp_replace(path, "/$", "")
+    return F.concat(
+        auth, path,
+        F.when(qs_canon == "", F.lit("")).otherwise(F.concat(F.lit("?"),
+                                                             qs_canon)))
+
+
+def oracle_canon_sql(url_expr: str) -> str:
+    """DuckDB SQL mirroring `canonicalize_url` step for step."""
+    prefix_checks = " OR ".join(
+        [f"starts_with(p, '{p}')" for p in TRACKING_PREFIXES]
+        + [f"starts_with(p, '{n}=') OR p = '{n}'" for n in TRACKING_NAMES])
+    u = f"regexp_replace({url_expr}, '#.*$', '')"
+    auth = (f"regexp_replace(regexp_replace(lower(regexp_extract({u}, "
+            f"'^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1)), "
+            f"'^(http://.*):80$', '\\1'), '^(https://.*):443$', '\\1')")
+    rest = (f"substr({u}, length(regexp_extract({u}, "
+            f"'^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1)) + 1)")
+    path = (f"regexp_replace(CASE WHEN contains({rest}, '?') THEN "
+            f"split_part({rest}, '?', 1) ELSE {rest} END, '/$', '')")
+    qs = (f"CASE WHEN contains({rest}, '?') THEN "
+          f"array_to_string(list_sort(list_filter(string_split("
+          f"split_part({rest}, '?', 2), '&'), "
+          f"p -> p <> '' AND NOT ({prefix_checks}))), '&') ELSE '' END")
+    return (f"({auth} || {path} || CASE WHEN {qs} = '' THEN '' "
+            f"ELSE '?' || {qs} END)")
+
+
+def dedup_latest_capture(df: DataFrame, url_col: str, ts_col: str,
+                         id_col: str) -> DataFrame:
+    """One row per canonical URL: the id/ts of the NEWEST capture, plus
+    the recrawl count. Ties on ts break to the highest id (total order).
+
+    One partial-aggregated shuffle on the canonical URL; max_by carries
+    the (ts, id) struct only — page bodies never move.
+    """
+    canon = canonicalize_url(F.col(url_col)).alias("url_canon")
+    return (df.select(canon, F.col(ts_col).alias("_ts"),
+                      F.col(id_col).alias("_id"))
+            .groupBy("url_canon")
+            .agg(F.max_by("_id", F.struct("_ts", "_id")).alias("keeper_id"),
+                 F.max("_ts").alias("latest_ts"),
+                 F.count("*").alias("n_captures")))

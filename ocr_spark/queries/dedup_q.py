@@ -64,13 +64,48 @@ def q(name, sql, note=""):
     return deco
 
 
+# Incremental-dedup crawl split: "yesterday's crawl" = doc_id % 3 = 0,
+# "today's batch" = doc_id % 2 = 0 — genuine re-fetch overlap at
+# doc_id % 6 = 0, so the anti-join really drops rows. The Bloom prefilter
+# never changes the row set (no false negatives), so the oracle is the
+# plain NOT IN — the filter is purely the shuffle-volume lever
+# (test_dedup_incremental_* pins the prune behaviour).
 @q("dedup_exact",
-   "SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, "
-   "count(*) AS copies FROM documents GROUP BY md5(text)",
-   "exact dedup: hash-groupBy survivors")
+   "WITH hist AS (SELECT DISTINCT md5(text) AS content_hash FROM documents "
+   "WHERE doc_id % 3 = 0), "
+   "nw AS (SELECT md5(text) AS content_hash, count(*) AS n_new "
+   "FROM documents WHERE doc_id % 2 = 0 "
+   "AND md5(text) NOT IN (SELECT content_hash FROM hist) GROUP BY 1) "
+   "SELECT d.content_hash, d.doc_id, d.copies, "
+   "CAST(d.content_hash IN (SELECT content_hash FROM hist) AS INT) "
+   "AS in_hist, "
+   "CAST(coalesce(nw.n_new, 0) AS BIGINT) AS n_new "
+   "FROM (SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, "
+   "count(*) AS copies FROM documents GROUP BY 1) d "
+   "LEFT JOIN nw USING (content_hash)",
+   "exact dedup (hash-groupBy survivors) + r3 incremental dedup vs a "
+   "historical corpus (dedup_incremental: distributed-built broadcast "
+   "Bloom prefilter -> only the true-dup+fp sliver of the batch enters "
+   "the exact anti-join; n_new counts today's batch docs whose content "
+   "is absent from yesterday's crawl)")
 def dedup_exact(spark, sf):
-    return D.exact_dedup_survivors(load(spark, sf, "documents"),
-                                   "doc_id", "text")
+    from pyspark.sql import functions as F
+    d = load(spark, sf, "documents")
+    hist = d.where(F.col("doc_id") % 3 == 0)
+    batch = d.where(F.col("doc_id") % 2 == 0)
+    new_docs = D.dedup_incremental(batch, hist, "doc_id", "text")
+    base = D.exact_dedup_survivors(d, "doc_id", "text")
+    hist_hashes = (hist.select(F.md5("text").alias("content_hash"))
+                   .distinct().withColumn("_ih", F.lit(1)))
+    newagg = (new_docs.groupBy(F.md5("text").alias("content_hash"))
+              .agg(F.count(F.lit(1)).alias("_nn")))
+    return (base.join(hist_hashes, "content_hash", "left")
+            .join(newagg, "content_hash", "left")
+            .select("content_hash", "doc_id", "copies",
+                    F.coalesce(F.col("_ih"), F.lit(0)).cast("int")
+                    .alias("in_hist"),
+                    F.coalesce(F.col("_nn"), F.lit(0)).cast("long")
+                    .alias("n_new")))
 
 
 @q("dedup_minhash_signatures", _SIG_SQL,

@@ -36,25 +36,93 @@ def q(name: str, sql: str | None, note: str = ""):
 
 # ------------------------------------------------------- composite suites
 
+# Deterministic raw-URL construction for the URL-canonicalization fold:
+# documents carry no url column, so one is synthesized from
+# (doc_id, source, lang) with every noise class the canonicalizer must
+# erase — scheme/host case, explicit default port, tracking params,
+# param order, fragment, trailing slash (same pattern as roundtrip.py's
+# HTML template: the oracle mirrors the construction string-for-string).
+_URL_SQL = (
+    "(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END || '://' || "
+    "CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END || "
+    "'.example.com' || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END || "
+    "'/' || lang || '/page-' || CAST(doc_id % 50 AS VARCHAR) || "
+    "CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END || "
+    "CASE WHEN doc_id % 2 = 0 THEN "
+    "'?b=2&utm_source=feed&a=' || CAST(doc_id % 100 AS VARCHAR) "
+    "ELSE '?a=' || CAST(doc_id % 100 AS VARCHAR) || '&gclid=xyz&b=2' END "
+    "|| '#sec')")
+
+
+def _url_expr():
+    did = F.col("doc_id")
+    return F.concat(
+        F.when(did % 2 == 0, "HTTPS").otherwise("https"), F.lit("://"),
+        F.when(did % 3 == 0, F.upper("source")).otherwise(F.col("source")),
+        F.lit(".example.com"),
+        F.when(did % 5 == 0, ":443").otherwise(""),
+        F.lit("/"), F.col("lang"), F.lit("/page-"),
+        (did % 50).cast("string"),
+        F.when(did % 4 == 0, "/").otherwise(""),
+        F.when(did % 2 == 0,
+               F.concat(F.lit("?b=2&utm_source=feed&a="),
+                        (did % 100).cast("string")))
+        .otherwise(F.concat(F.lit("?a="), (did % 100).cast("string"),
+                            F.lit("&gclid=xyz&b=2"))),
+        F.lit("#sec"))
+
+
+def _documents_enriched_sql():
+    from ocr_spark.operators.urls import oracle_canon_sql
+    canon = oracle_canon_sql(_URL_SQL)
+    return (
+        "WITH c AS (SELECT doc_id, lang, source, n_chars, text, "
+        f"{canon} AS url_canon FROM documents) "
+        "SELECT doc_id, lang, source, n_chars, "
+        "concat(lang, ':', reverse(substr(text, 1, 20))) AS tag, "
+        "length(trim(text)) AS n_trim, "
+        "CAST(contains(text, 'data') AS INT) AS has_marker, "
+        "regexp_replace(text, '[^a-z ]', '', 'g') AS clean, "
+        "url_canon, "
+        # ts is epoch + doc_id seconds (monotone, distinct) so the
+        # keep-latest keeper inside a canonical group is max(doc_id)
+        "CAST(doc_id = max(doc_id) OVER (PARTITION BY url_canon) AS INT) "
+        "AS is_latest "
+        "FROM c")
+
+
 @q("documents_enriched",
-   "SELECT doc_id, lang, source, n_chars, "
-   "concat(lang, ':', reverse(substr(text, 1, 20))) AS tag, "
-   "length(trim(text)) AS n_trim, "
-   "CAST(contains(text, 'data') AS INT) AS has_marker, "
-   "regexp_replace(text, '[^a-z ]', '', 'g') AS clean "
-   "FROM documents",
+   _documents_enriched_sql(),
    "composite: S1 full scan + P1 projection + P8 char whitelist + "
-   "F1 concat/reverse + F2 trim/length + F3 substring membership — one "
-   "narrow pass over documents, one named column per §2 row")
+   "F1 concat/reverse + F2 trim/length + F3 substring membership + r3 "
+   "URL canonicalization / recrawl keep-latest (operators/urls.py: "
+   "url_canon is a pure codegen'd expression erasing scheme/host case, "
+   "default port, trackers, param order, fragment, trailing slash; "
+   "is_latest joins dedup_latest_capture's one partial-agg groupBy — "
+   "newest capture per canonical URL wins) — one narrow pass over "
+   "documents, one named column per §2 row")
 def documents_enriched(spark, sf):
-    d = load(spark, sf, "documents")
-    return d.select(
+    from ocr_spark.operators.urls import (
+        canonicalize_url, dedup_latest_capture)
+    d = load(spark, sf, "documents").withColumn("url", _url_expr())
+    # capture ts: epoch + doc_id seconds — distinct and monotone, the
+    # recrawl simulation (newer doc_id = newer capture of the same page)
+    d = d.withColumn("capture_ts",
+                     F.timestamp_seconds(F.col("doc_id") + F.lit(1)))
+    keepers = dedup_latest_capture(d, "url", "capture_ts", "doc_id")
+    enriched = d.select(
         "doc_id", "lang", "source", "n_chars",
         F.concat(F.col("lang"), F.lit(":"),
                  F.reverse(F.substring("text", 1, 20))).alias("tag"),
         F.length(F.trim(F.col("text"))).alias("n_trim"),
         F.col("text").contains("data").cast("int").alias("has_marker"),
-        F.regexp_replace("text", "[^a-z ]", "").alias("clean"))
+        F.regexp_replace("text", "[^a-z ]", "").alias("clean"),
+        canonicalize_url(F.col("url")).alias("url_canon"))
+    return (enriched.join(keepers.select("url_canon", "keeper_id"),
+                          "url_canon")
+            .withColumn("is_latest",
+                        (F.col("doc_id") == F.col("keeper_id")).cast("int"))
+            .drop("keeper_id"))
 
 
 @q("events_enriched",

@@ -1018,3 +1018,94 @@ def test_pq_encode_adc_matches_python_mirror(spark):
     assert got == [(i, a) for i, a in want]
     # the query vector itself (vecs[0]) must be the ADC-nearest
     assert got[0][0] == 0
+
+
+# ---------------------------------------------------------------- urls
+
+def test_canonicalize_url(spark):
+    from ocr_spark.operators.urls import canonicalize_url
+    raw = [
+        "HTTPS://WWW.Example.COM:443/A/b/?utm_source=x&b=2&a=1#frag",
+        "http://site.org:80/path",
+        "https://site.org/path/?gclid=abc&fbclid=z&ref",
+        "https://site.org/path?z=9&a=1",
+        "https://host.net/",
+    ]
+    df = spark.createDataFrame([(u,) for u in raw], ["url"])
+    got = [r["c"] for r in
+           df.select(canonicalize_url(F.col("url")).alias("c")).collect()]
+    assert got == [
+        "https://www.example.com/A/b?a=1&b=2",  # port, case, utm, sort, frag
+        "http://site.org/path",                  # default http port
+        "https://site.org/path",                 # all-tracker query dropped
+        "https://site.org/path?a=1&z=9",         # bytewise param sort
+        "https://host.net",                      # trailing slash
+    ]
+
+
+def test_dedup_latest_capture(spark):
+    from datetime import datetime
+    from ocr_spark.operators.urls import dedup_latest_capture
+    t = datetime(2026, 1, 1)
+    t2 = datetime(2026, 1, 2)
+    rows = [
+        ("https://a.com/x?utm_source=1", t, 1),
+        ("HTTPS://A.COM/x/", t2, 2),        # same canon, newer -> keeper
+        ("https://a.com/x#frag", t2, 3),    # ts tie with 2 -> higher id wins
+        ("https://b.com/y", t, 4),          # singleton
+    ]
+    df = spark.createDataFrame(rows, ["url", "ts", "doc_id"])
+    out = {r["url_canon"]: r for r in
+           dedup_latest_capture(df, "url", "ts", "doc_id").collect()}
+    assert len(out) == 2
+    a = out["https://a.com/x"]
+    assert a["keeper_id"] == 3 and a["n_captures"] == 3
+    assert a["latest_ts"] == t2
+    assert out["https://b.com/y"]["keeper_id"] == 4
+
+
+# --------------------------------------------- incremental (Bloom) dedup
+
+def _inc_frames(spark):
+    hist = spark.createDataFrame(
+        [(i, f"history document number {i}") for i in range(40)],
+        ["doc_id", "text"])
+    # batch: 10 re-fetches of history content + 30 genuinely new docs
+    batch = spark.createDataFrame(
+        [(100 + i, f"history document number {i}") for i in range(10)]
+        + [(200 + i, f"fresh new content {i}") for i in range(30)],
+        ["doc_id", "text"])
+    return hist, batch
+
+
+def test_dedup_incremental_matches_plain_antijoin(spark):
+    hist, batch = _inc_frames(spark)
+    got = sorted(r["doc_id"] for r in
+                 D.dedup_incremental(batch, hist, "doc_id", "text",
+                                     n_bits=1 << 14).collect())
+    plain = sorted(r["doc_id"] for r in batch.join(
+        hist.select("text").distinct(), "text", "left_anti").collect())
+    assert got == plain == [200 + i for i in range(30)]
+
+
+def test_dedup_incremental_bloom_semantics(spark):
+    from ocr_spark.operators.hashing import md5long
+    hist, batch = _inc_frames(spark)
+    hist_h = hist.select(md5long(F.col("text")).alias("h"))
+    mask = D.build_bloom_mask(hist_h, "h", n_bits=1 << 14)
+    member = D.bloom_member_udf(spark, mask, n_bits=1 << 14)
+    probed = (batch.withColumn("h", md5long(F.col("text")))
+              .withColumn("m", member(F.col("h"))).collect())
+    # no false negatives: every re-fetch row tests positive
+    assert all(r["m"] for r in probed if r["doc_id"] < 200)
+    # the prune lever: ~all new rows test negative at 10x-sized mask
+    fp = sum(r["m"] for r in probed if r["doc_id"] >= 200)
+    assert fp <= 3
+
+
+def test_dedup_incremental_empty_history(spark):
+    _, batch = _inc_frames(spark)
+    hist = batch.where(F.lit(False))
+    out = D.dedup_incremental(batch, hist, "doc_id", "text",
+                              n_bits=1 << 14)
+    assert out.count() == batch.count()
