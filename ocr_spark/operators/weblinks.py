@@ -1,0 +1,81 @@
+"""Link-graph operators: outlink extraction, URL resolution, host edges.
+
+Spark shape (100 TB):
+  * `outlinks_udf` is an Arrow-batched pandas UDF over the page bytes —
+    the same narrow one-pass-per-page slot the extraction UDF occupies
+    (tokenizer reuse, ocr_spark/core/links.py); pages never shuffle.
+  * `resolve_links` is a pure higher-order-array expression (codegen'd,
+    oracle-mirrorable) — no second UDF for the common resolution cases.
+  * `host_edges` explodes to (src_host, dst_host) AFTER hosts are cut
+    down from full URLs, so the exploded edge rows carry two short
+    strings; the distinct is one partial-aggregated shuffle.
+  * `host_indegree` is the classic spam/quality prior: count of distinct
+    referring hosts per destination host — partial-agg groupBy over the
+    already-distinct edge list.
+
+Resolution model (documented simplification, mirrored by the oracle):
+absolute http(s) kept; protocol-relative '//h/p' gets the base scheme;
+root-relative '/p' joins the base origin; anything else is treated as
+root-relative (no dot-segment normalization — crawl frontiers
+canonicalize with `ocr_spark.operators.urls.canonicalize_url` anyway).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ocr_spark.functions.bucketing import host_of
+
+
+def outlinks_udf(html: Column) -> Column:
+    """array<string> of raw hrefs per page (binary html column)."""
+    from ocr_spark.core.encoding import decode_bytes
+    from ocr_spark.core.links import outlinks
+
+    @F.pandas_udf("array<string>")
+    def _links(pages: pd.Series) -> pd.Series:
+        out = []
+        for blob in pages:
+            if blob is None:
+                out.append([])
+                continue
+            text, _ = decode_bytes(bytes(blob))
+            out.append(outlinks(text))
+        return pd.Series(out)
+
+    return _links(html)
+
+
+def resolve_links(links: Column, base_url: Column) -> Column:
+    """Resolve raw hrefs against the page URL — pure expressions."""
+    scheme = F.regexp_extract(base_url, "^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
+    origin = F.regexp_extract(base_url, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)",
+                              1)
+
+    def one(l: Column) -> Column:
+        return (F.when(l.startswith("http://") | l.startswith("https://"), l)
+                .when(l.startswith("//"), F.concat(scheme, F.lit(":"), l))
+                .when(l.startswith("/"), F.concat(origin, l))
+                .otherwise(F.concat(origin, F.lit("/"), l)))
+
+    return F.transform(links, one)
+
+
+def host_edges(df: DataFrame, url_col: str, links_col: str) -> DataFrame:
+    """Distinct (src_host, dst_host) edges; self-edges dropped."""
+    e = df.select(
+        host_of(F.col(url_col)).alias("src_host"),
+        F.explode(resolve_links(F.col(links_col), F.col(url_col)))
+        .alias("_l"))
+    e = e.select("src_host", host_of(F.col("_l")).alias("dst_host"))
+    return (e.where(F.col("dst_host").isNotNull()
+                    & (F.col("dst_host") != F.col("src_host")))
+            .distinct())
+
+
+def host_indegree(edges: DataFrame) -> DataFrame:
+    """Distinct referring hosts per destination host (quality prior)."""
+    return (edges.groupBy("dst_host")
+            .agg(F.count(F.lit(1)).alias("n_ref_hosts")))

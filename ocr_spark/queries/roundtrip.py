@@ -9,6 +9,12 @@ the template yields exactly one candidate block, the classifier reduces to
 the expected output is whitespace-normalized text or '' — which DuckDB can
 compute independently. A single divergent byte anywhere in the tokenizer,
 DOM recovery, classifier, or assembly fails the hash.
+
+r3 link-graph fold: the nav's second anchor carries a per-doc external
+href, and the roundtrip emits the page's outlinks (tokenizer reuse,
+operators/weblinks.py) resolved against a per-doc base URL plus the
+distinct destination hosts — so the driver verifies link extraction +
+resolution + host-cut VALUES alongside the extracted text.
 """
 
 from __future__ import annotations
@@ -20,42 +26,80 @@ from ocr_spark.queries import QuerySpec, load
 
 QUERIES: list[QuerySpec] = []
 
-_PREFIX = ('<html><head><title>t</title></head><body>'
-           '<nav><a href="/">home</a> <a href="/x">more</a></nav><p>')
+_PRE_A = ('<html><head><title>t</title></head><body>'
+          '<nav><a href="/">home</a> <a href="')
+_PRE_B = '">more</a></nav><p>'
 _SUFFIX = '</p><footer>copyright footer</footer></body></html>'
+
+# per-doc external href: 'https://out<doc_id%7>.example.net/p-<doc_id%50>'
+_EXT_SQL = ("('https://out' || CAST(doc_id % 7 AS VARCHAR) || "
+            "'.example.net/p-' || CAST(doc_id % 50 AS VARCHAR))")
+
+
+def _ext_href():
+    did = F.col("doc_id")
+    return F.concat(F.lit("https://out"), (did % 7).cast("string"),
+                    F.lit(".example.net/p-"), (did % 50).cast("string"))
+
+
+def _page():
+    """Encoded page bytes (shared by both roundtrip queries)."""
+    return F.encode(F.concat(F.lit(_PRE_A), _ext_href(), F.lit(_PRE_B),
+                             F.col("text"), F.lit(_SUFFIX)), "utf-8")
+
+
+def _base_url():
+    return F.concat(F.lit("https://"), F.col("source"),
+                    F.lit(".example.com/sec/idx"))
 
 
 def _spark(spark, sf):
+    from ocr_spark.functions.bucketing import host_of
+    from ocr_spark.operators.weblinks import outlinks_udf, resolve_links
+
     d = load(spark, sf, "documents")
-    page = F.encode(F.concat(F.lit(_PREFIX), F.col("text"),
-                             F.lit(_SUFFIX)), "utf-8")
-    res = d.select("doc_id", extract_udf(page, F.col("lang")).alias("r"))
-    return res.select("doc_id",
-                      F.col("r.extracted_text").alias("extracted"),
-                      F.col("r.content_kind").alias("kind"),
-                      F.col("r.n_blocks").alias("n_blocks"))
+    res = d.select("doc_id", "source",
+                   extract_udf(_page(), F.col("lang")).alias("r"),
+                   outlinks_udf(_page()).alias("raw_links"))
+    resolved = resolve_links(F.col("raw_links"), _base_url())
+    return res.select(
+        "doc_id",
+        F.col("r.extracted_text").alias("extracted"),
+        F.col("r.content_kind").alias("kind"),
+        F.col("r.n_blocks").alias("n_blocks"),
+        F.size("raw_links").alias("n_links"),
+        F.array_join(resolved, ",").alias("links_csv"),
+        F.array_join(F.array_sort(F.array_distinct(
+            F.transform(resolved, host_of))), ",").alias("hosts_csv"))
 
 
 QUERIES.append(QuerySpec(
     "extract_html_roundtrip",
     _spark,
-    "WITH n AS (SELECT doc_id, "
+    "WITH n AS (SELECT doc_id, source, "
     "trim(regexp_replace(text, '[ \\t\\n\\r\\f\\v]+', ' ', 'g')) AS norm "
     "FROM documents) "
     "SELECT doc_id, "
     "CASE WHEN len(list_filter(string_split(norm, ' '), w -> w <> '')) > 16 "
     "THEN norm ELSE '' END AS extracted, "
     "'html' AS kind, "
-    "CASE WHEN norm = '' THEN 2 ELSE 3 END AS n_blocks FROM n",
-    "full extraction UDF vs independent SQL model of the classifier",
+    "CASE WHEN norm = '' THEN 2 ELSE 3 END AS n_blocks, "
+    "CAST(2 AS INT) AS n_links, "
+    "('https://' || source || '.example.com/,' || " + _EXT_SQL + ") "
+    "AS links_csv, "
+    "array_to_string(list_sort([source || '.example.com', "
+    "'out' || CAST(doc_id % 7 AS VARCHAR) || '.example.net']), ',') "
+    "AS hosts_csv FROM n",
+    "full extraction UDF vs independent SQL model of the classifier; "
+    "r3 adds outlink extraction (tokenizer reuse, one narrow Arrow UDF "
+    "over the same page bytes), expression-only URL resolution, and the "
+    "distinct-destination-host cut — link VALUES verified per doc",
 ))
 
 
 def _blocks_spark(spark, sf):
     d = load(spark, sf, "documents")
-    page = F.encode(F.concat(F.lit(_PREFIX), F.col("text"),
-                             F.lit(_SUFFIX)), "utf-8")
-    res = d.select("doc_id", extract_udf(page, F.col("lang")).alias("r"))
+    res = d.select("doc_id", extract_udf(_page(), F.col("lang")).alias("r"))
     b = res.select("doc_id", F.explode("r.blocks").alias("b"))
     return b.select(
         "doc_id",

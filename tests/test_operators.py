@@ -1109,3 +1109,51 @@ def test_dedup_incremental_empty_history(spark):
     out = D.dedup_incremental(batch, hist, "doc_id", "text",
                               n_bits=1 << 14)
     assert out.count() == batch.count()
+
+
+# ------------------------------------------------------------- weblinks
+
+def test_outlinks_core_total():
+    from ocr_spark.core.links import outlinks
+    html = ('<body><A HREF="/x">up</A>'
+            "<a href='s.html' rel=nofollow>q</a>"
+            '<a name="anchor-only">no href</a>'
+            '<a href="">empty skipped</a>'
+            '<a href=bare>bare</a>'
+            '<p><a href="https://e.com/p?a=1&b=2">abs</a>'
+            '<a href="//cdn.e.com/i">proto-rel</a>'
+            '<a href="/dup" href="/second">first wins</a>'
+            '<a href="/unclosed')
+    assert outlinks(html) == [
+        "/x", "s.html", "bare", "https://e.com/p?a=1&b=2",
+        "//cdn.e.com/i", "/dup"]
+    assert outlinks("") == []
+    assert outlinks("<a") == []
+
+
+def test_resolve_links_and_host_graph(spark):
+    from ocr_spark.operators import weblinks as W
+    rows = [
+        ("https://a.com/d/idx", ["/r", "p.html", "//c.com/x",
+                                 "http://b.com/y", "https://a.com/self"]),
+        ("https://b.com/", ["https://a.com/z"]),
+        ("https://c.com/q", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, links array<string>")
+    got = (df.where(F.col("links").isNotNull())
+           .select(W.resolve_links(F.col("links"), F.col("url"))
+                   .alias("r")).collect())
+    assert got[0]["r"] == [
+        "https://a.com/r", "https://a.com/p.html", "https://c.com/x",
+        "http://b.com/y", "https://a.com/self"]
+    edges = {(r["src_host"], r["dst_host"]) for r in
+             W.host_edges(df.where(F.col("links").isNotNull()),
+                          "url", "links").collect()}
+    # self-edges (a.com -> a.com from /r, p.html, /self) dropped
+    assert edges == {("a.com", "c.com"), ("a.com", "b.com"),
+                     ("b.com", "a.com")}
+    deg = {r["dst_host"]: r["n_ref_hosts"] for r in
+           W.host_indegree(W.host_edges(
+               df.where(F.col("links").isNotNull()), "url", "links"))
+           .collect()}
+    assert deg == {"c.com": 1, "b.com": 1, "a.com": 1}
