@@ -79,3 +79,42 @@ def host_indegree(edges: DataFrame) -> DataFrame:
     """Distinct referring hosts per destination host (quality prior)."""
     return (edges.groupBy("dst_host")
             .agg(F.count(F.lit(1)).alias("n_ref_hosts")))
+
+
+def host_pagerank(edges: DataFrame, n_iters: int = 3,
+                  damping: float = 0.85) -> DataFrame:
+    """Fixed-iteration PageRank over the distinct host edge list.
+
+    Variant (documented, oracle-mirrorable): dangling hosts keep the
+    base (1-d)/N mass and their rank is NOT redistributed — the usual
+    web-graph shortcut when ranks feed a quality prior rather than a
+    probability distribution. Deterministic for a fixed n_iters, so the
+    DuckDB oracle can unroll the iterations and verify VALUES.
+
+    Scale shape: per iteration ONE equi-join of the rank vector with the
+    edge list on src_host + ONE partial-aggregated groupBy on dst_host —
+    both shuffle (host, double) pairs only. Hot hosts are real here
+    (everyone links to wikipedia): AQE skew-join splits the probe side;
+    ranks and degrees are host-grain (millions of rows at web scale, not
+    trillions), so iterations are cheap relative to the edge join. For
+    long chains (n_iters >> 5) interpose localCheckpoint every few
+    rounds as dedup_components does; at the default 3 the lineage is
+    shallow enough to leave intact.
+    """
+    hosts = (edges.select(F.col("src_host").alias("host"))
+             .union(edges.select("dst_host")).distinct())
+    n = hosts.count()
+    base = (1.0 - damping) / n
+    deg = edges.groupBy("src_host").agg(F.count(F.lit(1)).alias("deg"))
+    p = hosts.withColumn("pr", F.lit(1.0 / n))
+    for _ in range(n_iters):
+        contrib = (p.join(edges, p["host"] == edges["src_host"])
+                   .join(deg, "src_host")
+                   .groupBy("dst_host")
+                   .agg(F.sum(F.col("pr") / F.col("deg")).alias("c")))
+        p = (hosts.join(contrib, hosts["host"] == contrib["dst_host"],
+                        "left")
+             .select("host",
+                     (F.lit(base) + F.lit(damping)
+                      * F.coalesce(F.col("c"), F.lit(0.0))).alias("pr")))
+    return p

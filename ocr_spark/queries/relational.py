@@ -72,13 +72,38 @@ def _url_expr():
         F.lit("#sec"))
 
 
+# Host graph for the PageRank fold: each doc's host links to one of 7
+# external hosts (doc_id % 7), mirroring the roundtrip query's outlink
+# construction. The oracle unrolls host_pagerank's exact arithmetic
+# (damping 0.85, dangling hosts keep base mass) for 3 iterations.
+_EXT_HOST_SQL = "('out' || CAST(doc_id % 7 AS VARCHAR) || '.example.net')"
+_PR_CTES = (
+    ", eh AS (SELECT DISTINCT lower(source) || '.example.com' AS s, "
+    f"{_EXT_HOST_SQL} AS t FROM documents), "
+    "hosts AS (SELECT s AS h FROM eh UNION SELECT t FROM eh), "
+    "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM hosts), "
+    "dg AS (SELECT s, count(*) AS deg FROM eh GROUP BY s), "
+    "p0 AS (SELECT h, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS pr "
+    "FROM hosts), "
+    + " ".join(
+        f"c{i} AS (SELECT eh.t AS h, sum(p{i-1}.pr / dg.deg) AS c FROM eh "
+        f"JOIN p{i-1} ON p{i-1}.h = eh.s JOIN dg ON dg.s = eh.s "
+        "GROUP BY eh.t), "
+        f"p{i} AS (SELECT hosts.h, (CAST(1 AS DOUBLE) - CAST(0.85 AS "
+        "DOUBLE)) / (SELECT n FROM nn) + CAST(0.85 AS DOUBLE) * "
+        f"coalesce(c{i}.c, CAST(0 AS DOUBLE)) AS pr "
+        f"FROM hosts LEFT JOIN c{i} ON c{i}.h = hosts.h),"
+        for i in (1, 2, 3)).rstrip(","))
+
+
 def _documents_enriched_sql():
     from ocr_spark.operators.urls import oracle_canon_sql
     canon = oracle_canon_sql(_URL_SQL)
     return (
         "WITH c AS (SELECT doc_id, lang, source, n_chars, text, "
-        f"{canon} AS url_canon FROM documents) "
-        "SELECT doc_id, lang, source, n_chars, "
+        f"{canon} AS url_canon, {_EXT_HOST_SQL} AS eh FROM documents)"
+        + _PR_CTES +
+        " SELECT doc_id, lang, source, n_chars, "
         "concat(lang, ':', reverse(substr(text, 1, 20))) AS tag, "
         "length(trim(text)) AS n_trim, "
         "CAST(contains(text, 'data') AS INT) AS has_marker, "
@@ -87,7 +112,8 @@ def _documents_enriched_sql():
         # ts is epoch + doc_id seconds (monotone, distinct) so the
         # keep-latest keeper inside a canonical group is max(doc_id)
         "CAST(doc_id = max(doc_id) OVER (PARTITION BY url_canon) AS INT) "
-        "AS is_latest "
+        "AS is_latest, "
+        "ROUND((SELECT pr FROM p3 WHERE p3.h = c.eh), 6) AS ext_pr3 "
         "FROM c")
 
 
@@ -99,11 +125,16 @@ def _documents_enriched_sql():
    "url_canon is a pure codegen'd expression erasing scheme/host case, "
    "default port, trackers, param order, fragment, trailing slash; "
    "is_latest joins dedup_latest_capture's one partial-agg groupBy — "
-   "newest capture per canonical URL wins) — one narrow pass over "
-   "documents, one named column per §2 row")
+   "newest capture per canonical URL wins; ext_pr3 is host_pagerank "
+   "(operators/weblinks.py, 3 fixed iterations, damping 0.85, VALUES "
+   "verified against the oracle's unrolled iterations) of each doc's "
+   "external destination host) — one narrow pass over documents, one "
+   "named column per §2 row")
 def documents_enriched(spark, sf):
+    from ocr_spark.functions.bucketing import host_of
     from ocr_spark.operators.urls import (
         canonicalize_url, dedup_latest_capture)
+    from ocr_spark.operators.weblinks import host_pagerank
     d = load(spark, sf, "documents").withColumn("url", _url_expr())
     # capture ts: epoch + doc_id seconds — distinct and monotone, the
     # recrawl simulation (newer doc_id = newer capture of the same page)
@@ -118,11 +149,21 @@ def documents_enriched(spark, sf):
         F.col("text").contains("data").cast("int").alias("has_marker"),
         F.regexp_replace("text", "[^a-z ]", "").alias("clean"),
         canonicalize_url(F.col("url")).alias("url_canon"))
+    ext_host = F.concat(F.lit("out"), (F.col("doc_id") % 7).cast("string"),
+                        F.lit(".example.net"))
+    edges = (d.select(
+        host_of(canonicalize_url(F.col("url"))).alias("src_host"),
+        ext_host.alias("dst_host")).distinct())
+    pr = host_pagerank(edges, n_iters=3).withColumnRenamed("host",
+                                                           "ext_host")
     return (enriched.join(keepers.select("url_canon", "keeper_id"),
                           "url_canon")
             .withColumn("is_latest",
                         (F.col("doc_id") == F.col("keeper_id")).cast("int"))
-            .drop("keeper_id"))
+            .withColumn("ext_host", ext_host)
+            .join(F.broadcast(pr), "ext_host")
+            .withColumn("ext_pr3", F.round("pr", 6))
+            .drop("keeper_id", "ext_host", "pr"))
 
 
 @q("events_enriched",

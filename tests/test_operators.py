@@ -1157,3 +1157,28 @@ def test_resolve_links_and_host_graph(spark):
                df.where(F.col("links").isNotNull()), "url", "links"))
            .collect()}
     assert deg == {"c.com": 1, "b.com": 1, "a.com": 1}
+
+
+def test_host_pagerank_matches_python_mirror(spark):
+    from collections import Counter
+    from ocr_spark.operators import weblinks as W
+    edges = [("a.com", "hub.com"), ("b.com", "hub.com"),
+             ("c.com", "hub.com"), ("hub.com", "a.com"),
+             ("a.com", "dangle.com"), ("b.com", "a.com")]
+    df = spark.createDataFrame(edges, ["src_host", "dst_host"])
+    got = {r["host"]: r["pr"] for r in W.host_pagerank(df, 3).collect()}
+
+    hosts = sorted({s for s, _ in edges} | {t for _, t in edges})
+    n, d = len(hosts), 0.85
+    deg = Counter(s for s, _ in edges)
+    p = {h: 1 / n for h in hosts}
+    for _ in range(3):
+        nxt = {h: (1 - d) / n for h in hosts}
+        for s, t in edges:
+            nxt[t] += d * p[s] / deg[s]
+        p = nxt
+    assert set(got) == set(p)
+    for h in p:
+        assert abs(got[h] - p[h]) < 1e-12, h
+    # dangling host never accumulates beyond base + inflow; hub outranks all
+    assert got["hub.com"] == max(got.values())
