@@ -681,7 +681,16 @@ def build_bloom_mask(hashes: DataFrame, hash_col: str,
 
 def bloom_member_udf(spark, mask, n_bits: int = DEFAULT_BLOOM_BITS,
                      n_hashes: int = DEFAULT_BLOOM_HASHES):
-    """Vectorized membership test against a broadcast Bloom mask."""
+    """Vectorized membership test against a broadcast Bloom mask.
+
+    Returned marked non-deterministic (it IS deterministic) to stop
+    Catalyst inferring the probe predicate through the anti-join's
+    equi-key onto the HISTORY side — that inference re-evaluates the
+    UDF over the full history (every row of which passes by
+    construction, since history built the mask): a full extra Python
+    pass at 100 TB that filters nothing. Captured-plan evidence:
+    docs/PLANS.md §dedup_exact (history side is scan -> md5 project ->
+    distinct -> broadcast, no ArrowEvalPython)."""
     bc = spark.sparkContext.broadcast(mask.tobytes())
 
     @F.pandas_udf("boolean")
@@ -693,7 +702,7 @@ def bloom_member_udf(spark, mask, n_bits: int = DEFAULT_BLOOM_BITS,
             ok &= (m[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
         return pd.Series(ok)
 
-    return member
+    return member.asNondeterministic()
 
 
 def dedup_incremental(batch: DataFrame, history: DataFrame, id_col: str,

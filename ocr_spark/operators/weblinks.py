@@ -101,11 +101,17 @@ def host_pagerank(edges: DataFrame, n_iters: int = 3,
     rounds as dedup_components does; at the default 3 the lineage is
     shallow enough to leave intact.
     """
+    # The working set is host-grain (millions of rows at web scale, not
+    # trillions) — cache it, or every iteration re-derives edges/hosts/
+    # degrees from the underlying corpus scan (captured before the fix:
+    # a 179-node static plan re-scanning documents ~10x).
+    edges = edges.cache()
     hosts = (edges.select(F.col("src_host").alias("host"))
-             .union(edges.select("dst_host")).distinct())
+             .union(edges.select("dst_host")).distinct().cache())
     n = hosts.count()
     base = (1.0 - damping) / n
-    deg = edges.groupBy("src_host").agg(F.count(F.lit(1)).alias("deg"))
+    deg = (edges.groupBy("src_host").agg(F.count(F.lit(1)).alias("deg"))
+           .cache())
     p = hosts.withColumn("pr", F.lit(1.0 / n))
     for _ in range(n_iters):
         contrib = (p.join(edges, p["host"] == edges["src_host"])

@@ -113,6 +113,32 @@ CHECKS = {
         "oracle's spelling) would plan — with the per-bucket offsets "
         "arriving via BroadcastExchange; the window sort runs parallel "
         "across the 64 contiguous hash ranges."),
+    "dedup_exact": (
+        "incremental dedup vs history: the Bloom membership probe is an "
+        "ArrowEvalPython NARROW on the batch scan (mask arrives per "
+        "executor as a Spark broadcast variable — constant-size, "
+        "invisible to the plan), so the definite-new branch reaches the "
+        "union with NO join; only Bloom-positive rows (true dups + fp) "
+        "enter the anti-join against the history fingerprints, and every "
+        "Exchange on that path carries (hash, id)-sized rows, never "
+        "text. The exact-dedup groupBy keeps its single "
+        "partial-aggregated Exchange on md5."),
+    "extract_html_roundtrip": (
+        "ZERO Exchange: the extraction UDF and the outlink UDF "
+        "(tokenizer reuse) both run as ArrowEvalPython directly over the "
+        "documents scan — page bytes never shuffle — and link "
+        "resolution + host cut are higher-order-array expressions inside "
+        "the same codegen stage (no third UDF, no join)."),
+    "documents_enriched": (
+        "URL canonicalization and every enrichment column are pure "
+        "codegen'd expressions on the scan (no UDF); the keep-latest "
+        "grouping is ONE partial-aggregated Exchange keyed by url_canon "
+        "carrying (ts, id) only; PageRank runs entirely on the "
+        "host-grain side graph (rows bounded by host count, not docs) "
+        "and its 3 iterations rejoin the doc stream via "
+        "BroadcastExchange — the doc-grain path shuffles once for the "
+        "canonical-url group and once to rejoin keepers, both "
+        "id+url-sized."),
     "dedup_components_star_round": (
         "ONE large-star/small-star round (the per-iteration unit of the "
         "registered dedup_cluster_components query): state is the EDGE "
