@@ -1182,3 +1182,27 @@ def test_host_pagerank_matches_python_mirror(spark):
         assert abs(got[h] - p[h]) < 1e-12, h
     # dangling host never accumulates beyond base + inflow; hub outranks all
     assert got["hub.com"] == max(got.values())
+
+
+def test_compression_ratio_matches_zlib_mirror(spark):
+    import zlib
+    rows = [
+        (1, "natural prose with varied words and no repetition at all"),
+        (2, "spam spam spam spam spam spam spam spam spam spam spam"),
+        (3, ""),
+        (4, None),
+        (5, "ünïcode bytes — multi-byte utf-8 ✓" * 3),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           T.compression_ratio(df, "doc_id", "text").collect()}
+    for i, t in rows:
+        if not t:
+            assert got[i]["compress_ratio"] is None
+            continue
+        raw = t.encode("utf-8")
+        exp = round(len(zlib.compress(raw, 6)) / len(raw), 4)
+        assert got[i]["compress_ratio"] == exp
+        assert got[i]["raw_bytes"] == len(raw)
+    # the signal: repetitive text compresses much harder than prose
+    assert got[2]["compress_ratio"] < got[1]["compress_ratio"] - 0.2
