@@ -1206,3 +1206,78 @@ def test_compression_ratio_matches_zlib_mirror(spark):
         assert got[i]["raw_bytes"] == len(raw)
     # the signal: repetitive text compresses much harder than prose
     assert got[2]["compress_ratio"] < got[1]["compress_ratio"] - 0.2
+
+
+# ----------------------------------------------------------- WARC source
+
+def test_warc_source_roundtrip(spark, tmp_path):
+    from datetime import datetime, timezone
+    from ocr_spark.sources.warc import build_warc_bytes, read_warc
+
+    recs = [
+        ("https://a.com/1", "2026-01-02T03:04:05Z", b"<html>one</html>"),
+        ("https://b.com/2", "2026-01-02T03:04:06Z",
+         "<html>unicodé</html>".encode("utf-8")),
+        ("https://c.com/3", "2026-01-02T03:04:07Z", b""),
+    ]
+    (tmp_path / "seg-0.warc.gz").write_bytes(build_warc_bytes(recs[:2]))
+    (tmp_path / "seg-1.warc.gz").write_bytes(build_warc_bytes(recs[2:]))
+    (tmp_path / "ignore.txt").write_text("not a warc")
+
+    got = {r["url"]: r for r in read_warc(spark, str(tmp_path)).collect()}
+    assert len(got) == 3  # warcinfo members skipped, both files read
+    for url, iso, page in recs:
+        r = got[url]
+        assert bytes(r["html"]) == page
+        assert r["warc_ts"] == datetime.strptime(
+            iso, "%Y-%m-%dT%H:%M:%SZ").replace(tzinfo=timezone.utc) \
+            .replace(tzinfo=None)
+        assert r["text"] is None and r["lang"] is None
+
+
+def test_warc_parser_total_on_malformed():
+    from ocr_spark.sources.warc import (
+        build_warc_bytes, parse_warc_records, split_gzip_members)
+
+    # truncated gzip member: earlier members still decode
+    good = build_warc_bytes([("https://a.com/x", "2026-01-01T00:00:00Z",
+                              b"<p>hi</p>")])
+    members = list(split_gzip_members(good + b"\x1f\x8b\x08garbage"))
+    assert len(members) >= 1
+    assert list(split_gzip_members(b"")) == []
+    assert list(split_gzip_members(b"plain text")) == []
+
+    # bad Content-Length, missing URI, truncated body: skipped, no raise
+    raw = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"Content-Length: notanumber\r\n\r\n"
+           b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"Content-Length: 5\r\n\r\nABCDE\r\n\r\n"          # no URI
+           b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: https://ok.com\r\n"
+           b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+           b"Content-Length: 7\r\n\r\npayload\r\n\r\n"
+           b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: https://cut.com\r\n"
+           b"Content-Length: 999\r\n\r\nshort")
+    recs = list(parse_warc_records(raw))
+    assert recs == [("https://ok.com", "2026-01-01T00:00:00Z", b"payload")]
+
+
+def test_warc_feeds_extract_job(spark, tmp_path):
+    from ocr_spark.plans.extract_job import run_extract_job
+    from ocr_spark.sources.warc import build_warc_bytes, read_warc
+
+    body = ("<html><body><p>" + "real content words " * 10
+            + "</p></body></html>").encode()
+    recs = [(f"https://w{i}.com/p", "2026-01-01T00:00:00Z", body)
+            for i in range(6)]
+    (tmp_path / "seg.warc.gz").write_bytes(build_warc_bytes(recs))
+    pages = read_warc(spark, str(tmp_path))
+    pages.write.parquet(str(tmp_path / "pages.parquet"))
+    st = run_extract_job(spark, str(tmp_path / "pages.parquet"),
+                         str(tmp_path / "out"), n_buckets=4, group_size=4)
+    assert st["completed"]
+    res = spark.read.parquet(str(tmp_path / "out/results"))
+    rows = res.collect()
+    assert len(rows) == 6
+    assert all("real content words" in r["extracted_text"] for r in rows)
