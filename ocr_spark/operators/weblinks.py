@@ -124,3 +124,26 @@ def host_pagerank(edges: DataFrame, n_iters: int = 3,
                      (F.lit(base) + F.lit(damping)
                       * F.coalesce(F.col("c"), F.lit(0.0))).alias("pr")))
     return p
+
+
+def head_meta_udf(html: Column) -> Column:
+    """struct<noindex boolean, canonical string, title string> per page —
+    the pre-spend gate (robots compliance + the site's own canonical
+    dedup key + title). Early-exit head-only tokenization
+    (core/headmeta.py); one narrow Arrow UDF, pages never shuffle."""
+    from ocr_spark.core.encoding import decode_bytes
+    from ocr_spark.core.headmeta import head_meta
+
+    @F.pandas_udf("noindex boolean, canonical string, title string")
+    def _meta(pages: pd.Series) -> pd.DataFrame:
+        rows = []
+        for blob in pages:
+            if blob is None:
+                rows.append((False, None, None))
+                continue
+            text, _ = decode_bytes(bytes(blob))
+            rows.append(head_meta(text))
+        return pd.DataFrame(rows,
+                            columns=["noindex", "canonical", "title"])
+
+    return _meta(html)

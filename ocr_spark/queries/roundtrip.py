@@ -26,14 +26,16 @@ from ocr_spark.queries import QuerySpec, load
 
 QUERIES: list[QuerySpec] = []
 
-_PRE_A = ('<html><head><title>t</title></head><body>'
-          '<nav><a href="/">home</a> <a href="')
+_NAV_A = '<nav><a href="/">home</a> <a href="'
 _PRE_B = '">more</a></nav><p>'
 _SUFFIX = '</p><footer>copyright footer</footer></body></html>'
 
 # per-doc external href: 'https://out<doc_id%7>.example.net/p-<doc_id%50>'
 _EXT_SQL = ("('https://out' || CAST(doc_id % 7 AS VARCHAR) || "
             "'.example.net/p-' || CAST(doc_id % 50 AS VARCHAR))")
+# per-doc canonical link target (present on doc_id % 5 = 0)
+_CANON_SQL = ("('https://canon.example.com/c-' || "
+              "CAST(doc_id % 50 AS VARCHAR))")
 
 
 def _ext_href():
@@ -42,10 +44,29 @@ def _ext_href():
                     F.lit(".example.net/p-"), (did % 50).cast("string"))
 
 
+def _head():
+    """Varied <head>: per-doc title, rel=canonical on %5 docs, robots
+    noindex on %11 docs — head content is never a block, so the
+    blocks/extraction oracles are untouched."""
+    did = F.col("doc_id")
+    canon = F.concat(F.lit('<link rel="canonical" '
+                           'href="https://canon.example.com/c-'),
+                     (did % 50).cast("string"), F.lit('">'))
+    return F.concat(
+        F.lit("<html><head><title>T-"), (did % 13).cast("string"),
+        F.lit("</title>"),
+        F.when(did % 5 == 0, canon).otherwise(""),
+        F.when(did % 11 == 0,
+               '<meta name="robots" content="noindex,nofollow">')
+        .otherwise(""),
+        F.lit("</head><body>"))
+
+
 def _page():
     """Encoded page bytes (shared by both roundtrip queries)."""
-    return F.encode(F.concat(F.lit(_PRE_A), _ext_href(), F.lit(_PRE_B),
-                             F.col("text"), F.lit(_SUFFIX)), "utf-8")
+    return F.encode(F.concat(_head(), F.lit(_NAV_A), _ext_href(),
+                             F.lit(_PRE_B), F.col("text"),
+                             F.lit(_SUFFIX)), "utf-8")
 
 
 def _base_url():
@@ -55,12 +76,14 @@ def _base_url():
 
 def _spark(spark, sf):
     from ocr_spark.functions.bucketing import host_of
-    from ocr_spark.operators.weblinks import outlinks_udf, resolve_links
+    from ocr_spark.operators.weblinks import (
+        head_meta_udf, outlinks_udf, resolve_links)
 
     d = load(spark, sf, "documents")
     res = d.select("doc_id", "source",
                    extract_udf(_page(), F.col("lang")).alias("r"),
-                   outlinks_udf(_page()).alias("raw_links"))
+                   outlinks_udf(_page()).alias("raw_links"),
+                   head_meta_udf(_page()).alias("hm"))
     resolved = resolve_links(F.col("raw_links"), _base_url())
     return res.select(
         "doc_id",
@@ -70,7 +93,10 @@ def _spark(spark, sf):
         F.size("raw_links").alias("n_links"),
         F.array_join(resolved, ",").alias("links_csv"),
         F.array_join(F.array_sort(F.array_distinct(
-            F.transform(resolved, host_of))), ",").alias("hosts_csv"))
+            F.transform(resolved, host_of))), ",").alias("hosts_csv"),
+        F.col("hm.noindex").cast("int").alias("noindex"),
+        F.col("hm.canonical").alias("canonical"),
+        F.col("hm.title").alias("title"))
 
 
 QUERIES.append(QuerySpec(
@@ -89,11 +115,17 @@ QUERIES.append(QuerySpec(
     "AS links_csv, "
     "array_to_string(list_sort([source || '.example.com', "
     "'out' || CAST(doc_id % 7 AS VARCHAR) || '.example.net']), ',') "
-    "AS hosts_csv FROM n",
+    "AS hosts_csv, "
+    "CAST(doc_id % 11 = 0 AS INT) AS noindex, "
+    "CASE WHEN doc_id % 5 = 0 THEN " + _CANON_SQL + " ELSE NULL END "
+    "AS canonical, "
+    "('T-' || CAST(doc_id % 13 AS VARCHAR)) AS title FROM n",
     "full extraction UDF vs independent SQL model of the classifier; "
     "r3 adds outlink extraction (tokenizer reuse, one narrow Arrow UDF "
-    "over the same page bytes), expression-only URL resolution, and the "
-    "distinct-destination-host cut — link VALUES verified per doc",
+    "over the same page bytes), expression-only URL resolution, the "
+    "distinct-destination-host cut, and head metadata (robots noindex "
+    "gate, rel=canonical dedup key, title — early-exit head-only "
+    "tokenization) — all VALUES verified per doc",
 ))
 
 

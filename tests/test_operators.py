@@ -1281,3 +1281,26 @@ def test_warc_feeds_extract_job(spark, tmp_path):
     rows = res.collect()
     assert len(rows) == 6
     assert all("real content words" in r["extracted_text"] for r in rows)
+
+
+def test_head_meta_total_and_first_wins():
+    from ocr_spark.core.headmeta import head_meta
+    h = ('<html><head><TITLE> My Page </TITLE>'
+         '<meta name=ROBOTS content="a,NOINDEX">'
+         '<link rel=Canonical href="https://c.com/x">'
+         '<link rel=canonical href="https://second.com/ignored">'
+         '</head><body><title>not this</title>'
+         '<meta name="robots" content="noindex">')
+    assert head_meta(h) == (True, "https://c.com/x", "My Page")
+    # body-only signals never leak in; absent head -> falsy defaults
+    assert head_meta("<p>no head</p>") == (False, None, None)
+    assert head_meta("") == (False, None, None)
+    # <body with no </head> still terminates the scan
+    nx, canon, title = head_meta(
+        '<head><title>t</title><body><meta name=robots content=noindex>')
+    assert (nx, canon, title) == (False, None, "t")
+    # unterminated constructs stay total
+    assert head_meta('<head><link rel=canonical href=')[1] is None
+    # nofollow alone is not noindex
+    assert head_meta('<head><meta name=robots content=nofollow></head>'
+                     )[0] is False
