@@ -124,11 +124,12 @@ CHECKS = {
         "text. The exact-dedup groupBy keeps its single "
         "partial-aggregated Exchange on md5."),
     "extract_html_roundtrip": (
-        "ZERO Exchange: the extraction UDF and the outlink UDF "
-        "(tokenizer reuse) both run as ArrowEvalPython directly over the "
+        "ZERO Exchange: the extraction UDF, the outlink UDF (tokenizer "
+        "reuse), and the head-metadata UDF (early-exit head tokenization) "
+        "all evaluate in ONE ArrowEvalPython node directly over the "
         "documents scan — page bytes never shuffle — and link "
         "resolution + host cut are higher-order-array expressions inside "
-        "the same codegen stage (no third UDF, no join)."),
+        "the same codegen stage (no fourth UDF, no join)."),
     "documents_enriched": (
         "URL canonicalization and every enrichment column are pure "
         "codegen'd expressions on the scan (no UDF); the keep-latest "
