@@ -456,6 +456,48 @@ def embedding_near_dup_pairs(
             .where(F.col("cos") >= threshold))
 
 
+def semdedup(df: DataFrame, id_col: str, vec_col: str,
+             centroids: list[list[float]], threshold: float,
+             round_to: int = 4, batched: bool = True) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication" — public method): cluster
+    the embeddings with the IVF coarse quantizer, then inside each
+    cluster mark every vector whose cosine to a LOWER-id cluster-mate
+    reaches ``threshold`` as a semantic duplicate — the paper's
+    keep-one-representative policy made deterministic: a vector survives
+    iff NO lower-id vector in its cluster is within the threshold (so
+    each near-dup pair keeps its lower id, and the lowest id of any
+    duplicate chain always survives).
+
+    Returns (id, centroid, keep boolean).
+
+    Scale shape — the paper's own device, unchanged at 100 TB: the
+    quadratic pair term is confined WITHIN clusters (k chosen so N/k
+    rows per cluster stay small; they used k = 50k on LAION-440M), never
+    the O(N^2) cross join. Assignment is the broadcast-matrix pandas UDF
+    (no centroid literals in the plan); the within-cluster self-join
+    shuffles on the cluster id and AQE splits any degenerate cell. The
+    duplicate flag is an anti-join-shaped aggregation over surviving
+    pairs: ids + centroid cross the exchange, vectors cross once.
+    """
+    withc = df.select(
+        F.col(id_col), F.col(vec_col).alias("_v"),
+        _cell_expr(df, vec_col, centroids, batched).alias("centroid"))
+    a = withc.select(F.col(id_col).alias("id_a"),
+                     F.col("_v").alias("_va"), "centroid")
+    b = withc.select(F.col(id_col).alias("id_b"),
+                     F.col("_v").alias("_vb"), "centroid")
+    removed = (a.join(b, "centroid")
+               .where(F.col("id_a") < F.col("id_b"))
+               .where(F.round(cosine(F.col("_va"), F.col("_vb")),
+                              round_to) >= threshold)
+               .select(F.col("id_b").alias(id_col)).distinct()
+               .withColumn("_rm", F.lit(True)))
+    return (withc.join(removed, id_col, "left")
+            .select(id_col, "centroid",
+                    F.coalesce(~F.col("_rm"), F.lit(True)).alias("keep")))
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (Jegou et al. 2011, "Product Quantization for
 # Nearest Neighbor Search"): the memory lever for billion-vector ANN.

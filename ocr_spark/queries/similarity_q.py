@@ -211,17 +211,38 @@ def _centroids(spark, sf) -> list[list[float]]:
     return [[float(x) for x in r["embedding"]] for r in rows]
 
 
+# SemDeDup removal threshold for the fold below: the synthetic
+# embeddings are near-orthogonal, so the paper's 0.99+ would remove
+# nothing — 0.4 yields a few removals per cell at every test SF.
+SEMDEDUP_THRESHOLD = 0.4
+
+
 @q("sim_ivf_assign_histogram",
-   "WITH a AS (SELECT vec_id, " + _sql_centroid_of(_V)
-   + " AS centroid FROM embeddings) "
-   "SELECT centroid, count(*) AS cnt FROM a GROUP BY centroid",
+   "WITH a AS (SELECT vec_id, " + _V + " AS v, " + _sql_centroid_of(_V)
+   + " AS centroid FROM embeddings), "
+   "rm AS (SELECT y.centroid, y.vec_id FROM a x JOIN a y "
+   "ON x.centroid = y.centroid AND x.vec_id < y.vec_id "
+   "WHERE ROUND(list_dot_product(x.v, y.v) / "
+   "(sqrt(list_dot_product(x.v, x.v)) * "
+   "sqrt(list_dot_product(y.v, y.v))), 4) >= "
+   f"{SEMDEDUP_THRESHOLD} GROUP BY y.centroid, y.vec_id), "
+   "r AS (SELECT centroid, count(*) AS n_semdup FROM rm "
+   "GROUP BY centroid) "
+   "SELECT h.centroid, h.cnt, COALESCE(r.n_semdup, 0) AS n_semdup "
+   "FROM (SELECT centroid, count(*) AS cnt FROM a GROUP BY centroid) h "
+   "LEFT JOIN r USING (centroid)",
    "IVF coarse quantizer: nearest-centroid assignment (cell histogram); "
-   "narrow map, ties -> lowest index on both engines")
+   "narrow map, ties -> lowest index on both engines. Folded: SemDeDup "
+   "(Abbas et al. 2023) per-cell semantic-duplicate removals (n_semdup "
+   "= vectors with a lower-id cluster-mate at cosine >= "
+   f"{SEMDEDUP_THRESHOLD}; within-cluster pairs only, never O(N^2))")
 def ivf_histogram(spark, sf):
     emb = load(spark, sf, "embeddings")
-    assigned = S.ivf_assign(emb, "vec_id", "embedding",
-                            _centroids(spark, sf))
-    return assigned.groupBy("centroid").agg(F.count(F.lit(1)).alias("cnt"))
+    sd = S.semdedup(emb, "vec_id", "embedding", _centroids(spark, sf),
+                    SEMDEDUP_THRESHOLD)
+    return sd.groupBy("centroid").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count(F.when(~F.col("keep"), 1)).alias("n_semdup"))
 
 
 @q("sim_ivf_topk",

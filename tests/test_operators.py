@@ -1304,3 +1304,47 @@ def test_head_meta_total_and_first_wins():
     # nofollow alone is not noindex
     assert head_meta('<head><meta name=robots content=nofollow></head>'
                      )[0] is False
+
+
+def test_semdedup_matches_numpy_mirror(spark):
+    """SemDeDup over the real embeddings table: cluster by cosine argmax,
+    remove any vector with a LOWER-id cluster-mate at round(cos,4) >= t.
+    Mirrored exactly in numpy; also pins the chain policy (lowest id of a
+    duplicate chain survives, every later link is removed)."""
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = (emb.where(F.col("vec_id").isin([1, 2, 3, 4]))
+            .orderBy("vec_id").collect())
+    cents = [[float(x) for x in r["embedding"]] for r in rows]
+    thr = 0.4
+
+    got = {r["vec_id"]: (r["centroid"], r["keep"]) for r in
+           S.semdedup(emb, "vec_id", "embedding", cents, thr).collect()}
+
+    pdf = emb.toPandas().sort_values("vec_id")
+    ids = pdf["vec_id"].tolist()
+    V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    C = np.asarray(cents)
+    cell = (np.round(
+        (V @ C.T) / (np.linalg.norm(V, axis=1, keepdims=True)
+                     * np.linalg.norm(C, axis=1)),
+        S.ARGMAX_ROUND).argmax(axis=1) + 1)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    cos = np.round(Vn @ Vn.T, 4)
+    exp = {}
+    for i, di in enumerate(ids):
+        dup = any(cos[i, j] >= thr and cell[j] == cell[i]
+                  and ids[j] < di for j in range(len(ids)))
+        exp[di] = (int(cell[i]), not dup)
+    assert got == exp
+    assert any(not k for _, k in got.values())  # removals exist
+    assert any(k for _, k in got.values())      # survivors exist
+
+    # chain policy: a~b and b~c near-dup, a!~c -> only a survives
+    chain = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.96, 0.28]), (3, [0.85, 0.53])],
+        "id long, v array<double>")
+    out = {r["id"]: r["keep"] for r in
+           S.semdedup(chain, "id", "v", [[1.0, 0.0]], 0.95).collect()}
+    assert out == {1: True, 2: False, 3: False}
