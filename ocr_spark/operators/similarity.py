@@ -458,7 +458,8 @@ def embedding_near_dup_pairs(
 
 def semdedup(df: DataFrame, id_col: str, vec_col: str,
              centroids: list[list[float]], threshold: float,
-             round_to: int = 4, batched: bool = True) -> DataFrame:
+             round_to: int = 4, batched: bool = True,
+             persist: bool = True) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication" — public method): cluster
     the embeddings with the IVF coarse quantizer, then inside each
@@ -475,14 +476,23 @@ def semdedup(df: DataFrame, id_col: str, vec_col: str,
     quadratic pair term is confined WITHIN clusters (k chosen so N/k
     rows per cluster stay small; they used k = 50k on LAION-440M), never
     the O(N^2) cross join. Assignment is the broadcast-matrix pandas UDF
-    (no centroid literals in the plan); the within-cluster self-join
-    shuffles on the cluster id and AQE splits any degenerate cell. The
-    duplicate flag is an anti-join-shaped aggregation over surviving
-    pairs: ids + centroid cross the exchange, vectors cross once.
+    (no centroid literals in the plan) and — with ``persist`` (default)
+    — runs ONCE: the (id, vector, cell) working set is materialized
+    MEMORY_AND_DISK and all three consumers (output + both pair-join
+    sides) read the cache, instead of Catalyst inlining the scan+UDF
+    subtree three times (and the join-key null-filter would evaluate
+    the UDF a fourth time). The within-cluster self-join shuffles on
+    the cluster id and AQE splits any degenerate cell. The duplicate
+    flag rejoins through an id-keyed equi join whose build side carries
+    ids only — deliberately NOT broadcast: at the paper's removal rates
+    (up to ~50%) the removed set is O(N).
     """
     withc = df.select(
         F.col(id_col), F.col(vec_col).alias("_v"),
         _cell_expr(df, vec_col, centroids, batched).alias("centroid"))
+    if persist:
+        from pyspark import StorageLevel
+        withc = withc.persist(StorageLevel.MEMORY_AND_DISK)
     a = withc.select(F.col(id_col).alias("id_a"),
                      F.col("_v").alias("_va"), "centroid")
     b = withc.select(F.col(id_col).alias("id_b"),

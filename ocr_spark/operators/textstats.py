@@ -236,3 +236,75 @@ def compression_ratio(df: DataFrame, id_col: str, text_col: str,
         F.col(id_col),
         F.length(F.encode(F.col(text_col), "utf-8")).alias("raw_bytes"),
         F.round(_ratio(F.col(text_col)), 4).alias("compress_ratio"))
+
+
+def _bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2) — one row per adjacent word pair; docs with < 2
+    words contribute nothing. Pure higher-order-function explode, no
+    UDF, narrow over the scan."""
+    return (df
+            .select(F.col(id_col), words_of(F.col(text_col)).alias("ws"))
+            .select(F.col(id_col), F.explode(F.expr(
+                "transform(slice(ws, 1, greatest(size(ws) - 1, 0)), "
+                "(w, i) -> struct(w AS w1, ws[i + 1] AS w2))")).alias("bg"))
+            .select(F.col(id_col), F.col("bg.w1"), F.col("bg.w2")))
+
+
+def fit_bigram_lm(df: DataFrame, id_col: str, text_col: str,
+                  min_count: int = 1) -> DataFrame:
+    """Train a bigram count table (w1, w2, c12) over the corpus — the
+    model half of the CCNet-style n-gram LM perplexity filter (Wenzek
+    et al. 2020 §4.3 score pages with a KenLM 5-gram; the public
+    pipeline signal is the same at order 2: junk/boilerplate scores
+    high perplexity under a model of the clean distribution).
+
+    Scale shape (100 TB): one narrow bigram explode + ONE
+    partial-aggregated groupBy — map-side combine collapses repeats
+    before the shuffle, so shuffle volume is bounded by distinct-bigram
+    count per partition, not corpus token count. ``min_count`` prunes
+    the tail so the trained table stays broadcastable (a pruned
+    realistic web LM is ~1-10M rows); scoring then treats pruned
+    bigrams as unseen, the standard count-cutoff smoothing behavior.
+    """
+    bc = (_bigrams(df, id_col, text_col)
+          .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")))
+    return bc.where(F.col("c12") >= min_count) if min_count > 1 else bc
+
+
+def lm_perplexity(df: DataFrame, id_col: str, text_col: str,
+                  bigram_counts: DataFrame, k: float = 0.5) -> DataFrame:
+    """Score each document's add-k-smoothed bigram perplexity under a
+    trained count table: P(w2|w1) = (c12 + k) / (c1 + k·V), ppl =
+    exp(-mean ln P) over the doc's bigrams, rounded to 4. Docs with
+    < 2 words return NULL ppl (no bigrams to judge — decide their fate
+    downstream, CCNet keeps them). Context counts c1 and vocabulary
+    size V are derived FROM the (possibly pruned) bigram table, so the
+    distribution is self-consistent for any ``min_count``.
+
+    Scale shape (100 TB): the trained LM is a TABLE, explicitly
+    broadcast (never an inlined literal — the IVF centroid lesson),
+    and both probability lookups are broadcast hash joins against the
+    narrow (id, w1, w2) explode; the per-doc mean is ONE
+    partial-aggregated groupBy carrying (id, double) pairs — document
+    text never crosses an Exchange. If the LM outgrows broadcast
+    (unpruned web-scale), the same plan degrades gracefully to a
+    shuffle join on w1, w2 — drop the broadcast hint, nothing else
+    changes.
+    """
+    cc = bigram_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    v = bigram_counts.select(
+        F.explode(F.array("w1", "w2")).alias("w")).agg(
+        F.countDistinct("w").alias("vs"))
+    bg = _bigrams(df, id_col, text_col)
+    logp = (bg
+            .join(F.broadcast(bigram_counts), ["w1", "w2"], "left")
+            .join(F.broadcast(cc), "w1", "left")
+            .join(F.broadcast(v))
+            .select(F.col(id_col), F.log(
+                (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(k))
+                / (F.coalesce(F.col("c1"), F.lit(0))
+                   + F.lit(k) * F.col("vs"))).alias("logp")))
+    scored = logp.groupBy(id_col).agg(
+        F.round(F.exp(-F.avg("logp")), 4).alias("ppl"))
+    return (df.select(F.col(id_col)).join(scored, id_col, "left")
+            .select(F.col(id_col), F.col("ppl")))

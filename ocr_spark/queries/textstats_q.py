@@ -78,6 +78,11 @@ def quality(spark, sf):
     return base.join(scores, "doc_id", "left")
 
 
+# Add-k smoothing constant for the bigram-LM perplexity fold below —
+# hardcoded identically in the oracle SQL.
+LM_K = 0.5
+
+
 def _lang_sql() -> str:
     scores = {lg: f"len(list_filter(string_split(text, ' '), "
                   f"w -> list_contains({_sql_list(ms)}, w)))"
@@ -86,17 +91,46 @@ def _lang_sql() -> str:
     case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
         f"WHEN s_{lg} = {best} THEN '{lg}'" for lg in scores) + " END"
     inner = ", ".join(f"{expr} AS s_{lg}" for lg, expr in scores.items())
-    return (f"WITH s AS (SELECT doc_id, {inner} FROM documents) "
-            f"SELECT {case} AS pred_lang, count(*) AS cnt FROM s GROUP BY 1")
+    return (
+        "WITH w AS (SELECT doc_id, "
+        "list_filter(string_split(text, ' '), x -> x <> '') AS ws "
+        "FROM documents), "
+        "bg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM w, "
+        "unnest(range(1, greatest(len(ws), 1))) AS t(i)), "
+        "bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2), "
+        "cc AS (SELECT w1, sum(c12) AS c1 FROM bc GROUP BY 1), "
+        "v AS (SELECT count(DISTINCT x) AS vs FROM "
+        "(SELECT w1 AS x FROM bc UNION ALL SELECT w2 FROM bc)), "
+        f"lp AS (SELECT bg.doc_id, ln((bc.c12 + {LM_K}) / "
+        f"(cc.c1 + {LM_K} * v.vs)) AS logp "
+        "FROM bg JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v), "
+        "ppl AS (SELECT doc_id, ROUND(exp(-avg(logp)), 4) AS ppl "
+        "FROM lp GROUP BY 1), "
+        f"s AS (SELECT doc_id, {inner} FROM documents) "
+        f"SELECT {case} AS pred_lang, count(*) AS cnt, "
+        "ROUND(avg(ppl), 4) AS avg_ppl "
+        "FROM s LEFT JOIN ppl USING (doc_id) GROUP BY 1")
 
 
 @q("text_lang_id", _lang_sql(),
-   "marker-lexicon language ID with deterministic tie-break")
+   "marker-lexicon language ID with deterministic tie-break. Folded: "
+   "CCNet-style bigram-LM perplexity (Wenzek et al. 2020 §4.3 at order "
+   "2) — avg_ppl per predicted language under an add-k corpus-trained "
+   "bigram model; the oracle retrains and rescores the identical "
+   "distribution in SQL (the self-trained setting makes every scored "
+   "bigram in-vocabulary, so its inner join equals the operator's "
+   "OOV-tolerant left join)")
 def lang_id_q(spark, sf):
     from pyspark.sql import functions as F
     d = load(spark, sf, "documents")
-    return (d.select(T.lang_id(F.col("text")).alias("pred_lang"))
-            .groupBy("pred_lang").agg(F.count(F.lit(1)).alias("cnt")))
+    lm = T.fit_bigram_lm(d, "doc_id", "text")
+    ppl = T.lm_perplexity(d, "doc_id", "text", lm, k=LM_K)
+    per_doc = (d.select("doc_id", T.lang_id(F.col("text"))
+                        .alias("pred_lang"))
+               .join(ppl, "doc_id", "left"))
+    return per_doc.groupBy("pred_lang").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.avg("ppl"), 4).alias("avg_ppl"))
 
 
 @q("text_token_counts",

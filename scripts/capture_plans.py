@@ -140,6 +140,34 @@ CHECKS = {
         "BroadcastExchange — the doc-grain path shuffles once for the "
         "canonical-url group and once to rejoin keepers, both "
         "id+url-sized."),
+    "sim_ivf_assign_histogram": (
+        "SemDeDup fold: the (id, vector, cell) working set is assigned "
+        "ONCE — one ArrowEvalPython over the BROADCAST centroid matrix "
+        "(no centroid literals), persisted, and all three consumers "
+        "(output + both pair-join sides) read InMemoryTableScan instead "
+        "of Catalyst inlining the scan+UDF subtree three times (the "
+        "unpersisted plan also re-evaluated the UDF per side for the "
+        "join-key null-filter — four UDF passes total); the quadratic "
+        "pair term is an equi-self-join keyed ON the cell id (never a "
+        "cartesian — the id< and cosine predicates are post-join "
+        "Filters), so per-cell work is bounded by N/k rows and AQE "
+        "splits any degenerate cell; the removal flag rejoins through "
+        "an id-keyed equi join whose build side carries ids only — "
+        "deliberately NOT broadcast, since at the paper's removal rates "
+        "(up to ~50%) the removed set is O(N); the output-side join "
+        "prunes the vector column (check the left Sort's schema: "
+        "vec_id + centroid only)."),
+    "text_lang_id": (
+        "bigram-LM perplexity fold: the trained LM stays a TABLE — both "
+        "probability lookups arrive via BroadcastExchange into "
+        "BroadcastHashJoins under the narrow (id, w1, w2) explode (no "
+        "count literals in the expression tree; the log-prob arithmetic "
+        "is whole-stage codegen, no UDF); the per-doc mean is ONE "
+        "partial-aggregated Exchange carrying (id, double) pairs, and "
+        "the training subtree is one explode + ONE partial-aggregated "
+        "groupBy whose shuffle is bounded by distinct-bigram count, not "
+        "token count — document text never crosses an Exchange "
+        "anywhere."),
     "dedup_components_star_round": (
         "ONE large-star/small-star round (the per-iteration unit of the "
         "registered dedup_cluster_components query): state is the EDGE "

@@ -1348,3 +1348,61 @@ def test_semdedup_matches_numpy_mirror(spark):
     out = {r["id"]: r["keep"] for r in
            S.semdedup(chain, "id", "v", [[1.0, 0.0]], 0.95).collect()}
     assert out == {1: True, 2: False, 3: False}
+
+
+def test_bigram_lm_perplexity_matches_python_mirror(spark):
+    """Bigram LM train + add-k perplexity vs an exact pure-Python mirror,
+    including the OOV path (held-out doc with unseen words) the
+    self-trained driver oracle never exercises, and the <2-word NULL
+    contract."""
+    import math
+
+    train = spark.createDataFrame(
+        [(1, "the cat sat on the mat"),
+         (2, "the cat ran"),
+         (3, "a dog sat on a mat"),
+         (4, "single")],
+        "doc_id long, text string")
+    k = 0.5
+    lm = T.fit_bigram_lm(train, "doc_id", "text")
+
+    # python mirror of training
+    docs = {1: "the cat sat on the mat", 2: "the cat ran",
+            3: "a dog sat on a mat", 4: "single"}
+    c12: dict[tuple[str, str], int] = {}
+    for t in docs.values():
+        ws = [w for w in t.split(" ") if w]
+        for a, b in zip(ws, ws[1:]):
+            c12[(a, b)] = c12.get((a, b), 0) + 1
+    c1: dict[str, int] = {}
+    for (a, _), c in c12.items():
+        c1[a] = c1.get(a, 0) + c
+    vocab = {w for p in c12 for w in p}
+    assert "single" not in vocab  # 1-word docs train nothing
+
+    got_lm = {(r["w1"], r["w2"]): r["c12"] for r in lm.collect()}
+    assert got_lm == c12
+
+    def mirror_ppl(text):
+        ws = [w for w in text.split(" ") if w]
+        lps = [math.log((c12.get((a, b), 0) + k)
+                        / (c1.get(a, 0) + k * len(vocab)))
+               for a, b in zip(ws, ws[1:])]
+        return round(math.exp(-sum(lps) / len(lps)), 4) if lps else None
+
+    # score train docs + a held-out doc with OOV words
+    score = spark.createDataFrame(
+        [(1, docs[1]), (4, docs[4]), (9, "zebra cat sat quietly")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["ppl"] for r in
+           T.lm_perplexity(score, "doc_id", "text", lm, k=k).collect()}
+    assert got == {1: mirror_ppl(docs[1]), 4: None,
+                   9: mirror_ppl("zebra cat sat quietly")}
+    assert got[4] is None                    # no bigrams -> NULL
+    assert got[9] > got[1]                   # OOV doc scores worse
+
+    # min_count pruning drops singleton bigrams from the table
+    pruned = {(r["w1"], r["w2"]) for r in
+              T.fit_bigram_lm(train, "doc_id", "text", min_count=2)
+              .collect()}
+    assert pruned == {p for p, c in c12.items() if c >= 2}
