@@ -70,16 +70,22 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.round(score, 4).alias("quality"))
 
 
+def ws_token_count(text: Column) -> Column:
+    return F.size(words_of(text))
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(
+        text, F.lit(r"[a-z]{1,4}|[0-9]|[^\w ]"), F.lit(0)))
+
+
 def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Whitespace tokens + BPE-ish subword estimate (alpha runs + digits +
     punctuation marks each count as a token)."""
     t = F.col(text_col)
-    ws_tokens = F.size(words_of(t))
-    bpe_ish = F.size(F.regexp_extract_all(t, F.lit(r"[a-z]{1,4}|[0-9]|[^\w ]"),
-                                          F.lit(0)))
     return df.select(F.col(id_col),
-                     ws_tokens.alias("ws_tokens"),
-                     bpe_ish.alias("bpe_tokens"))
+                     ws_token_count(t).alias("ws_tokens"),
+                     bpe_token_count(t).alias("bpe_tokens"))
 
 
 # Deliberately simple, engine-portable patterns (no \d/\b shorthand
@@ -308,3 +314,48 @@ def lm_perplexity(df: DataFrame, id_col: str, text_col: str,
         F.round(F.exp(-F.avg("logp")), 4).alias("ppl"))
     return (df.select(F.col(id_col)).join(scored, id_col, "left")
             .select(F.col(id_col), F.col("ppl")))
+
+
+def chunk_texts(text: Column, chunk_tokens: int, stride: int) -> Column:
+    """Array of fixed-token training-window texts for one document —
+    the per-doc context-window chunking every LM data pipeline runs
+    before tokenization (GPT-2-style fixed windows; ``stride`` <
+    ``chunk_tokens`` gives the overlapping-window variant). Window rule,
+    deterministic and oracle-mirrorable: starts at 0, stride, 2·stride …
+    while a FULL window still fits strictly inside the doc, plus one
+    final RIGHT-ALIGNED window covering the tail exactly (so every token
+    is covered, no degenerate few-token tails); docs with <= chunk
+    tokens yield one window, empty docs none.
+
+    Pure higher-order array expressions (sequence/filter/transform/
+    slice) — no UDF, no shuffle, whole-stage codegen; row width grows by
+    ~m/stride copies of the text, the operator's inherent output cost.
+    """
+    ws = words_of(text)
+    m = F.size(ws)
+    starts = (
+        F.when(m == 0, F.array().cast("array<int>"))
+        .when(m <= chunk_tokens, F.array(F.lit(0)))
+        .otherwise(F.concat(
+            F.filter(F.sequence(F.lit(0), m - 1, F.lit(stride)),
+                     lambda s: s + F.lit(chunk_tokens) < m),
+            F.array(m - F.lit(chunk_tokens)))))
+    return F.transform(
+        starts, lambda s: F.array_join(F.slice(ws, s + 1, chunk_tokens),
+                                       " "))
+
+
+def chunk_documents(df: DataFrame, id_col: str, text_col: str,
+                    chunk_tokens: int, stride: int | None = None
+                    ) -> DataFrame:
+    """Chunk-grain explode of ``chunk_texts``: one row per training
+    window — (id, chunk_id, chunk_text, n_tokens). Narrow posexplode on
+    the scan; at 100 TB the chunk rows feed straight into the
+    shard-packing prefix sum (assign_token_shards) without ever
+    shuffling the parent document."""
+    ct = chunk_texts(F.col(text_col), chunk_tokens,
+                     stride or chunk_tokens)
+    return (df
+            .select(F.col(id_col),
+                    F.posexplode(ct).alias("chunk_id", "chunk_text"))
+            .withColumn("n_tokens", F.size(words_of(F.col("chunk_text")))))

@@ -133,23 +133,55 @@ def lang_id_q(spark, sf):
         F.round(F.avg("ppl"), 4).alias("avg_ppl"))
 
 
+# Training-window chunking constants for the fold below (overlapping
+# windows: stride < chunk) — hardcoded identically in the oracle SQL.
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
 @q("text_token_counts",
    "WITH t AS (SELECT doc_id, "
+   "list_filter(string_split(text, ' '), w -> w <> '') AS ws, "
    "len(list_filter(string_split(text, ' '), w -> w <> '')) AS ws_tokens, "
    "len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]|[^\\w ]')) AS bpe_tokens, "
-   + sql_md5long("CAST(doc_id AS VARCHAR)") + " AS hv FROM documents) "
-   "SELECT doc_id, ws_tokens, bpe_tokens, "
-   "CAST(floor((sum(ws_tokens) OVER (ORDER BY hv, doc_id "
+   + sql_md5long("CAST(doc_id AS VARCHAR)") + " AS hv FROM documents), "
+   "c AS (SELECT doc_id, list_transform("
+   "CASE WHEN len(ws) = 0 THEN []::INT[] "
+   f"WHEN len(ws) <= {CHUNK_TOKENS} THEN [0] "
+   f"ELSE list_concat(list_filter(range(0, len(ws), {CHUNK_STRIDE}), "
+   f"s -> s + {CHUNK_TOKENS} < len(ws)), [len(ws) - {CHUNK_TOKENS}]) END, "
+   f"s -> array_to_string(ws[s + 1:s + {CHUNK_TOKENS}], ' ')) "
+   "AS chunks FROM t) "
+   "SELECT t.doc_id, ws_tokens, bpe_tokens, "
+   "CAST(floor((sum(ws_tokens) OVER (ORDER BY hv, t.doc_id "
    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ws_tokens) "
-   "/ 2000) AS BIGINT) AS shard_id FROM t",
+   "/ 2000) AS BIGINT) AS shard_id, "
+   "CAST(len(chunks) AS INT) AS n_chunks, "
+   "CASE WHEN len(chunks) > 0 THEN md5(array_to_string(chunks, '|')) "
+   "END AS chunks_md5 "
+   "FROM t JOIN c ON t.doc_id = c.doc_id",
    "token counting: whitespace + BPE-ish regex estimate; r3 adds "
    "token-budget shard packing (shard_id) — the oracle's global window "
    "cumsum is what Spark must NOT do (single partition); "
    "assign_token_shards computes the identical prefix sum with "
-   "range-bucket partials + broadcast offsets (operators/packing.py)")
+   "range-bucket partials + broadcast offsets (operators/packing.py). "
+   "Late fold: training-window chunking (chunk_texts, 32-token windows "
+   "at stride 24, right-aligned tail) pinned value-for-value by "
+   "chunks_md5 = md5 of the '|'-joined window texts")
 def tokens(spark, sf):
+    from pyspark.sql import functions as F
+
     from ocr_spark.operators.packing import assign_token_shards
-    base = T.token_counts(load(spark, sf, "documents"), "doc_id", "text")
+    d = load(spark, sf, "documents")
+    t = F.col("text")
+    ct = T.chunk_texts(t, CHUNK_TOKENS, CHUNK_STRIDE)
+    base = d.select(
+        "doc_id",
+        T.ws_token_count(t).alias("ws_tokens"),
+        T.bpe_token_count(t).alias("bpe_tokens"),
+        F.size(ct).alias("n_chunks"),
+        F.when(F.size(ct) > 0, F.md5(F.array_join(ct, "|")))
+        .alias("chunks_md5"))
     return assign_token_shards(base, "doc_id", "ws_tokens", budget=2000)
 
 

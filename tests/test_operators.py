@@ -1406,3 +1406,47 @@ def test_bigram_lm_perplexity_matches_python_mirror(spark):
               T.fit_bigram_lm(train, "doc_id", "text", min_count=2)
               .collect()}
     assert pruned == {p for p, c in c12.items() if c >= 2}
+
+
+def test_chunk_documents_matches_python_mirror(spark):
+    """Training-window chunking at chunk grain vs an exact mirror:
+    full-window starts at stride spacing + one right-aligned tail
+    window; <=chunk-token docs give one window; empty docs none."""
+    chunk, stride = 8, 5
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(20))),   # 20 words
+        (2, " ".join(f"x{i}" for i in range(8))),    # exactly chunk
+        (3, "a b c"),                                # under chunk
+        (4, ""),                                     # empty -> no rows
+        (5, " ".join(f"y{i}" for i in range(9))),    # chunk + 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def mirror(text):
+        ws = [w for w in text.split(" ") if w]
+        m = len(ws)
+        if m == 0:
+            starts = []
+        elif m <= chunk:
+            starts = [0]
+        else:
+            starts = [s for s in range(0, m, stride)
+                      if s + chunk < m] + [m - chunk]
+        return [(" ".join(ws[s:s + chunk])) for s in starts]
+
+    exp = [(i, ci, c, len(c.split(" ")))
+           for i, t in rows for ci, c in enumerate(mirror(t))]
+    got = [(r["doc_id"], r["chunk_id"], r["chunk_text"], r["n_tokens"])
+           for r in T.chunk_documents(df, "doc_id", "text", chunk, stride)
+           .orderBy("doc_id", "chunk_id").collect()]
+    assert got == exp
+    # pin the shape: doc 1 (20 words) -> starts 0,5,10 full + tail 12
+    d1 = [c for i, _, c, _ in got if i == 1]
+    assert len(d1) == 4 and d1[-1].startswith("w12 ")
+    assert all(n == chunk for i, _, _, n in got if i == 1)
+    assert not any(i == 4 for i, _, _, _ in got)
+
+    # non-overlapping default (stride = chunk): exact cover of doc 2
+    got2 = T.chunk_documents(df, "doc_id", "text", chunk).where(
+        F.col("doc_id") == 2).collect()
+    assert len(got2) == 1 and got2[0]["n_tokens"] == chunk
