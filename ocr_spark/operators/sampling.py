@@ -73,3 +73,57 @@ def cap_per_source(df: DataFrame, id_col: str, source_col: str,
                        F.floor(F.lit(cap) * PPM / F.col("_src_cnt")))
     return (df.join(F.broadcast(counts), source_col)
             .where((h % PPM) < keep_ppm).drop("_src_cnt"))
+
+
+def dsir_weights(df: DataFrame, id_col: str, text_col: str,
+                 target_counts: DataFrame, raw_counts: DataFrame,
+                 k: float = 0.5) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — public method): weight
+    each document by how much more likely its text is under a model of
+    the TARGET distribution (e.g. high-quality/in-domain docs) than
+    under a model of the RAW pool, then resample proportional to the
+    weight. Here the feature model is the bigram LM of
+    ``fit_bigram_lm`` (DSIR's own features are hashed n-grams — same
+    estimator family): ``dsir_w = exp(mean log p_target(bigram) -
+    mean log p_raw(bigram))`` with add-k smoothing on both sides,
+    rounded to 4; docs with < 2 words get NULL (no evidence either way).
+
+    Scale shape (100 TB): ONE narrow bigram explode scores both models
+    — each LM is a broadcast TABLE (two count lookups + two context
+    lookups per bigram, all BroadcastHashJoins; vocab sizes ride along
+    as 1-row broadcast scalars), then ONE partial-aggregated per-doc
+    mean carrying (id, double). Scoring twice separately would double
+    the explode and the shuffle for no reason; document text never
+    crosses an Exchange either way.
+    """
+    from ocr_spark.operators.textstats import _bigrams
+
+    def _model(counts: DataFrame, tag: str):
+        bc = counts.select(F.col("w1"), F.col("w2"),
+                           F.col("c12").alias(f"_c12{tag}"))
+        cc = counts.groupBy("w1").agg(F.sum("c12").alias(f"_c1{tag}"))
+        v = counts.select(F.explode(F.array("w1", "w2")).alias("w")).agg(
+            F.countDistinct("w").alias(f"_vs{tag}"))
+        return bc, cc, v
+
+    tbc, tcc, tv = _model(target_counts, "t")
+    rbc, rcc, rv = _model(raw_counts, "r")
+
+    def _logp(tag: str):
+        return F.log(
+            (F.coalesce(F.col(f"_c12{tag}"), F.lit(0)) + F.lit(k))
+            / (F.coalesce(F.col(f"_c1{tag}"), F.lit(0))
+               + F.lit(k) * F.col(f"_vs{tag}")))
+
+    per_doc = (_bigrams(df, id_col, text_col)
+               .join(F.broadcast(tbc), ["w1", "w2"], "left")
+               .join(F.broadcast(tcc), "w1", "left")
+               .join(F.broadcast(rbc), ["w1", "w2"], "left")
+               .join(F.broadcast(rcc), "w1", "left")
+               .join(F.broadcast(tv)).join(F.broadcast(rv))
+               .groupBy(id_col)
+               .agg(F.avg(_logp("t") - _logp("r")).alias("_d")))
+    return (df.select(F.col(id_col)).join(per_doc, id_col, "left")
+            .select(F.col(id_col),
+                    F.round(F.exp(F.col("_d")), 4).alias("dsir_w")))

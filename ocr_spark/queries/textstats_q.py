@@ -92,7 +92,7 @@ def _lang_sql() -> str:
         f"WHEN s_{lg} = {best} THEN '{lg}'" for lg in scores) + " END"
     inner = ", ".join(f"{expr} AS s_{lg}" for lg, expr in scores.items())
     return (
-        "WITH w AS (SELECT doc_id, "
+        "WITH w AS (SELECT doc_id, lang, "
         "list_filter(string_split(text, ' '), x -> x <> '') AS ws "
         "FROM documents), "
         "bg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM w, "
@@ -101,14 +101,27 @@ def _lang_sql() -> str:
         "cc AS (SELECT w1, sum(c12) AS c1 FROM bc GROUP BY 1), "
         "v AS (SELECT count(DISTINCT x) AS vs FROM "
         "(SELECT w1 AS x FROM bc UNION ALL SELECT w2 FROM bc)), "
+        "bgt AS (SELECT bg.doc_id, bg.w1, bg.w2 FROM bg "
+        "JOIN w USING (doc_id) WHERE w.lang = 'en'), "
+        "btc AS (SELECT w1, w2, count(*) AS c12t FROM bgt GROUP BY 1, 2), "
+        "ctc AS (SELECT w1, sum(c12t) AS c1t FROM btc GROUP BY 1), "
+        "vt AS (SELECT count(DISTINCT x) AS vst FROM "
+        "(SELECT w1 AS x FROM btc UNION ALL SELECT w2 FROM btc)), "
         f"lp AS (SELECT bg.doc_id, ln((bc.c12 + {LM_K}) / "
-        f"(cc.c1 + {LM_K} * v.vs)) AS logp "
-        "FROM bg JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v), "
-        "ppl AS (SELECT doc_id, ROUND(exp(-avg(logp)), 4) AS ppl "
-        "FROM lp GROUP BY 1), "
+        f"(cc.c1 + {LM_K} * v.vs)) AS logp, "
+        f"ln((COALESCE(btc.c12t, 0) + {LM_K}) / "
+        f"(COALESCE(ctc.c1t, 0) + {LM_K} * vt.vst)) "
+        f"- ln((bc.c12 + {LM_K}) / (cc.c1 + {LM_K} * v.vs)) AS dlp "
+        "FROM bg JOIN bc ON bg.w1 = bc.w1 AND bg.w2 = bc.w2 "
+        "JOIN cc ON bg.w1 = cc.w1 "
+        "LEFT JOIN btc ON bg.w1 = btc.w1 AND bg.w2 = btc.w2 "
+        "LEFT JOIN ctc ON bg.w1 = ctc.w1 CROSS JOIN v CROSS JOIN vt), "
+        "ppl AS (SELECT doc_id, ROUND(exp(-avg(logp)), 4) AS ppl, "
+        "ROUND(exp(avg(dlp)), 4) AS dsir_w FROM lp GROUP BY 1), "
         f"s AS (SELECT doc_id, {inner} FROM documents) "
         f"SELECT {case} AS pred_lang, count(*) AS cnt, "
-        "ROUND(avg(ppl), 4) AS avg_ppl "
+        "ROUND(avg(ppl), 4) AS avg_ppl, "
+        "ROUND(avg(dsir_w), 4) AS avg_dsir "
         "FROM s LEFT JOIN ppl USING (doc_id) GROUP BY 1")
 
 
@@ -119,18 +132,28 @@ def _lang_sql() -> str:
    "bigram model; the oracle retrains and rescores the identical "
    "distribution in SQL (the self-trained setting makes every scored "
    "bigram in-vocabulary, so its inner join equals the operator's "
-   "OOV-tolerant left join)")
+   "OOV-tolerant left join). Late fold: DSIR importance weights (Xie "
+   "et al. 2023) — avg_dsir per language, target LM = the table's "
+   "lang='en' subset vs the raw-pool LM (target-side OOV exercised for "
+   "real: non-en bigrams hit the COALESCE-0 path in both engines)")
 def lang_id_q(spark, sf):
     from pyspark.sql import functions as F
+
+    from ocr_spark.operators.sampling import dsir_weights
     d = load(spark, sf, "documents")
-    lm = T.fit_bigram_lm(d, "doc_id", "text")
+    lm = T.fit_bigram_lm(d, "doc_id", "text").persist()
+    tlm = T.fit_bigram_lm(d.where(F.col("lang") == "en"),
+                          "doc_id", "text").persist()
     ppl = T.lm_perplexity(d, "doc_id", "text", lm, k=LM_K)
+    dsir = dsir_weights(d, "doc_id", "text", tlm, lm, k=LM_K)
     per_doc = (d.select("doc_id", T.lang_id(F.col("text"))
                         .alias("pred_lang"))
-               .join(ppl, "doc_id", "left"))
+               .join(ppl, "doc_id", "left")
+               .join(dsir, "doc_id", "left"))
     return per_doc.groupBy("pred_lang").agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.round(F.avg("ppl"), 4).alias("avg_ppl"))
+        F.round(F.avg("ppl"), 4).alias("avg_ppl"),
+        F.round(F.avg("dsir_w"), 4).alias("avg_dsir"))
 
 
 # Training-window chunking constants for the fold below (overlapping

@@ -158,16 +158,18 @@ CHECKS = {
         "prunes the vector column (check the left Sort's schema: "
         "vec_id + centroid only)."),
     "text_lang_id": (
-        "bigram-LM perplexity fold: the trained LM stays a TABLE — both "
-        "probability lookups arrive via BroadcastExchange into "
-        "BroadcastHashJoins under the narrow (id, w1, w2) explode (no "
-        "count literals in the expression tree; the log-prob arithmetic "
-        "is whole-stage codegen, no UDF); the per-doc mean is ONE "
-        "partial-aggregated Exchange carrying (id, double) pairs, and "
-        "the training subtree is one explode + ONE partial-aggregated "
-        "groupBy whose shuffle is bounded by distinct-bigram count, not "
-        "token count — document text never crosses an Exchange "
-        "anywhere."),
+        "bigram-LM perplexity + DSIR fold: every trained LM stays a "
+        "TABLE — all probability lookups (raw-LM ppl, and DSIR's "
+        "target+raw pairs) arrive via BroadcastExchange into "
+        "BroadcastHashJoins under narrow (id, w1, w2) explodes (no "
+        "count literals in the expression tree; the log-prob/log-ratio "
+        "arithmetic is whole-stage codegen, no UDF); each per-doc mean "
+        "is ONE partial-aggregated Exchange carrying (id, double) "
+        "pairs; the two training subtrees are each one explode + ONE "
+        "partial-aggregated groupBy bounded by distinct-bigram count, "
+        "and the raw LM is persisted so its training runs once for its "
+        "two consumers (ppl + DSIR denominator, InMemoryTableScan) — "
+        "document text never crosses an Exchange anywhere."),
     "dedup_components_star_round": (
         "ONE large-star/small-star round (the per-iteration unit of the "
         "registered dedup_cluster_components query): state is the EDGE "

@@ -1450,3 +1450,52 @@ def test_chunk_documents_matches_python_mirror(spark):
     got2 = T.chunk_documents(df, "doc_id", "text", chunk).where(
         F.col("doc_id") == 2).collect()
     assert len(got2) == 1 and got2[0]["n_tokens"] == chunk
+
+
+def test_dsir_weights_matches_python_mirror(spark):
+    """DSIR importance weights vs an exact pure-Python mirror: target LM
+    trained on the 'good' docs, raw LM on the whole pool; target-OOV
+    bigrams hit the add-k zero-count path; in-domain docs must outweigh
+    out-of-domain ones; <2-word docs get NULL."""
+    import math
+
+    from ocr_spark.operators.sampling import dsir_weights
+
+    rows = [(1, "the cat sat on the mat", 1),
+            (2, "the cat ran to the mat", 1),
+            (3, "der hund lief zum haus", 0),
+            (4, "the dog sat on the mat", 0),
+            (5, "x", 0)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt int")
+    k = 0.5
+    target = df.where(F.col("tgt") == 1)
+    tlm = T.fit_bigram_lm(target, "doc_id", "text")
+    rlm = T.fit_bigram_lm(df, "doc_id", "text")
+
+    def counts(texts):
+        c12, c1 = {}, {}
+        for t in texts:
+            ws = [w for w in t.split(" ") if w]
+            for a, b in zip(ws, ws[1:]):
+                c12[(a, b)] = c12.get((a, b), 0) + 1
+                c1[a] = c1.get(a, 0) + 1
+        vocab = {w for p in c12 for w in p}
+        return c12, c1, len(vocab)
+
+    tc, tcc, tv = counts([t for _, t, g in rows if g == 1])
+    rc, rcc, rv = counts([t for _, t, _ in rows])
+
+    def mirror(text):
+        ws = [w for w in text.split(" ") if w]
+        ds = [math.log((tc.get((a, b), 0) + k) / (tcc.get(a, 0) + k * tv))
+              - math.log((rc.get((a, b), 0) + k) / (rcc.get(a, 0) + k * rv))
+              for a, b in zip(ws, ws[1:])]
+        return round(math.exp(sum(ds) / len(ds)), 4) if ds else None
+
+    got = {r["doc_id"]: r["dsir_w"] for r in
+           dsir_weights(df, "doc_id", "text", tlm, rlm, k=k).collect()}
+    exp = {i: mirror(t) for i, t, _ in rows}
+    assert got == exp
+    assert got[5] is None
+    # in-domain beats out-of-domain beats other-language
+    assert got[1] > got[4] > got[3]
