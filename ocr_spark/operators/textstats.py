@@ -359,3 +359,62 @@ def chunk_documents(df: DataFrame, id_col: str, text_col: str,
             .select(F.col(id_col),
                     F.posexplode(ct).alias("chunk_id", "chunk_text"))
             .withColumn("n_tokens", F.size(words_of(F.col("chunk_text")))))
+
+
+def tf_idf_word_stats(df: DataFrame, id_col: str, text_col: str
+                      ) -> DataFrame:
+    """Corpus TF-IDF statistics at word grain (Sparck Jones 1972; the
+    keyword/salience primitive of every IR-flavoured corpus analysis):
+    per word — total occurrences ``cnt``, document frequency
+    ``doc_freq``, ``idf = ln(N / doc_freq)`` and ``top_tfidf`` = the
+    highest single-document tf·idf (raw-count tf), both rounded to 4.
+
+    Scale shape (100 TB): aggregate at (word, doc) grain FIRST — the
+    composite key keeps partial aggregation effective for stopword-hot
+    words (each partition emits one row per word·doc it holds), then a
+    second partial-agg groupBy on word collapses to vocabulary grain;
+    the corpus doc count rides along as a 1-row broadcast scalar. Text
+    never crosses an Exchange; both shuffles carry (word[, id], long).
+    """
+    dw = (df.select(F.col(id_col),
+                    F.explode(words_of(F.col(text_col))).alias("word"))
+          .groupBy("word", id_col)
+          .agg(F.count(F.lit(1)).alias("_c_dw")))
+    ws = dw.groupBy("word").agg(
+        F.sum("_c_dw").alias("cnt"),
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.max("_c_dw").alias("_max_tf"))
+    n = df.agg(F.count(F.lit(1)).alias("_nd"))
+    idf = F.log(F.col("_nd") / F.col("doc_freq"))
+    return (ws.join(F.broadcast(n))
+            .select("word", "cnt", "doc_freq",
+                    F.round(idf, 4).alias("idf"),
+                    F.round(F.col("_max_tf") * idf, 4).alias("top_tfidf")))
+
+
+def tfidf_top_term(df: DataFrame, id_col: str, text_col: str
+                   ) -> DataFrame:
+    """Per-document most-salient term by tf·idf — the keyword-extraction
+    view of the same statistic. Deterministic tie-break: highest tf·idf,
+    then lexicographically LAST word (max of a (tfidf, word) struct on
+    both engines). Docs with no words are absent — left-join downstream.
+
+    Scale shape: the word-grain idf table is vocabulary-sized —
+    explicitly broadcast into the (word, doc) grain lookup, never
+    shuffled against it; the per-doc argmax is ONE partial-aggregated
+    max of a small struct.
+    """
+    dw = (df.select(F.col(id_col),
+                    F.explode(words_of(F.col(text_col))).alias("word"))
+          .groupBy(id_col, "word")
+          .agg(F.count(F.lit(1)).alias("_c_dw")))
+    idf = tf_idf_word_stats(df, id_col, text_col).select("word", "idf")
+    return (dw.join(F.broadcast(idf), "word")
+            .select(F.col(id_col),
+                    F.struct(F.round(F.col("_c_dw") * F.col("idf"), 4)
+                             .alias("tfidf"),
+                             F.col("word").alias("word")).alias("_s"))
+            .groupBy(id_col)
+            .agg(F.max("_s").alias("_m"))
+            .select(F.col(id_col), F.col("_m.word").alias("top_term"),
+                    F.col("_m.tfidf").alias("top_term_tfidf")))

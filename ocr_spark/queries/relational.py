@@ -440,15 +440,23 @@ def w1(spark, sf):
 
 
 @q("f10_array_explode_topwords",
-   "SELECT word, count(*) AS cnt FROM (SELECT unnest(string_split(text, ' ')) "
-   "AS word FROM documents) WHERE word <> '' "
-   "GROUP BY word ORDER BY cnt DESC, word LIMIT 50",
-   "F10 array ops: split/explode/agg word counts")
+   "WITH dw AS (SELECT word, doc_id, count(*) AS c_dw FROM "
+   "(SELECT doc_id, unnest(string_split(text, ' ')) AS word "
+   "FROM documents) WHERE word <> '' GROUP BY 1, 2), "
+   "n AS (SELECT count(*) AS nd FROM documents), "
+   "ws AS (SELECT word, CAST(sum(c_dw) AS BIGINT) AS cnt, "
+   "count(*) AS doc_freq, max(c_dw) AS max_tf FROM dw GROUP BY 1) "
+   "SELECT word, cnt, doc_freq, ROUND(ln(nd / doc_freq), 4) AS idf, "
+   "ROUND(max_tf * ln(nd / doc_freq), 4) AS top_tfidf "
+   "FROM ws CROSS JOIN n ORDER BY cnt DESC, word LIMIT 50",
+   "F10 array ops: split/explode/agg word counts. Late fold: corpus "
+   "TF-IDF word stats (doc_freq, idf = ln(N/df), top_tfidf = best "
+   "single-doc raw-tf·idf) — (word, doc) grain aggregated FIRST so "
+   "partial agg stays effective on stopword-hot words")
 def f10(spark, sf):
+    from ocr_spark.operators.textstats import tf_idf_word_stats
     d = load(spark, sf, "documents")
-    return (d.select(F.explode(F.split("text", " ", -1)).alias("word"))
-            .where(F.col("word") != "")
-            .groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    return (tf_idf_word_stats(d, "doc_id", "text")
             .orderBy(F.desc("cnt"), "word").limit(50))
 
 

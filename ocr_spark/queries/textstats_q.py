@@ -339,12 +339,35 @@ def curation_pipeline(spark, sf):
 @q("text_fingerprint",
    "WITH n AS (SELECT doc_id, "
    "trim(regexp_replace(text, '[ \\t\\n\\r\\f\\v]+', ' ', 'g')) AS norm "
-   "FROM documents) "
-   "SELECT doc_id, md5(norm) AS md5_fp, "
+   "FROM documents), "
+   "dw AS (SELECT doc_id, word, count(*) AS c_dw FROM "
+   "(SELECT doc_id, unnest(string_split(text, ' ')) AS word "
+   "FROM documents) WHERE word <> '' GROUP BY 1, 2), "
+   "nn AS (SELECT count(*) AS nd FROM documents), "
+   "i AS (SELECT word, ROUND(ln(nd / count(*)), 4) AS idf_r "
+   "FROM dw CROSS JOIN nn GROUP BY word, nd), "
+   "st AS (SELECT dw.doc_id, dw.word, "
+   "ROUND(dw.c_dw * i.idf_r, 4) AS tfidf "
+   "FROM dw JOIN i USING (word)), "
+   "top AS (SELECT doc_id, word, tfidf, ROW_NUMBER() OVER "
+   "(PARTITION BY doc_id ORDER BY tfidf DESC, word DESC) AS rn FROM st) "
+   "SELECT n.doc_id, md5(norm) AS md5_fp, "
    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
    "list_transform(list_filter(string_split(norm, ' '), w -> w <> ''), "
    "w -> " + sql_md5long("w") + f" % {MOD_P})), "
-   f"(acc, h) -> (acc * 31 + h) % {MOD_P}) AS rolling_fp FROM n",
-   "document fingerprinting: md5 + order-sensitive rolling hash")
+   f"(acc, h) -> (acc * 31 + h) % {MOD_P}) AS rolling_fp, "
+   "t.word AS top_term, t.tfidf AS top_term_tfidf "
+   "FROM n LEFT JOIN (SELECT * FROM top WHERE rn = 1) t "
+   "ON n.doc_id = t.doc_id",
+   "document fingerprinting: md5 + order-sensitive rolling hash. Late "
+   "fold: per-doc TF-IDF keyword (tfidf_top_term — highest raw-tf·idf "
+   "term, tie -> lexicographically last word; idf table broadcast, "
+   "argmax = one partial-aggregated struct max, the oracle's global "
+   "ROW_NUMBER window is exactly what Spark must not do)")
 def fingerprint_q(spark, sf):
-    return T.fingerprint(load(spark, sf, "documents"), "doc_id", "text")
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.textstats import tfidf_top_term
+    d = load(spark, sf, "documents")
+    return (T.fingerprint(d, "doc_id", "text")
+            .join(tfidf_top_term(d, "doc_id", "text"), "doc_id", "left"))

@@ -1499,3 +1499,59 @@ def test_dsir_weights_matches_python_mirror(spark):
     assert got[5] is None
     # in-domain beats out-of-domain beats other-language
     assert got[1] > got[4] > got[3]
+
+
+def test_tfidf_matches_python_mirror(spark):
+    """Word-grain TF-IDF stats and per-doc top term vs exact mirrors,
+    pinning idf = ln(N/df) with N = ALL docs (incl. empty), raw-count
+    tf, round-before-multiply, and the (tfidf desc, word desc)
+    tie-break."""
+    import math
+
+    from ocr_spark.operators.textstats import (tf_idf_word_stats,
+                                               tfidf_top_term)
+
+    rows = [(1, "apple banana apple"),
+            (2, "apple cherry"),
+            (3, "banana banana cherry cherry"),
+            (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    nd = len(rows)
+
+    dw = {}
+    for i, t in rows:
+        for w in t.split(" "):
+            if w:
+                dw[(i, w)] = dw.get((i, w), 0) + 1
+    words = {w for _, w in dw}
+    exp_ws = {}
+    for w in words:
+        per = [c for (i, x), c in dw.items() if x == w]
+        idf = math.log(nd / len(per))
+        # word stats use UNROUNDED idf inside top_tfidf; the per-doc top
+        # term below uses the published (rounded) idf column
+        exp_ws[w] = (sum(per), len(per), round(idf, 4),
+                     round(max(per) * idf, 4))
+    got_ws = {r["word"]: (r["cnt"], r["doc_freq"], r["idf"], r["top_tfidf"])
+              for r in tf_idf_word_stats(df, "doc_id", "text").collect()}
+    assert got_ws == exp_ws
+    # banana: df=2 of 4 docs -> idf = ln(2)
+    assert got_ws["banana"][2] == round(math.log(2), 4)
+
+    exp_top = {}
+    for i, t in rows:
+        cand = [(round(c * exp_ws[w][2], 4), w)
+                for (j, w), c in dw.items() if j == i]
+        if cand:
+            exp_top[i] = max(cand)  # (tfidf, word) max = tie -> last word
+    got_top = {r["doc_id"]: (r["top_term_tfidf"], r["top_term"])
+               for r in tfidf_top_term(df, "doc_id", "text").collect()}
+    assert got_top == exp_top
+    assert 4 not in got_top  # empty doc absent
+
+    # explicit tie: both words once in one doc, same idf -> last word wins
+    tie = spark.createDataFrame([(1, "zed aardvark"), (2, "other words")],
+                                "doc_id long, text string")
+    t1 = {r["doc_id"]: r["top_term"]
+          for r in tfidf_top_term(tie, "doc_id", "text").collect()}
+    assert t1[1] == "zed"
