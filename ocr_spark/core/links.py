@@ -27,3 +27,40 @@ def outlinks(html: str) -> list[str]:
                         out.append(v)
                     break
     return out
+
+
+def anchored_outlinks(html: str) -> list[tuple[str, str]]:
+    """(href, anchor_text) pairs of <a> start tags, in document order.
+    Anchor text = whitespace-normalized concatenation of the raw text
+    tokens up to the matching </a> (nested inline tags contribute their
+    text; entities stay raw — the op is a link-graph signal, not a
+    renderer). Total: an unclosed <a> flushes at the next <a> or EOF, a
+    self-closing or href-less <a> yields ''/no pair respectively.
+    """
+    out: list[tuple[str, str]] = []
+    cur: str | None = None
+    buf: list[str] = []
+
+    def flush() -> None:
+        nonlocal cur, buf
+        if cur is not None:
+            out.append((cur, " ".join(" ".join(buf).split())))
+        cur, buf = None, []
+
+    for tok in tokenize(html).tokens:
+        kind = tok[0]
+        if kind == "start" and tok[1] == "a":
+            flush()
+            for k, v in _parse_attrs(tok[2]):
+                if k == "href":
+                    if v:
+                        cur = v
+                    break
+            if tok[3]:  # self-closing: no text can follow
+                flush()
+        elif kind == "end" and tok[1] == "a":
+            flush()
+        elif kind == "text" and cur is not None:
+            buf.append(tok[1])
+    flush()
+    return out

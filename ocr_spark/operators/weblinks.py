@@ -147,3 +147,51 @@ def head_meta_udf(html: Column) -> Column:
                             columns=["noindex", "canonical", "title"])
 
     return _meta(html)
+
+
+def anchored_outlinks_udf(html: Column) -> Column:
+    """array<struct<href,anchor>> per page — same single tokenizer pass
+    as ``outlinks_udf`` but carrying the anchor text (the classic
+    inbound-anchor document signal, Craswell et al. 2001); hrefs come
+    out in identical order, so callers needing both take ONE UDF and
+    project `transform(x -> x.href)`."""
+    from ocr_spark.core.encoding import decode_bytes
+    from ocr_spark.core.links import anchored_outlinks
+
+    @F.pandas_udf("array<struct<href: string, anchor: string>>")
+    def _pairs(pages: pd.Series) -> pd.Series:
+        out = []
+        for blob in pages:
+            if blob is None:
+                out.append([])
+                continue
+            text, _ = decode_bytes(bytes(blob))
+            out.append(anchored_outlinks(text))
+        return pd.Series(out)
+
+    return _pairs(html)
+
+
+def host_anchor_summary(pairs: DataFrame, host_col: str,
+                        anchor_col: str) -> DataFrame:
+    """Inbound-anchor aggregation per destination host: how the web
+    describes each host — (host, n_inbound, n_anchors, top_anchor). Top
+    anchor = most frequent inbound anchor text, tie broken to the
+    lexicographically LAST anchor (max of a (cnt, anchor) struct — the
+    deterministic rule both engines share).
+
+    Scale shape (100 TB): aggregate at (host, anchor) grain FIRST —
+    partial agg collapses the everyone-says-'click here' hot pairs
+    map-side — then ONE host-grain groupBy carries a small struct per
+    distinct anchor; no window, no global sort, anchors never ride a
+    row-per-link shuffle twice.
+    """
+    ha = (pairs.groupBy(host_col, anchor_col)
+          .agg(F.count(F.lit(1)).alias("_c")))
+    return (ha.groupBy(host_col).agg(
+        F.sum("_c").alias("n_inbound"),
+        F.count(F.lit(1)).alias("n_anchors"),
+        F.max(F.struct(F.col("_c").alias("c"),
+                       F.col(anchor_col).alias("a"))).alias("_m"))
+        .select(F.col(host_col), "n_inbound", "n_anchors",
+                F.col("_m.a").alias("top_anchor")))

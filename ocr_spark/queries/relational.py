@@ -103,7 +103,16 @@ def _documents_enriched_sql():
         "WITH c AS (SELECT doc_id, lang, source, n_chars, text, "
         f"{canon} AS url_canon, {_EXT_HOST_SQL} AS eh FROM documents)"
         + _PR_CTES +
-        " SELECT doc_id, lang, source, n_chars, "
+        # inbound-anchor model: every doc sends anchor 'more-<doc_id%9>'
+        # to its external host; top anchor = (cnt desc, anchor desc)
+        ", ap AS (SELECT eh, 'more-' || CAST(doc_id % 9 AS VARCHAR) "
+        "AS a FROM c), "
+        "ac AS (SELECT eh, a, count(*) AS cnt FROM ap GROUP BY 1, 2), "
+        "tp AS (SELECT eh, a, ROW_NUMBER() OVER (PARTITION BY eh "
+        "ORDER BY cnt DESC, a DESC) AS rn FROM ac), "
+        "ti AS (SELECT eh, CAST(sum(cnt) AS BIGINT) AS n_in "
+        "FROM ac GROUP BY 1) "
+        "SELECT doc_id, lang, source, n_chars, "
         "concat(lang, ':', reverse(substr(text, 1, 20))) AS tag, "
         "length(trim(text)) AS n_trim, "
         "CAST(contains(text, 'data') AS INT) AS has_marker, "
@@ -113,7 +122,10 @@ def _documents_enriched_sql():
         # keep-latest keeper inside a canonical group is max(doc_id)
         "CAST(doc_id = max(doc_id) OVER (PARTITION BY url_canon) AS INT) "
         "AS is_latest, "
-        "ROUND((SELECT pr FROM p3 WHERE p3.h = c.eh), 6) AS ext_pr3 "
+        "ROUND((SELECT pr FROM p3 WHERE p3.h = c.eh), 6) AS ext_pr3, "
+        "(SELECT a FROM tp WHERE tp.eh = c.eh AND rn = 1) "
+        "AS ext_top_anchor, "
+        "(SELECT n_in FROM ti WHERE ti.eh = c.eh) AS ext_n_inbound "
         "FROM c")
 
 
@@ -129,12 +141,18 @@ def _documents_enriched_sql():
    "(operators/weblinks.py, 3 fixed iterations, damping 0.85, VALUES "
    "verified against the oracle's unrolled iterations) of each doc's "
    "external destination host) — one narrow pass over documents, one "
-   "named column per §2 row")
+   "named column per §2 row. Late fold: inbound-anchor aggregation "
+   "(host_anchor_summary — ext_top_anchor = the most frequent anchor "
+   "text pointing at the doc's external host, tie -> lexicographically "
+   "last; ext_n_inbound = that host's inbound link count; anchor "
+   "EXTRACTION from real HTML is verified by extract_html_roundtrip's "
+   "anchors_csv, this verifies the host-grain aggregation)")
 def documents_enriched(spark, sf):
     from ocr_spark.functions.bucketing import host_of
     from ocr_spark.operators.urls import (
         canonicalize_url, dedup_latest_capture)
-    from ocr_spark.operators.weblinks import host_pagerank
+    from ocr_spark.operators.weblinks import (
+        host_anchor_summary, host_pagerank)
     d = load(spark, sf, "documents").withColumn("url", _url_expr())
     # capture ts: epoch + doc_id seconds — distinct and monotone, the
     # recrawl simulation (newer doc_id = newer capture of the same page)
@@ -156,6 +174,11 @@ def documents_enriched(spark, sf):
         ext_host.alias("dst_host")).distinct())
     pr = host_pagerank(edges, n_iters=3).withColumnRenamed("host",
                                                            "ext_host")
+    anchors = (d.select(
+        ext_host.alias("ext_host"),
+        F.concat(F.lit("more-"),
+                 (F.col("doc_id") % 9).cast("string")).alias("anchor")))
+    asum = host_anchor_summary(anchors, "ext_host", "anchor")
     return (enriched.join(keepers.select("url_canon", "keeper_id"),
                           "url_canon")
             .withColumn("is_latest",
@@ -163,6 +186,9 @@ def documents_enriched(spark, sf):
             .withColumn("ext_host", ext_host)
             .join(F.broadcast(pr), "ext_host")
             .withColumn("ext_pr3", F.round("pr", 6))
+            .join(F.broadcast(asum.select(
+                "ext_host", F.col("top_anchor").alias("ext_top_anchor"),
+                F.col("n_inbound").alias("ext_n_inbound"))), "ext_host")
             .drop("keeper_id", "ext_host", "pr"))
 
 

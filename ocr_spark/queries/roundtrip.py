@@ -27,7 +27,8 @@ from ocr_spark.queries import QuerySpec, load
 QUERIES: list[QuerySpec] = []
 
 _NAV_A = '<nav><a href="/">home</a> <a href="'
-_PRE_B = '">more</a></nav><p>'
+_PRE_B = '">'      # ... per-doc anchor text ('more-<doc_id%9>') ...
+_PRE_C = '</a></nav><p>'
 _SUFFIX = '</p><footer>copyright footer</footer></body></html>'
 
 # per-doc external href: 'https://out<doc_id%7>.example.net/p-<doc_id%50>'
@@ -62,10 +63,17 @@ def _head():
         F.lit("</head><body>"))
 
 
+def _anchor_text():
+    # per-doc external anchor text — ONE word so the nav block's
+    # n_words/link_density oracle in extract_blocks_spans is unchanged
+    return F.concat(F.lit("more-"), (F.col("doc_id") % 9).cast("string"))
+
+
 def _page():
     """Encoded page bytes (shared by both roundtrip queries)."""
     return F.encode(F.concat(_head(), F.lit(_NAV_A), _ext_href(),
-                             F.lit(_PRE_B), F.col("text"),
+                             F.lit(_PRE_B), _anchor_text(),
+                             F.lit(_PRE_C), F.col("text"),
                              F.lit(_SUFFIX)), "utf-8")
 
 
@@ -77,23 +85,26 @@ def _base_url():
 def _spark(spark, sf):
     from ocr_spark.functions.bucketing import host_of
     from ocr_spark.operators.weblinks import (
-        head_meta_udf, outlinks_udf, resolve_links)
+        anchored_outlinks_udf, head_meta_udf, resolve_links)
 
     d = load(spark, sf, "documents")
     res = d.select("doc_id", "source",
                    extract_udf(_page(), F.col("lang")).alias("r"),
-                   outlinks_udf(_page()).alias("raw_links"),
+                   anchored_outlinks_udf(_page()).alias("pairs"),
                    head_meta_udf(_page()).alias("hm"))
-    resolved = resolve_links(F.col("raw_links"), _base_url())
+    raw_links = F.transform(F.col("pairs"), lambda x: x["href"])
+    resolved = resolve_links(raw_links, _base_url())
     return res.select(
         "doc_id",
         F.col("r.extracted_text").alias("extracted"),
         F.col("r.content_kind").alias("kind"),
         F.col("r.n_blocks").alias("n_blocks"),
-        F.size("raw_links").alias("n_links"),
+        F.size("pairs").alias("n_links"),
         F.array_join(resolved, ",").alias("links_csv"),
         F.array_join(F.array_sort(F.array_distinct(
             F.transform(resolved, host_of))), ",").alias("hosts_csv"),
+        F.array_join(F.transform(F.col("pairs"), lambda x: x["anchor"]),
+                     ",").alias("anchors_csv"),
         F.col("hm.noindex").cast("int").alias("noindex"),
         F.col("hm.canonical").alias("canonical"),
         F.col("hm.title").alias("title"))
@@ -116,6 +127,7 @@ QUERIES.append(QuerySpec(
     "array_to_string(list_sort([source || '.example.com', "
     "'out' || CAST(doc_id % 7 AS VARCHAR) || '.example.net']), ',') "
     "AS hosts_csv, "
+    "('home,more-' || CAST(doc_id % 9 AS VARCHAR)) AS anchors_csv, "
     "CAST(doc_id % 11 = 0 AS INT) AS noindex, "
     "CASE WHEN doc_id % 5 = 0 THEN " + _CANON_SQL + " ELSE NULL END "
     "AS canonical, "

@@ -1555,3 +1555,40 @@ def test_tfidf_matches_python_mirror(spark):
     t1 = {r["doc_id"]: r["top_term"]
           for r in tfidf_top_term(tie, "doc_id", "text").collect()}
     assert t1[1] == "zed"
+
+
+def test_anchored_outlinks_total_and_ordered():
+    """Core anchor extraction: pairs in document order, hrefs identical
+    to outlinks(), nested inline tags contribute text, unclosed <a>
+    flushes at next <a>/EOF, self-closing and href-less anchors."""
+    from ocr_spark.core.links import anchored_outlinks, outlinks
+
+    h = ('<nav><a href="/">home</a> <a href="https://x.net/p">more-3'
+         '</a></nav><a href="/b"><b>bold</b>  text\n here</a>'
+         '<a>nohref</a><a href="/u">un closed<a href="/s"/>'
+         '<a href="/t">tail')
+    got = anchored_outlinks(h)
+    assert got == [("/", "home"), ("https://x.net/p", "more-3"),
+                   ("/b", "bold text here"), ("/u", "un closed"),
+                   ("/s", ""), ("/t", "tail")]
+    assert [p[0] for p in got] == outlinks(h)
+    assert anchored_outlinks("") == []
+    assert anchored_outlinks("<p>no anchors</p>") == []
+
+
+def test_host_anchor_summary(spark):
+    """Inbound-anchor aggregation: counts, distinct anchors, and the
+    (cnt desc, anchor desc) top pick incl. the tie case."""
+    from ocr_spark.operators.weblinks import host_anchor_summary
+
+    pairs = spark.createDataFrame(
+        [("a.com", "news"), ("a.com", "news"), ("a.com", "zlatest"),
+         ("b.com", "x"), ("b.com", "y"),      # tie -> 'y' (lex last)
+         ("c.com", "only")],
+        "host string, anchor string")
+    got = {r["host"]: (r["n_inbound"], r["n_anchors"], r["top_anchor"])
+           for r in host_anchor_summary(pairs, "host", "anchor")
+           .collect()}
+    assert got == {"a.com": (3, 2, "news"),
+                   "b.com": (2, 2, "y"),
+                   "c.com": (1, 1, "only")}
