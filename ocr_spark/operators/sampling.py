@@ -127,3 +127,41 @@ def dsir_weights(df: DataFrame, id_col: str, text_col: str,
     return (df.select(F.col(id_col)).join(per_doc, id_col, "left")
             .select(F.col(id_col),
                     F.round(F.exp(F.col("_d")), 4).alias("dsir_w")))
+
+
+def top_fraction_gate(df: DataFrame, score_col: str,
+                      frac: float) -> DataFrame:
+    """Keep the top ``frac`` of the corpus by a score column — EXACTLY,
+    with no global sort: because pipeline scores land on a finite
+    rounding grid (quality rounds to 1e-4), the exact selection
+    threshold falls out of a score HISTOGRAM — one partial-aggregated
+    groupBy to at most |grid| rows, a cumulative count over that tiny
+    table, and the threshold = the highest score whose descending
+    cumulative count reaches ceil(frac·N). All rows at the threshold
+    score are kept (deterministic; ``kept`` count may exceed frac·N by
+    the tie count, never fall short).
+
+    Returns ``df`` + a boolean ``kept``.
+
+    Scale shape (100 TB): the naive plan is a global ORDER BY + row
+    cap — a single-partition sort of the corpus. Here the only
+    corpus-wide work is one histogram groupBy (map-side combine
+    collapses to ≤ |grid| rows per partition); the window cumsum runs
+    on the grid-bounded histogram (≤ ~10⁴ rows, single partition BY
+    CONSTRUCTION, not by corpus size) and the threshold rejoins as a
+    1-row broadcast. Same device as the shard-packing prefix sum:
+    move the ordering problem onto a small deterministic domain.
+    """
+    s = F.col(score_col)
+    hist = df.groupBy(score_col).agg(F.count(F.lit(1)).alias("_c"))
+    n = df.agg(F.count(F.lit(1)).alias("_n"))
+    cum = (hist.select(
+        s, F.sum("_c").over(
+            Window.orderBy(s.desc())
+            .rowsBetween(Window.unboundedPreceding, 0)).alias("_cum")))
+    thr = (cum.join(F.broadcast(n))
+           .where(F.col("_cum") >= F.ceil(F.lit(frac) * F.col("_n")))
+           .agg(F.max(s).alias("_thr")))
+    return (df.join(F.broadcast(thr))
+            .withColumn("kept", s >= F.col("_thr"))
+            .drop("_thr"))

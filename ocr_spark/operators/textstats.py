@@ -44,6 +44,29 @@ def lang_id(text: Column) -> Column:
     return F.when(best > 0, pred).otherwise(F.lit("und"))
 
 
+def quality_expr(text: Column) -> Column:
+    """The combined shallow quality score as a standalone expression
+    (rounded to 4) — the finite 1e-4 grid this lands on is what makes
+    exact top-fraction selection histogram-cheap (sampling.py
+    top_fraction_gate)."""
+    ws = words_of(text)
+    n_words = F.size(ws)
+    n_chars = F.length(text)
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_ratio = F.size(F.filter(ws, lambda w: F.array_contains(stop, w))) \
+        / F.greatest(n_words, F.lit(1))
+    punct_ratio = (n_chars
+                   - F.length(F.regexp_replace(text, r"[^\w ]", ""))) \
+        / F.greatest(n_chars, F.lit(1))
+    avg_wlen = F.length(F.regexp_replace(text, " ", "")) \
+        / F.greatest(n_words, F.lit(1))
+    return F.round(
+        F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
+        + stop_ratio * 0.3
+        + (1.0 - punct_ratio) * 0.2
+        + F.least(avg_wlen / F.lit(8.0), F.lit(1.0)) * 0.1, 4)
+
+
 def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-doc shallow quality features + a fixed combined score."""
     t = F.col(text_col)
@@ -57,17 +80,13 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         / F.greatest(n_chars, F.lit(1))
     avg_wlen = F.length(F.regexp_replace(t, " ", "")) \
         / F.greatest(n_words, F.lit(1))
-    score = (F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
-             + stop_ratio * 0.3
-             + (1.0 - punct_ratio) * 0.2
-             + F.least(avg_wlen / F.lit(8.0), F.lit(1.0)) * 0.1)
     return df.select(
         F.col(id_col),
         n_words.alias("n_words"),
         F.round(stop_ratio, 4).alias("stop_ratio"),
         F.round(punct_ratio, 4).alias("punct_ratio"),
         F.round(avg_wlen, 4).alias("avg_word_len"),
-        F.round(score, 4).alias("quality"))
+        quality_expr(t).alias("quality"))
 
 
 def ws_token_count(text: Column) -> Column:

@@ -494,11 +494,19 @@ _MIX_VALUES = ", ".join(
     f"('{s}', {int(round(f * 1_000_000))})" for s, f in _MIX.items())
 
 
+def _stop_sql() -> str:
+    from ocr_spark.operators.textstats import STOPWORDS
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+_STOP_SQL = _stop_sql()
+
+
 @q("s10_stratified_split",
-   "WITH h AS (SELECT lang, source, "
+   "WITH h AS (SELECT doc_id, lang, source, "
    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) "
    "AS hv FROM documents), "
-   "g AS (SELECT lang, source, hv, "
+   "g AS (SELECT doc_id, lang, source, hv, "
    "CASE WHEN hv % 10 < 8 THEN 'train' ELSE 'eval' END AS split, "
    "hv % 8 AS bucket FROM h), "
    "wt(source, ppm) AS (VALUES " + _MIX_VALUES + "), "
@@ -511,13 +519,37 @@ _MIX_VALUES = ", ".join(
    "k AS (SELECT lang, split, bucket, count(*) AS cap_kept "
    "FROM g JOIN c USING (source) "
    "WHERE hv % 1000000 < least(1000000, "
-   "CAST(floor(10 * 1000000 / scnt) AS BIGINT)) GROUP BY 1, 2, 3) "
+   "CAST(floor(10 * 1000000 / scnt) AS BIGINT)) GROUP BY 1, 2, 3), "
+   # exact top-40%-by-quality gate: histogram cumsum threshold (all
+   # threshold ties kept) — mirrors sampling.top_fraction_gate
+   "f AS (SELECT doc_id, text, "
+   "list_filter(string_split(text, ' '), w -> w <> '') AS ws, "
+   "length(text) AS n_chars FROM documents), "
+   "q AS (SELECT doc_id, ROUND(least(len(ws) / 100.0, 1.0) * 0.4 "
+   "+ (len(list_filter(ws, w -> list_contains(" + _STOP_SQL + ", w))) "
+   "/ greatest(len(ws), 1)) * 0.3 "
+   "+ (1.0 - (n_chars - length(regexp_replace(text, '[^\\w ]', '', "
+   "'g'))) / greatest(n_chars, 1)) * 0.2 "
+   "+ least((length(replace(text, ' ', '')) / greatest(len(ws), 1)) "
+   "/ 8.0, 1.0) * 0.1, 4) AS qual FROM f), "
+   "qc AS (SELECT qual, count(*) AS c FROM q GROUP BY 1), "
+   "cq AS (SELECT qual, sum(c) OVER (ORDER BY qual DESC ROWS BETWEEN "
+   "UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM qc), "
+   "nq AS (SELECT count(*) AS n FROM documents), "
+   "th AS (SELECT max(qual) AS thr FROM cq CROSS JOIN nq "
+   "WHERE cum >= ceil(0.4 * n)), "
+   "kq AS (SELECT g.lang, g.split, g.bucket, count(*) AS q40_kept "
+   "FROM g JOIN q USING (doc_id) CROSS JOIN th "
+   "WHERE q.qual >= th.thr GROUP BY 1, 2, 3) "
    "SELECT b.lang, b.split, b.bucket, b.cnt, "
    "COALESCE(m.mix_kept, 0) AS mix_kept, "
-   "COALESCE(k.cap_kept, 0) AS cap_kept FROM b LEFT JOIN m "
+   "COALESCE(k.cap_kept, 0) AS cap_kept, "
+   "COALESCE(kq.q40_kept, 0) AS q40_kept FROM b LEFT JOIN m "
    "ON b.lang = m.lang AND b.split = m.split AND b.bucket = m.bucket "
    "LEFT JOIN k "
-   "ON b.lang = k.lang AND b.split = k.split AND b.bucket = k.bucket",
+   "ON b.lang = k.lang AND b.split = k.split AND b.bucket = k.bucket "
+   "LEFT JOIN kq "
+   "ON b.lang = kq.lang AND b.split = kq.split AND b.bucket = kq.bucket",
    "SURVEY §3.3 stratified train/eval split (reference analog: "
    "train_test_split(stratify=labels), /root/reference/"
    "hebrew-ocr-cnn.py:102-110) + F4 hash bucketing (the same md5-derived "
@@ -531,10 +563,16 @@ _MIX_VALUES = ", ".join(
    "RefinedWeb per-domain quota (cap_per_source, operators/sampling.py): "
    "cap_kept counts survivors of the deterministic floor(cap*1e6/count) "
    "thinning toward an expected 10 docs/source — counts broadcast back, "
-   "no ordering, no skewed window.")
+   "no ordering, no skewed window. Late fold: exact top-40%-by-quality "
+   "selection (top_fraction_gate) — q40_kept counts survivors of the "
+   "histogram-cumsum threshold gate, the global-ORDER-BY-free exact "
+   "quantile (window runs on the 1e-4 score grid, not the corpus; "
+   "threshold ties kept on both engines).")
 def s10(spark, sf):
     from ocr_spark.operators.hashing import md5long
-    from ocr_spark.operators.sampling import cap_per_source, sample_to_mixture
+    from ocr_spark.operators.sampling import (
+        cap_per_source, sample_to_mixture, top_fraction_gate)
+    from ocr_spark.operators.textstats import quality_expr
     d = load(spark, sf, "documents")
     h = md5long(F.col("doc_id").cast("string"))
     split = F.when(h % 10 < 8, "train").otherwise("eval")
@@ -547,10 +585,17 @@ def s10(spark, sf):
     capped = (cap_per_source(d, "doc_id", "source", cap=10)
               .select("lang", split.alias("split"), (h % 8).alias("bucket"))
               .groupBy(keys).agg(F.count(F.lit(1)).alias("cap_kept")))
+    gated = top_fraction_gate(
+        d.select("lang", split.alias("split"), (h % 8).alias("bucket"),
+                 quality_expr(F.col("text")).alias("_q")), "_q", 0.4)
+    q40 = (gated.where(F.col("kept"))
+           .groupBy(keys).agg(F.count(F.lit(1)).alias("q40_kept")))
     return (base.join(mixed, keys, "left").join(capped, keys, "left")
+            .join(q40, keys, "left")
             .select(*keys, "cnt",
                     F.coalesce("mix_kept", F.lit(0)).alias("mix_kept"),
-                    F.coalesce("cap_kept", F.lit(0)).alias("cap_kept")))
+                    F.coalesce("cap_kept", F.lit(0)).alias("cap_kept"),
+                    F.coalesce("q40_kept", F.lit(0)).alias("q40_kept")))
 
 
 # ----------------------------------------------------------------- joins

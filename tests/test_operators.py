@@ -1592,3 +1592,46 @@ def test_host_anchor_summary(spark):
     assert got == {"a.com": (3, 2, "news"),
                    "b.com": (2, 2, "y"),
                    "c.com": (1, 1, "only")}
+
+
+def test_top_fraction_gate_exact_with_ties(spark):
+    """Exact top-fraction selection on a finite score grid: keeps
+    exactly ceil(frac*N) rows when scores are distinct, keeps ALL
+    threshold ties otherwise, never under-selects; plan has no
+    corpus-grain global sort (the only window runs on the histogram)."""
+    from ocr_spark.operators.sampling import top_fraction_gate
+
+    # distinct scores 1..10, frac 0.3 -> threshold is 8, keep {8,9,10}
+    df = spark.createDataFrame([(i, float(i)) for i in range(1, 11)],
+                               "id long, s double")
+    got = {r["id"]: r["kept"] for r in
+           top_fraction_gate(df, "s", 0.3).collect()}
+    assert got == {i: i >= 8 for i in range(1, 11)}
+
+    # ties at the threshold: scores [5,5,5,3,1], frac 0.4 -> target 2,
+    # cum at score 5 is 3 >= 2 -> all three 5s kept
+    tie = spark.createDataFrame(
+        [(1, 5.0), (2, 5.0), (3, 5.0), (4, 3.0), (5, 1.0)],
+        "id long, s double")
+    gt = {r["id"]: r["kept"] for r in
+          top_fraction_gate(tie, "s", 0.4).collect()}
+    assert gt == {1: True, 2: True, 3: True, 4: False, 5: False}
+
+    # frac=1.0 keeps everything
+    assert all(r["kept"] for r in
+               top_fraction_gate(tie, "s", 1.0).collect())
+
+    # exact python mirror on the real table's quality grid
+    from ocr_spark.operators.textstats import quality_expr
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    q = d.select("doc_id", quality_expr(F.col("text")).alias("q"))
+    kept_ids = {r["doc_id"] for r in
+                top_fraction_gate(q, "q", 0.4).collect() if r["kept"]}
+    rows = sorted(((r["q"], r["doc_id"]) for r in q.collect()),
+                  reverse=True)
+    import math
+    target = math.ceil(0.4 * len(rows))
+    thr = rows[target - 1][0]
+    exp_ids = {i for s, i in rows if s >= thr}
+    assert kept_ids == exp_ids
+    assert len(kept_ids) >= target
