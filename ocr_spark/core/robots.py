@@ -1,0 +1,89 @@
+"""robots.txt parsing + rule evaluation — from scratch, RFC 9309 core.
+
+The crawl-side gate of a web corpus: before a page enters the training
+pool, its URL must be allowed by the host's robots.txt for the crawler's
+user-agent (the reference repo's pipeline assumes pre-crawled inputs;
+a corpus engine replaying WARC captures needs the gate itself).
+
+Scope (the subset real crawlers agree on): grouped `User-agent` lines
+select the most specific group (exact product-token match beats `*`;
+multiple agents may share one group), `Allow`/`Disallow` prefix rules,
+longest-prefix-match wins at evaluation, allow wins a same-length tie
+(Google's published tie-break), empty `Disallow:` means allow-all, and
+an unmatched URL defaults to allowed. `$`/`*` wildcards are out of
+scope and documented as such (treated literally). Total: malformed
+input never raises.
+"""
+
+from __future__ import annotations
+
+
+def parse_robots(text: str, agent: str = "*") -> list[tuple[str, bool]]:
+    """(path_prefix, allow) rules of the group that applies to
+    ``agent``. Group selection: the group whose user-agent token is the
+    longest case-insensitive substring-token match of ``agent`` wins;
+    `*` groups apply only when nothing more specific matched. Returns
+    [] (allow everything) when no group applies or input is empty.
+    """
+    if not text:
+        return []
+    agent_l = agent.lower()
+    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+    cur_agents: list[str] = []
+    cur_rules: list[tuple[str, bool]] = []
+    seen_rule = False
+
+    def flush() -> None:
+        nonlocal cur_agents, cur_rules, seen_rule
+        if cur_agents:
+            groups.append((cur_agents, cur_rules))
+        cur_agents, cur_rules, seen_rule = [], [], False
+
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if seen_rule:
+                flush()
+            cur_agents.append(val.lower())
+        elif key in ("allow", "disallow"):
+            seen_rule = True
+            if key == "disallow" and val == "":
+                # "Disallow:" (empty) = no restriction; keep as a
+                # zero-length allow so the group still exists
+                cur_rules.append(("", True))
+            elif val:
+                cur_rules.append((val, key == "allow"))
+        # other keys (crawl-delay, sitemap, ...) are ignored
+    flush()
+
+    best: list[tuple[str, bool]] | None = None
+    best_len = -1
+    star: list[tuple[str, bool]] | None = None
+    for agents, rules in groups:
+        for a in agents:
+            if a == "*":
+                if star is None:
+                    star = rules
+            elif a and a in agent_l and len(a) > best_len:
+                best, best_len = rules, len(a)
+    if best is not None:
+        return best
+    return star if star is not None else []
+
+
+def robots_allows(rules: list[tuple[str, bool]], path: str) -> bool:
+    """Longest-prefix-match evaluation; allow wins same-length ties;
+    no matching rule means allowed."""
+    verdict = True
+    match_len = -1
+    for prefix, allow in rules:
+        if path.startswith(prefix):
+            plen = len(prefix)
+            if plen > match_len or (plen == match_len and allow):
+                verdict, match_len = allow, plen
+    return verdict

@@ -116,3 +116,42 @@ def dedup_latest_capture(df: DataFrame, url_col: str, ts_col: str,
             .agg(F.max_by("_id", F.struct("_ts", "_id")).alias("keeper_id"),
                  F.max("_ts").alias("latest_ts"),
                  F.count("*").alias("n_captures")))
+
+
+def url_path(url: Column) -> Column:
+    """Path component of an absolute URL ('/' when absent) — mirrors
+    the oracle regex character-for-character."""
+    p = F.regexp_extract(url, "^[a-z+.-]+://[^/]*(/.*)$", 1)
+    return F.when(p == "", "/").otherwise(p)
+
+
+def apply_robots(df: DataFrame, id_col: str, url_col: str,
+                 rules: DataFrame) -> DataFrame:
+    """Gate URLs by robots.txt rules (RFC 9309 evaluation; rule texts
+    come from ``core/robots.parse_robots`` at crawl time): ``rules`` is
+    a (host, prefix, allow) table; verdict per URL = the longest
+    matching prefix on its host, allow wins a same-length tie, no match
+    means allowed. Returns (id, robots_ok boolean).
+
+    Scale shape (100 TB): a robots rule set is per-host and tiny
+    relative to the corpus — explicitly broadcast; the match is one
+    BroadcastHashJoin on host with the prefix test as a residual
+    condition, and the longest-match argmax is ONE partial-aggregated
+    struct max per URL (prefix-length, allow) — no window, no per-URL
+    Python.
+    """
+    from ocr_spark.functions.bucketing import host_of
+
+    u = df.select(F.col(id_col),
+                  host_of(F.col(url_col)).alias("_h"),
+                  url_path(F.col(url_col)).alias("_p"))
+    j = u.join(F.broadcast(rules),
+               (F.col("_h") == rules["host"])
+               & F.col("_p").startswith(rules["prefix"]), "left")
+    m = F.when(F.col("prefix").isNotNull(),
+               F.struct(F.length("prefix").alias("l"),
+                        F.col("allow").alias("allow")))
+    return (j.groupBy(id_col).agg(F.max(m).alias("_m"))
+            .select(F.col(id_col),
+                    F.coalesce(F.col("_m.allow"), F.lit(True))
+                    .alias("robots_ok")))

@@ -111,7 +111,23 @@ def _documents_enriched_sql():
         "tp AS (SELECT eh, a, ROW_NUMBER() OVER (PARTITION BY eh "
         "ORDER BY cnt DESC, a DESC) AS rn FROM ac), "
         "ti AS (SELECT eh, CAST(sum(cnt) AS BIGINT) AS n_in "
-        "FROM ac GROUP BY 1) "
+        "FROM ac GROUP BY 1), "
+        # robots model: per-host '/de' disallow with '/de/page-1' allow
+        # override; longest prefix wins, allow wins a same-length tie
+        "rb AS (SELECT rhost, prefix, allow FROM "
+        "(SELECT DISTINCT lower(source) || '.example.com' AS rhost "
+        "FROM documents) "
+        "CROSS JOIN (VALUES ('/de', false), ('/de/page-1', true)) "
+        "rr(prefix, allow)), "
+        "pp AS (SELECT doc_id, lower(source) || '.example.com' AS chost, "
+        "COALESCE(NULLIF(regexp_extract(url_canon, "
+        "'^[a-z+.-]+://[^/]*(/.*)$', 1), ''), '/') AS pth FROM c), "
+        "rm AS (SELECT pp.doc_id, rb.prefix, rb.allow FROM pp "
+        "JOIN rb ON rb.rhost = pp.chost "
+        "AND starts_with(pp.pth, rb.prefix)), "
+        "rv AS (SELECT doc_id, allow, ROW_NUMBER() OVER (PARTITION BY "
+        "doc_id ORDER BY length(prefix) DESC, allow DESC) AS rn "
+        "FROM rm) "
         "SELECT doc_id, lang, source, n_chars, "
         "concat(lang, ':', reverse(substr(text, 1, 20))) AS tag, "
         "length(trim(text)) AS n_trim, "
@@ -125,7 +141,10 @@ def _documents_enriched_sql():
         "ROUND((SELECT pr FROM p3 WHERE p3.h = c.eh), 6) AS ext_pr3, "
         "(SELECT a FROM tp WHERE tp.eh = c.eh AND rn = 1) "
         "AS ext_top_anchor, "
-        "(SELECT n_in FROM ti WHERE ti.eh = c.eh) AS ext_n_inbound "
+        "(SELECT n_in FROM ti WHERE ti.eh = c.eh) AS ext_n_inbound, "
+        "CAST(COALESCE((SELECT allow FROM rv "
+        "WHERE rv.doc_id = c.doc_id AND rn = 1), TRUE) AS INT) "
+        "AS robots_ok "
         "FROM c")
 
 
@@ -146,11 +165,16 @@ def _documents_enriched_sql():
    "text pointing at the doc's external host, tie -> lexicographically "
    "last; ext_n_inbound = that host's inbound link count; anchor "
    "EXTRACTION from real HTML is verified by extract_html_roundtrip's "
-   "anchors_csv, this verifies the host-grain aggregation)")
+   "anchors_csv, this verifies the host-grain aggregation). Late fold: "
+   "robots.txt gating (apply_robots, RFC 9309 longest-prefix-match "
+   "with allow-wins-tie over a broadcast per-host rule table; rule "
+   "PARSING from robots.txt text is core/robots.py, pytest-covered — "
+   "robots_ok verifies the distributed evaluation: '/de' disallow + "
+   "'/de/page-1' allow override per host)")
 def documents_enriched(spark, sf):
     from ocr_spark.functions.bucketing import host_of
     from ocr_spark.operators.urls import (
-        canonicalize_url, dedup_latest_capture)
+        apply_robots, canonicalize_url, dedup_latest_capture)
     from ocr_spark.operators.weblinks import (
         host_anchor_summary, host_pagerank)
     d = load(spark, sf, "documents").withColumn("url", _url_expr())
@@ -179,6 +203,14 @@ def documents_enriched(spark, sf):
         F.concat(F.lit("more-"),
                  (F.col("doc_id") % 9).cast("string")).alias("anchor")))
     asum = host_anchor_summary(anchors, "ext_host", "anchor")
+    rules = (d.select(F.concat(F.lower("source"), F.lit(".example.com"))
+                      .alias("host")).distinct()
+             .crossJoin(spark.createDataFrame(
+                 [("/de", False), ("/de/page-1", True)],
+                 "prefix string, allow boolean")))
+    robots = apply_robots(
+        d.select("doc_id", canonicalize_url(F.col("url")).alias("_uc")),
+        "doc_id", "_uc", rules)
     return (enriched.join(keepers.select("url_canon", "keeper_id"),
                           "url_canon")
             .withColumn("is_latest",
@@ -189,6 +221,9 @@ def documents_enriched(spark, sf):
             .join(F.broadcast(asum.select(
                 "ext_host", F.col("top_anchor").alias("ext_top_anchor"),
                 F.col("n_inbound").alias("ext_n_inbound"))), "ext_host")
+            .join(robots.select(
+                "doc_id", F.col("robots_ok").cast("int")
+                .alias("robots_ok")), "doc_id")
             .drop("keeper_id", "ext_host", "pr"))
 
 

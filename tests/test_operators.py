@@ -1635,3 +1635,70 @@ def test_top_fraction_gate_exact_with_ties(spark):
     exp_ids = {i for s, i in rows if s >= thr}
     assert kept_ids == exp_ids
     assert len(kept_ids) >= target
+
+
+def test_parse_robots_groups_and_eval():
+    """robots.txt parsing: group selection (specific agent beats *),
+    multi-agent groups, empty Disallow, comments/garbage total; and
+    longest-prefix/allow-tie evaluation."""
+    from ocr_spark.core.robots import parse_robots, robots_allows
+
+    txt = ("# crawler policy\n"
+           "User-agent: googlebot\n"
+           "Disallow: /private\n"
+           "Allow: /private/ok\n"
+           "\n"
+           "User-agent: abot\n"
+           "User-agent: bbot\n"
+           "Disallow: /b\n"
+           "\n"
+           "User-agent: *\n"
+           "Disallow: /tmp\n"
+           "Allow: /tmp/keep\n"
+           "Disallow:\n")
+    g = parse_robots(txt, "Googlebot/2.1")
+    assert g == [("/private", False), ("/private/ok", True)]
+    assert robots_allows(g, "/private/x") is False
+    assert robots_allows(g, "/private/ok/y") is True
+    assert robots_allows(g, "/anything") is True
+    # multi-agent group shared; star fallback for unknown agents
+    assert parse_robots(txt, "bbot") == [("/b", False)]
+    s = parse_robots(txt, "unknown")
+    assert ("/tmp", False) in s and ("", True) in s
+    assert robots_allows(s, "/tmp/keep/z") is True
+    assert robots_allows(s, "/tmp/x") is False
+    # total on garbage / empty; allow wins same-length tie
+    assert parse_robots("no colons here\n:::", "x") == []
+    assert robots_allows([], "/a") is True
+    assert robots_allows([("/a", False), ("/a", True)], "/a/b") is True
+
+
+def test_apply_robots_matches_python_mirror(spark):
+    """Distributed robots evaluation vs robots_allows on every URL:
+    longest match, allow-tie, unmatched-host default, no-path URL."""
+    from ocr_spark.core.robots import robots_allows
+    from ocr_spark.operators.urls import apply_robots
+
+    rules_py = {"a.com": [("/x", False), ("/x/ok", True), ("/x", True)],
+                "b.com": [("/", False)]}
+    rules = spark.createDataFrame(
+        [(h, p, a) for h, rs in rules_py.items() for p, a in rs],
+        "host string, prefix string, allow boolean")
+    urls = [(1, "https://a.com/x/deep"), (2, "https://a.com/x/ok/f"),
+            (3, "https://a.com/free"), (4, "https://b.com/any"),
+            (5, "https://c.com/x"), (6, "https://a.com")]
+    df = spark.createDataFrame(urls, "id long, url string")
+    got = {r["id"]: r["robots_ok"] for r in
+           apply_robots(df, "id", "url", rules).collect()}
+
+    def path_of(u):
+        i = u.find("/", u.find("://") + 3)
+        return u[i:] if i >= 0 else "/"
+
+    exp = {i: robots_allows(rules_py.get(
+        u.split("://")[1].split("/")[0], []), path_of(u))
+        for i, u in urls}
+    assert got == exp
+    assert got[1] is True   # same-length tie at /x -> allow wins
+    assert got[5] is True   # unknown host -> allowed
+    assert got[4] is False
