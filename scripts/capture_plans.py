@@ -139,7 +139,13 @@ CHECKS = {
         "and its 3 iterations rejoin the doc stream via "
         "BroadcastExchange — the doc-grain path shuffles once for the "
         "canonical-url group and once to rejoin keepers, both "
-        "id+url-sized."),
+        "id+url-sized. Late folds keep that shape: the inbound-anchor "
+        "summary is host-grain (two partial-aggregated groupBys over "
+        "(host, anchor) rows) and rejoins via BroadcastExchange like "
+        "PageRank; the robots verdict is one BroadcastHashJoin of the "
+        "tiny per-host rule table (prefix test as residual condition) "
+        "+ one partial-aggregated struct-max keyed by doc_id — no new "
+        "corpus-grain shuffle carries more than ids + small values."),
     "sim_ivf_assign_histogram": (
         "SemDeDup fold: the (id, vector, cell) working set is assigned "
         "ONCE — one ArrowEvalPython over the BROADCAST centroid matrix "
