@@ -75,6 +75,39 @@ def cap_per_source(df: DataFrame, id_col: str, source_col: str,
             .where((h % PPM) < keep_ppm).drop("_src_cnt"))
 
 
+def _lm_model(counts: DataFrame, tag: str):
+    """Broadcastable lookup sides of one LM: tagged bigram counts,
+    context counts, and the 1-row vocab-size scalar."""
+    bc = counts.select(F.col("w1"), F.col("w2"),
+                       F.col("c12").alias(f"_c12{tag}"))
+    cc = counts.groupBy("w1").agg(F.sum("c12").alias(f"_c1{tag}"))
+    v = counts.select(F.explode(F.array("w1", "w2")).alias("w")).agg(
+        F.countDistinct("w").alias(f"_vs{tag}"))
+    return bc, cc, v
+
+
+def _lm_logp(tag: str, k: float):
+    return F.log(
+        (F.coalesce(F.col(f"_c12{tag}"), F.lit(0)) + F.lit(k))
+        / (F.coalesce(F.col(f"_c1{tag}"), F.lit(0))
+           + F.lit(k) * F.col(f"_vs{tag}")))
+
+
+def _lm_scored_bigrams(df: DataFrame, id_col: str, text_col: str,
+                       models: dict[str, DataFrame]):
+    """ONE narrow bigram explode joined against every model's broadcast
+    lookups — the shared scoring spine of dsir_weights/lm_ppl_and_dsir."""
+    from ocr_spark.operators.textstats import _bigrams
+
+    j = _bigrams(df, id_col, text_col)
+    for tag, counts in models.items():
+        bc, cc, v = _lm_model(counts, tag)
+        j = (j.join(F.broadcast(bc), ["w1", "w2"], "left")
+             .join(F.broadcast(cc), "w1", "left")
+             .join(F.broadcast(v)))
+    return j
+
+
 def dsir_weights(df: DataFrame, id_col: str, text_col: str,
                  target_counts: DataFrame, raw_counts: DataFrame,
                  k: float = 0.5) -> DataFrame:
@@ -97,36 +130,34 @@ def dsir_weights(df: DataFrame, id_col: str, text_col: str,
     the explode and the shuffle for no reason; document text never
     crosses an Exchange either way.
     """
-    from ocr_spark.operators.textstats import _bigrams
-
-    def _model(counts: DataFrame, tag: str):
-        bc = counts.select(F.col("w1"), F.col("w2"),
-                           F.col("c12").alias(f"_c12{tag}"))
-        cc = counts.groupBy("w1").agg(F.sum("c12").alias(f"_c1{tag}"))
-        v = counts.select(F.explode(F.array("w1", "w2")).alias("w")).agg(
-            F.countDistinct("w").alias(f"_vs{tag}"))
-        return bc, cc, v
-
-    tbc, tcc, tv = _model(target_counts, "t")
-    rbc, rcc, rv = _model(raw_counts, "r")
-
-    def _logp(tag: str):
-        return F.log(
-            (F.coalesce(F.col(f"_c12{tag}"), F.lit(0)) + F.lit(k))
-            / (F.coalesce(F.col(f"_c1{tag}"), F.lit(0))
-               + F.lit(k) * F.col(f"_vs{tag}")))
-
-    per_doc = (_bigrams(df, id_col, text_col)
-               .join(F.broadcast(tbc), ["w1", "w2"], "left")
-               .join(F.broadcast(tcc), "w1", "left")
-               .join(F.broadcast(rbc), ["w1", "w2"], "left")
-               .join(F.broadcast(rcc), "w1", "left")
-               .join(F.broadcast(tv)).join(F.broadcast(rv))
-               .groupBy(id_col)
-               .agg(F.avg(_logp("t") - _logp("r")).alias("_d")))
+    j = _lm_scored_bigrams(df, id_col, text_col,
+                           {"t": target_counts, "r": raw_counts})
+    per_doc = j.groupBy(id_col).agg(
+        F.avg(_lm_logp("t", k) - _lm_logp("r", k)).alias("_d"))
     return (df.select(F.col(id_col)).join(per_doc, id_col, "left")
             .select(F.col(id_col),
                     F.round(F.exp(F.col("_d")), 4).alias("dsir_w")))
+
+
+def lm_ppl_and_dsir(df: DataFrame, id_col: str, text_col: str,
+                    raw_counts: DataFrame, target_counts: DataFrame,
+                    k: float = 0.5) -> DataFrame:
+    """Fused scoring pass: CCNet perplexity under the raw LM AND the
+    DSIR target/raw importance weight from ONE bigram explode — both
+    LMs are broadcast lookups on the same rows, so running
+    ``lm_perplexity`` and ``dsir_weights`` separately would double the
+    corpus explode and the per-doc shuffle for values this computes
+    identically (same per-row terms, same aggregates). Returns
+    (id, ppl, dsir_w); <2-word docs get NULLs.
+    """
+    j = _lm_scored_bigrams(df, id_col, text_col,
+                           {"t": target_counts, "r": raw_counts})
+    lr = _lm_logp("r", k)
+    per_doc = j.groupBy(id_col).agg(
+        F.round(F.exp(-F.avg(lr)), 4).alias("ppl"),
+        F.round(F.exp(F.avg(_lm_logp("t", k) - lr)), 4).alias("dsir_w"))
+    return (df.select(F.col(id_col)).join(per_doc, id_col, "left")
+            .select(F.col(id_col), F.col("ppl"), F.col("dsir_w")))
 
 
 def top_fraction_gate(df: DataFrame, score_col: str,

@@ -139,17 +139,15 @@ def _lang_sql() -> str:
 def lang_id_q(spark, sf):
     from pyspark.sql import functions as F
 
-    from ocr_spark.operators.sampling import dsir_weights
+    from ocr_spark.operators.sampling import lm_ppl_and_dsir
     d = load(spark, sf, "documents")
     lm = T.fit_bigram_lm(d, "doc_id", "text").persist()
     tlm = T.fit_bigram_lm(d.where(F.col("lang") == "en"),
                           "doc_id", "text").persist()
-    ppl = T.lm_perplexity(d, "doc_id", "text", lm, k=LM_K)
-    dsir = dsir_weights(d, "doc_id", "text", tlm, lm, k=LM_K)
+    scores = lm_ppl_and_dsir(d, "doc_id", "text", lm, tlm, k=LM_K)
     per_doc = (d.select("doc_id", T.lang_id(F.col("text"))
                         .alias("pred_lang"))
-               .join(ppl, "doc_id", "left")
-               .join(dsir, "doc_id", "left"))
+               .join(scores, "doc_id", "left"))
     return per_doc.groupBy("pred_lang").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.round(F.avg("ppl"), 4).alias("avg_ppl"),

@@ -164,18 +164,17 @@ CHECKS = {
         "prunes the vector column (check the left Sort's schema: "
         "vec_id + centroid only)."),
     "text_lang_id": (
-        "bigram-LM perplexity + DSIR fold: every trained LM stays a "
-        "TABLE — all probability lookups (raw-LM ppl, and DSIR's "
-        "target+raw pairs) arrive via BroadcastExchange into "
-        "BroadcastHashJoins under narrow (id, w1, w2) explodes (no "
-        "count literals in the expression tree; the log-prob/log-ratio "
-        "arithmetic is whole-stage codegen, no UDF); each per-doc mean "
-        "is ONE partial-aggregated Exchange carrying (id, double) "
-        "pairs; the two training subtrees are each one explode + ONE "
+        "bigram-LM perplexity + DSIR fold, FUSED: ONE narrow "
+        "(id, w1, w2) explode scores both models (lm_ppl_and_dsir) — "
+        "every trained LM stays a TABLE arriving via BroadcastExchange "
+        "into BroadcastHashJoins (no count literals; the "
+        "log-prob/log-ratio arithmetic is whole-stage codegen, no "
+        "UDF), and BOTH per-doc aggregates (ppl + dsir) ride the SAME "
+        "single partial-aggregated Exchange carrying (id, double, "
+        "double); the two training subtrees are each one explode + ONE "
         "partial-aggregated groupBy bounded by distinct-bigram count, "
-        "and the raw LM is persisted so its training runs once for its "
-        "two consumers (ppl + DSIR denominator, InMemoryTableScan) — "
-        "document text never crosses an Exchange anywhere."),
+        "both persisted (InMemoryTableScan) — document text never "
+        "crosses an Exchange anywhere."),
     "dedup_components_star_round": (
         "ONE large-star/small-star round (the per-iteration unit of the "
         "registered dedup_cluster_components query): state is the EDGE "

@@ -1702,3 +1702,22 @@ def test_apply_robots_matches_python_mirror(spark):
     assert got[1] is True   # same-length tie at /x -> allow wins
     assert got[5] is True   # unknown host -> allowed
     assert got[4] is False
+
+
+def test_lm_fused_scoring_equals_separate_ops(spark):
+    """lm_ppl_and_dsir (one explode, both LMs) returns exactly what
+    lm_perplexity + dsir_weights compute separately."""
+    from ocr_spark.operators.sampling import dsir_weights, lm_ppl_and_dsir
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lm = T.fit_bigram_lm(d, "doc_id", "text")
+    tlm = T.fit_bigram_lm(d.where(F.col("lang") == "en"),
+                          "doc_id", "text")
+    fused = {r["doc_id"]: (r["ppl"], r["dsir_w"]) for r in
+             lm_ppl_and_dsir(d, "doc_id", "text", lm, tlm).collect()}
+    ppl = {r["doc_id"]: r["ppl"] for r in
+           T.lm_perplexity(d, "doc_id", "text", lm).collect()}
+    dsir = {r["doc_id"]: r["dsir_w"] for r in
+            dsir_weights(d, "doc_id", "text", tlm, lm).collect()}
+    assert fused == {i: (ppl[i], dsir[i]) for i in ppl}
+    assert any(v[0] is not None for v in fused.values())
