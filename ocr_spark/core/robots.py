@@ -61,19 +61,24 @@ def parse_robots(text: str, agent: str = "*") -> list[tuple[str, bool]]:
         # other keys (crawl-delay, sitemap, ...) are ignored
     flush()
 
-    best: list[tuple[str, bool]] | None = None
+    # RFC 9309 §2.2.1: ALL groups matching the chosen user-agent merge
+    # into one rule set (a file may repeat "User-agent: x" headers).
     best_len = -1
-    star: list[tuple[str, bool]] | None = None
-    for agents, rules in groups:
+    for agents, _ in groups:
         for a in agents:
-            if a == "*":
-                if star is None:
-                    star = rules
-            elif a and a in agent_l and len(a) > best_len:
-                best, best_len = rules, len(a)
-    if best is not None:
-        return best
-    return star if star is not None else []
+            if a != "*" and a and a in agent_l and len(a) > best_len:
+                best_len = len(a)
+    merged: list[tuple[str, bool]] = []
+    if best_len >= 0:
+        for agents, rules in groups:
+            if any(a != "*" and a and a in agent_l and len(a) == best_len
+                   for a in agents):
+                merged.extend(rules)
+        return merged
+    for agents, rules in groups:
+        if "*" in agents:
+            merged.extend(rules)
+    return merged
 
 
 def robots_allows(rules: list[tuple[str, bool]], path: str) -> bool:

@@ -140,15 +140,17 @@ def dsir_weights(df: DataFrame, id_col: str, text_col: str,
 
 
 def lm_ppl_and_dsir(df: DataFrame, id_col: str, text_col: str,
-                    raw_counts: DataFrame, target_counts: DataFrame,
+                    target_counts: DataFrame, raw_counts: DataFrame,
                     k: float = 0.5) -> DataFrame:
-    """Fused scoring pass: CCNet perplexity under the raw LM AND the
+    """Fused scoring pass: CCNet perplexity under the RAW LM AND the
     DSIR target/raw importance weight from ONE bigram explode — both
     LMs are broadcast lookups on the same rows, so running
     ``lm_perplexity`` and ``dsir_weights`` separately would double the
     corpus explode and the per-doc shuffle for values this computes
-    identically (same per-row terms, same aggregates). Returns
-    (id, ppl, dsir_w); <2-word docs get NULLs.
+    identically (same per-row terms, same aggregates). Model order is
+    (target, raw) — IDENTICAL to ``dsir_weights``, so migrating callers
+    can keep their argument list. Returns (id, ppl, dsir_w); <2-word
+    docs get NULLs.
     """
     j = _lm_scored_bigrams(df, id_col, text_col,
                            {"t": target_counts, "r": raw_counts})
@@ -183,6 +185,8 @@ def top_fraction_gate(df: DataFrame, score_col: str,
     1-row broadcast. Same device as the shard-packing prefix sum:
     move the ordering problem onto a small deterministic domain.
     """
+    if frac <= 0:
+        return df.withColumn("kept", F.lit(False))
     s = F.col(score_col)
     hist = df.groupBy(score_col).agg(F.count(F.lit(1)).alias("_c"))
     n = df.agg(F.count(F.lit(1)).alias("_n"))
@@ -193,6 +197,9 @@ def top_fraction_gate(df: DataFrame, score_col: str,
     thr = (cum.join(F.broadcast(n))
            .where(F.col("_cum") >= F.ceil(F.lit(frac) * F.col("_n")))
            .agg(F.max(s).alias("_thr")))
+    # coalesce keeps `kept` a TOTAL boolean when the threshold is NULL
+    # (empty input) — consumers never see a tri-state column
     return (df.join(F.broadcast(thr))
-            .withColumn("kept", s >= F.col("_thr"))
+            .withColumn("kept", F.coalesce(s >= F.col("_thr"),
+                                           F.lit(False)))
             .drop("_thr"))

@@ -380,6 +380,20 @@ def chunk_documents(df: DataFrame, id_col: str, text_col: str,
             .withColumn("n_tokens", F.size(words_of(F.col("chunk_text")))))
 
 
+def _word_doc_counts(df: DataFrame, id_col: str,
+                     text_col: str) -> DataFrame:
+    """(word, id, _c_dw) — the shared (word, doc) grain both TF-IDF
+    views consume. One helper so every consumer builds the IDENTICAL
+    subtree: Spark's ReuseExchange then evaluates the explode +
+    partial-agg shuffle once per query even when the DataFrame is
+    referenced twice (differently-ordered grouping keys would defeat
+    the reuse and silently double the corpus explode)."""
+    return (df.select(F.col(id_col),
+                      F.explode(words_of(F.col(text_col))).alias("word"))
+            .groupBy("word", id_col)
+            .agg(F.count(F.lit(1)).alias("_c_dw")))
+
+
 def tf_idf_word_stats(df: DataFrame, id_col: str, text_col: str
                       ) -> DataFrame:
     """Corpus TF-IDF statistics at word grain (Sparck Jones 1972; the
@@ -395,10 +409,7 @@ def tf_idf_word_stats(df: DataFrame, id_col: str, text_col: str
     the corpus doc count rides along as a 1-row broadcast scalar. Text
     never crosses an Exchange; both shuffles carry (word[, id], long).
     """
-    dw = (df.select(F.col(id_col),
-                    F.explode(words_of(F.col(text_col))).alias("word"))
-          .groupBy("word", id_col)
-          .agg(F.count(F.lit(1)).alias("_c_dw")))
+    dw = _word_doc_counts(df, id_col, text_col)
     ws = dw.groupBy("word").agg(
         F.sum("_c_dw").alias("cnt"),
         F.count(F.lit(1)).alias("doc_freq"),
@@ -423,11 +434,13 @@ def tfidf_top_term(df: DataFrame, id_col: str, text_col: str
     shuffled against it; the per-doc argmax is ONE partial-aggregated
     max of a small struct.
     """
-    dw = (df.select(F.col(id_col),
-                    F.explode(words_of(F.col(text_col))).alias("word"))
-          .groupBy(id_col, "word")
-          .agg(F.count(F.lit(1)).alias("_c_dw")))
-    idf = tf_idf_word_stats(df, id_col, text_col).select("word", "idf")
+    dw = _word_doc_counts(df, id_col, text_col)
+    n = df.agg(F.count(F.lit(1)).alias("_nd"))
+    idf = (dw.groupBy("word").agg(F.count(F.lit(1)).alias("doc_freq"))
+           .join(F.broadcast(n))
+           .select("word", F.round(F.log(F.col("_nd")
+                                         / F.col("doc_freq")), 4)
+                   .alias("idf")))
     return (dw.join(F.broadcast(idf), "word")
             .select(F.col(id_col),
                     F.struct(F.round(F.col("_c_dw") * F.col("idf"), 4)

@@ -120,8 +120,11 @@ def dedup_latest_capture(df: DataFrame, url_col: str, ts_col: str,
 
 def url_path(url: Column) -> Column:
     """Path component of an absolute URL ('/' when absent) — mirrors
-    the oracle regex character-for-character."""
-    p = F.regexp_extract(url, "^[a-z+.-]+://[^/]*(/.*)$", 1)
+    the oracle regex character-for-character. Scheme match is
+    case-insensitive (raw captures carry 'HTTPS://...'; a
+    lowercase-only pattern would silently yield '/' and let disallowed
+    URLs through the robots gate)."""
+    p = F.regexp_extract(url, "^[A-Za-z+.-]+://[^/]*(/.*)$", 1)
     return F.when(p == "", "/").otherwise(p)
 
 

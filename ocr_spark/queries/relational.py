@@ -121,7 +121,7 @@ def _documents_enriched_sql():
         "rr(prefix, allow)), "
         "pp AS (SELECT doc_id, lower(source) || '.example.com' AS chost, "
         "COALESCE(NULLIF(regexp_extract(url_canon, "
-        "'^[a-z+.-]+://[^/]*(/.*)$', 1), ''), '/') AS pth FROM c), "
+        "'^[A-Za-z+.-]+://[^/]*(/.*)$', 1), ''), '/') AS pth FROM c), "
         "rm AS (SELECT pp.doc_id, rb.prefix, rb.allow FROM pp "
         "JOIN rb ON rb.rhost = pp.chost "
         "AND starts_with(pp.pth, rb.prefix)), "

@@ -141,10 +141,14 @@ def lang_id_q(spark, sf):
 
     from ocr_spark.operators.sampling import lm_ppl_and_dsir
     d = load(spark, sf, "documents")
+    # persist justified: each trained LM has THREE derived consumers in
+    # the fused scoring pass (bigram lookups, context sums, vocab
+    # scalar) — unpersisted, each re-runs the corpus-wide training agg.
+    # Size is bounded by distinct-bigram count (the pruned-LM contract).
     lm = T.fit_bigram_lm(d, "doc_id", "text").persist()
     tlm = T.fit_bigram_lm(d.where(F.col("lang") == "en"),
                           "doc_id", "text").persist()
-    scores = lm_ppl_and_dsir(d, "doc_id", "text", lm, tlm, k=LM_K)
+    scores = lm_ppl_and_dsir(d, "doc_id", "text", tlm, lm, k=LM_K)
     per_doc = (d.select("doc_id", T.lang_id(F.col("text"))
                         .alias("pred_lang"))
                .join(scores, "doc_id", "left"))

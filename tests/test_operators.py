@@ -1574,6 +1574,14 @@ def test_anchored_outlinks_total_and_ordered():
     assert [p[0] for p in got] == outlinks(h)
     assert anchored_outlinks("") == []
     assert anchored_outlinks("<p>no anchors</p>") == []
+    # block-level start tag auto-closes an open anchor (browser rule)
+    blk = anchored_outlinks('<a href="/x">link text<p>whole article '
+                            'body continues forever')
+    assert blk == [("/x", "link text")]
+    # page-sized anchor text is capped, not shipped
+    from ocr_spark.core.links import ANCHOR_TEXT_CAP
+    big = anchored_outlinks('<a href="/y">' + "w " * 10000)
+    assert len(big) == 1 and len(big[0][1]) <= ANCHOR_TEXT_CAP
 
 
 def test_host_anchor_summary(spark):
@@ -1617,9 +1625,18 @@ def test_top_fraction_gate_exact_with_ties(spark):
           top_fraction_gate(tie, "s", 0.4).collect()}
     assert gt == {1: True, 2: True, 3: True, 4: False, 5: False}
 
-    # frac=1.0 keeps everything
+    # frac=1.0 keeps everything; frac=0 keeps NOTHING; empty input
+    # yields a total boolean column, not NULLs
     assert all(r["kept"] for r in
                top_fraction_gate(tie, "s", 1.0).collect())
+    assert not any(r["kept"] for r in
+                   top_fraction_gate(tie, "s", 0.0).collect())
+    empty = spark.createDataFrame([], "id long, s double")
+    assert top_fraction_gate(empty, "s", 0.4).collect() == []
+    one = top_fraction_gate(
+        spark.createDataFrame([(1, None)], "id long, s double"),
+        "s", 0.4).collect()
+    assert one[0]["kept"] is False  # NULL score never kept
 
     # exact python mirror on the real table's quality grid
     from ocr_spark.operators.textstats import quality_expr
@@ -1671,6 +1688,15 @@ def test_parse_robots_groups_and_eval():
     assert parse_robots("no colons here\n:::", "x") == []
     assert robots_allows([], "/a") is True
     assert robots_allows([("/a", False), ("/a", True)], "/a/b") is True
+    # RFC 9309 group MERGE: repeated groups for the same agent combine
+    two_star = ("User-agent: *\nDisallow: /admin\n\n"
+                "User-agent: *\nDisallow: /private\n")
+    ms = parse_robots(two_star, "anybot")
+    assert ("/admin", False) in ms and ("/private", False) in ms
+    two_specific = ("User-agent: abot\nDisallow: /one\n\n"
+                    "User-agent: abot\nDisallow: /two\n")
+    m2 = parse_robots(two_specific, "abot")
+    assert ("/one", False) in m2 and ("/two", False) in m2
 
 
 def test_apply_robots_matches_python_mirror(spark):
@@ -1686,7 +1712,8 @@ def test_apply_robots_matches_python_mirror(spark):
         "host string, prefix string, allow boolean")
     urls = [(1, "https://a.com/x/deep"), (2, "https://a.com/x/ok/f"),
             (3, "https://a.com/free"), (4, "https://b.com/any"),
-            (5, "https://c.com/x"), (6, "https://a.com")]
+            (5, "https://c.com/x"), (6, "https://a.com"),
+            (7, "HTTPS://b.com/raw-capture")]  # raw uppercase scheme
     df = spark.createDataFrame(urls, "id long, url string")
     got = {r["id"]: r["robots_ok"] for r in
            apply_robots(df, "id", "url", rules).collect()}
@@ -1702,6 +1729,7 @@ def test_apply_robots_matches_python_mirror(spark):
     assert got[1] is True   # same-length tie at /x -> allow wins
     assert got[5] is True   # unknown host -> allowed
     assert got[4] is False
+    assert got[7] is False  # uppercase scheme must NOT bypass the gate
 
 
 def test_lm_fused_scoring_equals_separate_ops(spark):
@@ -1714,7 +1742,7 @@ def test_lm_fused_scoring_equals_separate_ops(spark):
     tlm = T.fit_bigram_lm(d.where(F.col("lang") == "en"),
                           "doc_id", "text")
     fused = {r["doc_id"]: (r["ppl"], r["dsir_w"]) for r in
-             lm_ppl_and_dsir(d, "doc_id", "text", lm, tlm).collect()}
+             lm_ppl_and_dsir(d, "doc_id", "text", tlm, lm).collect()}
     ppl = {r["doc_id"]: r["ppl"] for r in
            T.lm_perplexity(d, "doc_id", "text", lm).collect()}
     dsir = {r["doc_id"]: r["dsir_w"] for r in
