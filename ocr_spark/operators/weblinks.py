@@ -195,3 +195,19 @@ def host_anchor_summary(pairs: DataFrame, host_col: str,
                        F.col(anchor_col).alias("a"))).alias("_m"))
         .select(F.col(host_col), "n_inbound", "n_anchors",
                 F.col("_m.a").alias("top_anchor")))
+
+
+def sitemap_locs_udf(xml: Column) -> Column:
+    """array<struct<loc,lastmod>> per sitemap document (string column) —
+    page URLs for a <urlset>, child pointers for a <sitemapindex>.
+    One narrow Arrow UDF over the (tiny: <= 50k URLs / 50 MB by
+    protocol) sitemap bodies; the corpus-side join against discovered
+    URLs happens relationally afterwards."""
+    from ocr_spark.core.sitemap import sitemap_locs
+
+    @F.pandas_udf("array<struct<loc: string, lastmod: string>>")
+    def _locs(bodies: pd.Series) -> pd.Series:
+        return pd.Series([[] if b is None else sitemap_locs(b)
+                          for b in bodies])
+
+    return _locs(xml)

@@ -277,16 +277,44 @@ def events_enriched(spark, sf):
 
 
 @q("documents_rollup_metrics",
-   "SELECT source, lang, count(*) AS cnt, "
+   "WITH r AS (SELECT source, lang, count(*) AS cnt, "
    "ROUND(avg(n_chars), 4) AS avg_chars "
-   "FROM documents GROUP BY ROLLUP(source, lang)",
+   "FROM documents GROUP BY ROLLUP(source, lang)), "
+   "u AS (SELECT source, " + _URL_SQL + " AS url FROM documents), "
+   "sm AS (SELECT source, CAST(count(*) AS INT) AS n_sitemap_urls, "
+   "md5(string_agg(url, ',' ORDER BY url)) AS sitemap_md5 "
+   "FROM u GROUP BY source) "
+   "SELECT r.source, r.lang, r.cnt, r.avg_chars, "
+   "sm.n_sitemap_urls, sm.sitemap_md5 "
+   "FROM r LEFT JOIN sm ON r.source = sm.source",
    "composite: S2 labeled-source counts + A9 extraction-metrics shape + "
    "A10 ROLLUP grouping sets — per-(source, lang) metrics with subtotal "
-   "and grand-total rows")
+   "and grand-total rows. Late fold: sitemap discovery — a per-source "
+   "<urlset> is BUILT from the sorted doc URLs and parsed back by the "
+   "REAL from-scratch parser (core/sitemap.py over the streaming "
+   "tokenizer); sitemap_md5 pins every parsed <loc> string and their "
+   "order, the oracle reconstructs the same joined-URL digest without "
+   "parsing (NULL on the grand-total row)")
 def documents_rollup_metrics(spark, sf):
-    return (load(spark, sf, "documents").rollup("source", "lang")
+    from ocr_spark.operators.weblinks import sitemap_locs_udf
+    d = load(spark, sf, "documents")
+    base = (d.rollup("source", "lang")
             .agg(F.count(F.lit(1)).alias("cnt"),
                  F.round(F.avg("n_chars"), 4).alias("avg_chars")))
+    xml = d.select("source", _url_expr().alias("_u")).groupBy(
+        "source").agg(F.concat(
+            F.lit('<?xml version="1.0"?><urlset>'),
+            F.concat_ws("", F.transform(
+                F.array_sort(F.collect_list("_u")),
+                lambda u: F.concat(F.lit("<url><loc>"), u,
+                                   F.lit("</loc></url>")))),
+            F.lit("</urlset>")).alias("_xml"))
+    locs = F.transform(sitemap_locs_udf(F.col("_xml")),
+                       lambda e: e["loc"])
+    sm = xml.select(
+        "source", F.size(locs).cast("int").alias("n_sitemap_urls"),
+        F.md5(F.array_join(locs, ",")).alias("sitemap_md5"))
+    return base.join(F.broadcast(sm), "source", "left")
 
 
 @q("events_profile_by_type",

@@ -1749,3 +1749,32 @@ def test_lm_fused_scoring_equals_separate_ops(spark):
             dsir_weights(d, "doc_id", "text", tlm, lm).collect()}
     assert fused == {i: (ppl[i], dsir[i]) for i in ppl}
     assert any(v[0] is not None for v in fused.values())
+
+
+def test_sitemap_locs_total_and_entry_scoped():
+    """sitemap.xml parsing: urlset + sitemapindex shapes, lastmod
+    scoped to its OWN entry (an orphan lastmod never attaches to the
+    previous loc), whitespace-trimmed locs, raw entities, totality."""
+    from ocr_spark.core.sitemap import sitemap_locs
+
+    xml = ('<?xml version="1.0" encoding="UTF-8"?>\n'
+           '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+           '<url><loc>https://a.com/p1?x=1&y=2</loc>'
+           '<lastmod>2024-01-02</lastmod></url>'
+           '<url><loc>\n  https://a.com/p2\n</loc></url>'
+           '<url><lastmod>2024-09-09</lastmod></url>'  # orphan
+           '</urlset>')
+    assert sitemap_locs(xml) == [
+        ("https://a.com/p1?x=1&y=2", "2024-01-02"),
+        ("https://a.com/p2", None)]
+    idx = ('<sitemapindex><sitemap><loc>https://a.com/s1.xml</loc>'
+           '</sitemap><sitemap><lastmod>z</lastmod>'
+           '<loc>https://a.com/s2.xml</loc></sitemap></sitemapindex>')
+    assert sitemap_locs(idx) == [("https://a.com/s1.xml", None),
+                                 ("https://a.com/s2.xml", None)]
+    assert sitemap_locs("") == []
+    assert sitemap_locs("not xml <<< at all") == []
+    assert sitemap_locs("<loc></loc>") == []   # empty loc dropped
+    # bare loc without a wrapper still counts (lenient)
+    assert sitemap_locs("<loc>https://x/1</loc>") == [("https://x/1",
+                                                       None)]
