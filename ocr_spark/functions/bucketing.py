@@ -63,3 +63,51 @@ def salted_partition_key(
         is_hot, F.pmod(F.xxhash64(url), F.lit(salt_n)).cast("int")
     ).otherwise(F.lit(0))
     return bucket, salt
+
+
+def zorder_key(cols: list[Column], bits: int = 9) -> Column:
+    """Morton / Z-order key: interleave the low ``bits`` bits of each
+    (non-negative integer) column — the multi-column data-layout key
+    behind lakehouse OPTIMIZE ZORDER (Morton 1966; Delta/Iceberg use it
+    so per-file min/max statistics prune on EVERY clustered column, not
+    just the leading sort key). Pure codegen'd shift/mask arithmetic —
+    ``bits × n`` two-operator terms, no UDF — and bit-exactly
+    reproducible in the oracle engine (zorder_sql builds the same
+    expression string).
+    """
+    n = len(cols)
+    mask = (1 << bits) - 1
+    z: Column | None = None
+    for j, c in enumerate(cols):
+        v = c.cast("long").bitwiseAND(F.lit(mask))
+        for i in range(bits):
+            t = F.shiftleft(F.shiftright(v, i).bitwiseAND(F.lit(1)),
+                            i * n + j)
+            z = t if z is None else z + t
+    assert z is not None
+    return z.cast("long")
+
+
+def zorder_sql(exprs: list[str], bits: int = 9) -> str:
+    """The identical Z-order arithmetic as a SQL string (DuckDB `&`,
+    `>>`, `<<`) — keeps the oracle bit-exact with zorder_key."""
+    n = len(exprs)
+    mask = (1 << bits) - 1
+    terms = [f"((((({e}) & {mask}) >> {i}) & 1) << {i * n + j})"
+             for j, e in enumerate(exprs) for i in range(bits)]
+    return "CAST((" + " + ".join(terms) + ") AS BIGINT)"
+
+
+def zorder_layout(df: DataFrame, cols: list[str], n_files: int,
+                  bits: int = 9) -> DataFrame:
+    """Cluster a table for multi-column data skipping: range-partition
+    on the Z-order key, sort within partitions, one output file per
+    range. At 100 TB this is the write-side lever that turns min/max
+    file statistics into real scan pruning on every clustered column;
+    the range partitioner samples the key distribution, so skew in one
+    column cannot pile rows into one file the way a naive
+    partitionBy(col) would."""
+    z = zorder_key([F.col(c) for c in cols], bits)
+    return (df.withColumn("_z", z)
+            .repartitionByRange(n_files, "_z")
+            .sortWithinPartitions("_z"))

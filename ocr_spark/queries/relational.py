@@ -227,6 +227,15 @@ def documents_enriched(spark, sf):
             .drop("keeper_id", "ext_host", "pr"))
 
 
+def _z18_sql() -> str:
+    from ocr_spark.functions.bucketing import zorder_sql
+    return zorder_sql(["CAST(FLOOR(value) AS BIGINT)", "user_id"],
+                      bits=9)
+
+
+_Z18_SQL = _z18_sql()
+
+
 @q("events_enriched",
    "WITH g AS (SELECT max(value) AS mx, "
    "ROUND(avg(value) + stddev_samp(value) * 0.7, 6) AS thr FROM events) "
@@ -242,14 +251,20 @@ def documents_enriched(spark, sf):
    "(PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta, "
    "ROUND(value - min(value) OVER (PARTITION BY user_id), 4) AS rebased, "
    "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, "
-   "event_id DESC) AS rn "
+   "event_id DESC) AS rn, "
+   + _Z18_SQL + " AS z18 "
    "FROM events",
    "composite: F5 math family (dist/decile) + F6 clamp + F7 normalize + "
    "A3 normalize-by-max (scalar-subquery broadcast) + A5 adaptive "
    "mean+stddev threshold + P6 case classification + W3 gradient lag + "
    "W5 analytic rebase + W4 ranking window — one broadcast of the two "
-   "scalars, one window shuffle on user_id serving all three frames")
+   "scalars, one window shuffle on user_id serving all three frames. "
+   "Late fold: Z-order clustering key (z18 — Morton interleave of "
+   "floor(value) x user_id at 9 bits each, bit-exact in both engines; "
+   "the write-side layout op zorder_layout range-partitions + sorts on "
+   "it, pytest-verified disjoint per-file ranges)")
 def events_enriched(spark, sf):
+    from ocr_spark.functions.bucketing import zorder_key
     e = load(spark, sf, "events")
     g = e.agg(F.max("value").alias("mx"),
               F.round(F.avg("value") + F.stddev_samp("value") * 0.7, 6)
@@ -273,7 +288,9 @@ def events_enriched(spark, sf):
         F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
         F.round(F.col("value") - F.min("value").over(wmin), 4)
         .alias("rebased"),
-        F.row_number().over(wrank).alias("rn"))
+        F.row_number().over(wrank).alias("rn"),
+        zorder_key([F.floor(F.col("value")).cast("long"),
+                    F.col("user_id")], bits=9).alias("z18"))
 
 
 @q("documents_rollup_metrics",

@@ -1778,3 +1778,38 @@ def test_sitemap_locs_total_and_entry_scoped():
     # bare loc without a wrapper still counts (lenient)
     assert sitemap_locs("<loc>https://x/1</loc>") == [("https://x/1",
                                                        None)]
+
+
+def test_zorder_key_and_layout(spark):
+    """Morton key vs an exact python bit-interleave mirror, and
+    zorder_layout producing sorted, range-disjoint partitions."""
+    from ocr_spark.functions.bucketing import zorder_key, zorder_layout
+
+    def mirror(vals, bits=9):
+        n, mask, z = len(vals), (1 << 9) - 1, 0
+        for j, v in enumerate(vals):
+            v &= mask
+            for i in range(bits):
+                z += ((v >> i) & 1) << (i * n + j)
+        return z
+
+    rows = [(i, (i * 37) % 600, (i * 53) % 150) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    got = {r["id"]: r["z"] for r in df.select(
+        "id", zorder_key([F.col("a"), F.col("b")]).alias("z")).collect()}
+    assert got == {i: mirror([a, b]) for i, a, b in rows}
+    # locality property: interleaving bounds the key spread of a value
+    # box — two rows equal in both dims share the key exactly
+    assert mirror([5, 7]) == mirror([5 + 512, 7])  # mask applies
+
+    laid = zorder_layout(df, ["a", "b"], n_files=4)
+    parts = laid.select(F.spark_partition_id().alias("p"), "_z").collect()
+    by_p = {}
+    for r in parts:
+        by_p.setdefault(r["p"], []).append(r["_z"])
+    assert len(by_p) == 4
+    ranges = sorted((min(v), max(v)) for v in by_p.values())
+    for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # range-disjoint files -> min/max pruning works
+    for v in by_p.values():
+        assert v == sorted(v)  # sorted within partition
