@@ -343,14 +343,20 @@ def documents_rollup_metrics(spark, sf):
    "CAST(abs(approx_count_distinct(user_id) - count(DISTINCT user_id)) "
    "<= 0.1 * count(DISTINCT user_id) AS INT) AS approx_ok, "
    "ROUND(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) "
-   "AS avg_k "
+   "AS avg_k, "
+   "ROUND(median(value), 4) AS med, "
+   "CAST(abs(quantile_cont(value, 0.5) - median(value)) "
+   "<= greatest(0.05 * abs(median(value)), 1e-9) AS INT) AS p50_ok "
    "FROM events GROUP BY event_type",
    "composite: A2 profile sum + A7 conditional-agg share + A8 exact AND "
    "approx count-distinct + F8 JSON extraction, one hash agg. The approx "
    "contract is the ACCURACY BOUND (sketches differ per engine): each "
    "engine checks its OWN HLL within 10% of its exact count — both "
    "sketches are exercised (ADVICE r2 #5), the driver compares the "
-   "boolean")
+   "boolean. Late fold: exact interpolated median (med — VALUES "
+   "verified across engines) + p50_ok, the same bound contract for "
+   "percentile_approx: each engine checks its own sketch/estimator "
+   "against its own exact median within 5%")
 def events_profile_by_type(spark, sf):
     e = load(spark, sf, "events")
     k = F.get_json_object("props", "$.k").cast("double")
@@ -361,11 +367,18 @@ def events_profile_by_type(spark, sf):
         .alias("high_share"),
         F.countDistinct("user_id").alias("users_exact"),
         F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
-        F.round(F.avg(k), 4).alias("avg_k"))
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.median("value").alias("_med"),
+        F.percentile_approx("value", 0.5, 10000).alias("_p50a"))
     ok = (F.abs(F.col("_approx") - F.col("users_exact"))
           <= 0.1 * F.col("users_exact")).cast("int")
+    p50_ok = (F.abs(F.col("_p50a") - F.col("_med"))
+              <= F.greatest(0.05 * F.abs(F.col("_med")),
+                            F.lit(1e-9))).cast("int")
     return agg.select("event_type", "cnt", "ink", "high_share",
-                      "users_exact", ok.alias("approx_ok"), "avg_k")
+                      "users_exact", ok.alias("approx_ok"), "avg_k",
+                      F.round("_med", 4).alias("med"),
+                      p50_ok.alias("p50_ok"))
 
 
 @q("time_bucket_counts",
