@@ -380,6 +380,75 @@ def chunk_documents(df: DataFrame, id_col: str, text_col: str,
             .withColumn("n_tokens", F.size(words_of(F.col("chunk_text")))))
 
 
+C4_TERMINAL_PUNCT = (".", "!", "?", '"')
+
+
+def c4_line_filter(text: Column, min_words: int = 5) -> Column:
+    """C4-style line-grain structural filter (Raffel et al. 2020 §2.2,
+    the public rules behind the C4 corpus): keep a line iff it ends in
+    terminal punctuation (``. ! ? "``), has >= ``min_words`` words, and
+    does not mention 'javascript' (case-insensitive). Returns
+    ``struct(n_lines, n_kept, clean)`` where ``clean`` is the kept lines
+    re-joined by newline — C4's page-level "fewer than 3 sentences"
+    drop is then a predicate on ``n_kept`` downstream.
+
+    Pure higher-order array expressions (split/filter/array_join) — no
+    UDF, no shuffle, whole-stage codegen, narrow on the scan; the
+    oracle mirrors every rule in SQL.
+    """
+    lines = F.split(text, "\n", -1)
+
+    def _keep(line: Column) -> Column:
+        last = F.substring(F.trim(line), -1, 1)
+        return (last.isin(*C4_TERMINAL_PUNCT)
+                & (F.size(words_of(line)) >= min_words)
+                & ~F.contains(F.lower(line), F.lit("javascript")))
+
+    kept = F.filter(lines, _keep)
+    return F.struct(
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        F.array_join(kept, "\n").alias("clean"))
+
+
+def c4_page_flags(df: DataFrame, id_col: str, text_col: str,
+                  badwords: DataFrame) -> DataFrame:
+    """C4-style page-grain policy filters (Raffel et al. 2020 §2.2):
+    badword-blocklist hit count, 'lorem ipsum' placeholder flag, curly-
+    brace (code) flag, and the combined keep verdict ``c4_kept`` (no
+    badwords, no lorem, no brace).
+
+    ``badwords`` is a 1-column ``(word)`` DataFrame — the real C4 list
+    is ~400 entries, so it stays a broadcast TABLE, never an inlined
+    literal array (the IVF literal-centroid lesson; blocklists change
+    per deployment, plans must not embed them). Scale shape: one narrow
+    lowercased-word explode, one broadcast semi-shaped inner join, one
+    partial-aggregated per-doc count rejoined to the narrow flag scan —
+    document text never crosses an Exchange.
+    """
+    from ocr_spark.operators.util import spread_small_scan
+
+    t = F.col(text_col)
+    exploded = spread_small_scan(
+        df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col),
+        F.explode(words_of(F.lower(F.col(text_col)))).alias("word"))
+    counts = (exploded.join(F.broadcast(badwords), "word")
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("_nb")))
+    flags = df.select(
+        F.col(id_col),
+        F.contains(F.lower(t), F.lit("lorem ipsum")).alias("has_lorem"),
+        F.contains(t, F.lit("{")).alias("has_brace"))
+    nb = F.coalesce(F.col("_nb"), F.lit(0))
+    return (flags.join(counts, id_col, "left")
+            .select(F.col(id_col),
+                    nb.cast("int").alias("n_badwords"),
+                    F.col("has_lorem"), F.col("has_brace"),
+                    ((nb == 0) & ~F.col("has_lorem") & ~F.col("has_brace"))
+                    .alias("c4_kept")))
+
+
 def _word_doc_counts(df: DataFrame, id_col: str,
                      text_col: str) -> DataFrame:
     """(word, id, _c_dw) — the shared (word, doc) grain both TF-IDF

@@ -97,6 +97,18 @@ def _spark(spark, sf):
     # line-frequency + reassembly semantics in one query
     cleaned = dedup_repeated_lines(extracted, "url", "got")
     j = cleaned.join(golden, "url", "full_outer")
+    # C4 line-filter fold: the synth vocabulary carries no punctuation,
+    # so the terminal-punct / javascript rules would be vacuous on raw
+    # lines — enrich deterministically (md5-keyed suffixes, mirrored
+    # string-for-string by the oracle) so all three rules do real work.
+    from ocr_spark.operators.hashing import md5long
+    from ocr_spark.operators.textstats import c4_line_filter
+    enriched = F.array_join(F.transform(
+        F.split(F.col("got"), "\n", -1),
+        lambda l: F.when(md5long(l) % 3 == 0, F.concat(l, F.lit(".")))
+        .when(md5long(l) % 7 == 0, F.concat(l, F.lit(" javascript.")))
+        .otherwise(l)), "\n")
+    c4 = c4_line_filter(enriched)
     return j.select(
         "url",
         F.levenshtein(F.substring("got", 1, _LEV_PREFIX),
@@ -109,7 +121,9 @@ def _spark(spark, sf):
         F.when(F.col("expected").isNull(), 1).otherwise(0)
         .cast("int").alias("extra"),
         F.col("n_dup_lines").cast("int").alias("n_dup_lines"),
-        F.md5("clean_text").alias("clean_md5"))
+        F.md5("clean_text").alias("clean_md5"),
+        c4["n_kept"].cast("int").alias("c4_kept_lines"),
+        F.md5(c4["clean"]).alias("c4_md5"))
 
 
 def _oracle_sql() -> str:
@@ -117,7 +131,13 @@ def _oracle_sql() -> str:
     # nothing needs to exist at import time. Materialization happens in
     # the Spark fn and in __spark_entry__.oracle_sql() (whichever the
     # driver calls first).
+    from ocr_spark.operators.hashing import sql_md5long
     golden = os.path.join(FIXTURE_DIR, "golden.parquet")
+    h = sql_md5long("l")
+    c4_keep = (
+        "right(trim(l), 1) IN ('.', '!', '?', '\"') "
+        "AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 5 "
+        "AND NOT contains(lower(l), 'javascript')")
     return (
         # Line-dedup columns are recomputed INDEPENDENTLY from the golden
         # text (string-keyed line frequencies, string_agg reassembly) —
@@ -135,13 +155,24 @@ def _oracle_sql() -> str:
         "COALESCE(string_agg(l.line, chr(10) ORDER BY l.pos) "
         "FILTER (WHERE dh.tl IS NULL), '') AS clean, "
         "count(*) FILTER (WHERE dh.tl IS NOT NULL) AS n_dup "
-        "FROM l LEFT JOIN dh ON trim(l.line) = dh.tl GROUP BY l.url) "
+        "FROM l LEFT JOIN dh ON trim(l.line) = dh.tl GROUP BY l.url), "
+        # C4 line-filter mirror: identical md5-keyed punctuation
+        # enrichment, then the three §2.2 rules (terminal punct, >= 5
+        # words, no 'javascript') recomputed from the golden text.
+        "c4 AS (SELECT url, list_filter(list_transform(ls, "
+        f"l -> CASE WHEN {h} % 3 = 0 THEN l || '.' "
+        f"WHEN {h} % 7 = 0 THEN l || ' javascript.' ELSE l END), "
+        f"l -> {c4_keep}) AS kept FROM s) "
         "SELECT d.url, CAST(0 AS INT) AS edit_dist, "
         "CAST(1 AS INT) AS exact_match, "
         "CAST(length(txt) AS INT) AS expected_len, "
         "CAST(0 AS INT) AS missing, CAST(0 AS INT) AS extra, "
-        "CAST(n_dup AS INT) AS n_dup_lines, md5(clean) AS clean_md5 "
-        "FROM d JOIN k USING (url)")
+        "CAST(n_dup AS INT) AS n_dup_lines, md5(clean) AS clean_md5, "
+        "CAST(len(kept) AS INT) AS c4_kept_lines, "
+        # array_to_string of an empty list is NULL in the oracle engine
+        # but '' under Spark's array_join — coalesce to match
+        "md5(COALESCE(array_to_string(kept, chr(10)), '')) AS c4_md5 "
+        "FROM d JOIN k USING (url) JOIN c4 USING (url)")
 
 
 QUERIES.append(QuerySpec(
@@ -154,4 +185,6 @@ QUERIES.append(QuerySpec(
     "dedup_repeated_lines (CCNet-style corpus-level boilerplate line "
     "removal) over the extracted text, with per-url removed-occurrence "
     "counts and cleaned-text md5 recomputed independently by the oracle "
-    "from the golden text"))
+    "from the golden text. Late fold: C4 line-grain structural filter "
+    "(c4_kept_lines, c4_md5) over md5-keyed punctuation-enriched lines "
+    "— all three §2.2 rules recomputed by the oracle"))

@@ -210,20 +210,58 @@ def tokens(spark, sf):
     return assign_token_shards(base, "doc_id", "ws_tokens", budget=2000)
 
 
+# Stand-in badword blocklist for the C4 page-policy fold: words that
+# actually occur in the testdata vocabulary so the hit counts vary.
+# Production swaps in the real ~400-word C4 list — the mechanism under
+# test (broadcast blocklist TABLE + per-doc hit count) is identical.
+_BADWORDS = ("slow", "dup")
+
 @q("text_scrub_pii",
    "WITH a AS (SELECT doc_id, "
+   "text || CASE WHEN doc_id % 17 = 0 THEN ' lorem ipsum' ELSE '' END "
+   "|| CASE WHEN doc_id % 23 = 0 THEN ' {' ELSE '' END AS ft, "
    f"len(regexp_extract_all(text, '{T.EMAIL_RE}')) AS n_emails, "
    f"regexp_replace(text, '{T.EMAIL_RE}', '{T.PII_TOKEN}', 'g') AS t1 "
-   "FROM documents) "
-   "SELECT doc_id, "
+   "FROM documents), "
+   "bw(word) AS (VALUES " + ", ".join(f"('{w}')" for w in _BADWORDS)
+   + "), "
+   "e AS (SELECT doc_id, unnest(list_filter(string_split(lower(ft), ' '), "
+   "w -> w <> '')) AS word FROM a), "
+   "c AS (SELECT e.doc_id, count(*) AS nb FROM e JOIN bw USING (word) "
+   "GROUP BY 1) "
+   "SELECT a.doc_id, "
    f"regexp_replace(t1, '{T.PHONE_RE}', '{T.PII_TOKEN}', 'g') AS scrubbed, "
    "CAST(n_emails AS INT) AS n_emails, "
-   f"CAST(len(regexp_extract_all(t1, '{T.PHONE_RE}')) AS INT) AS n_phones "
-   "FROM a",
+   f"CAST(len(regexp_extract_all(t1, '{T.PHONE_RE}')) AS INT) AS n_phones, "
+   "CAST(COALESCE(c.nb, 0) AS INT) AS n_badwords, "
+   "contains(lower(ft), 'lorem ipsum') AS has_lorem, "
+   "contains(ft, '{') AS has_brace, "
+   "(COALESCE(c.nb, 0) = 0 AND NOT contains(lower(ft), 'lorem ipsum') "
+   "AND NOT contains(ft, '{')) AS c4_kept "
+   "FROM a LEFT JOIN c ON a.doc_id = c.doc_id",
    "PII scrub: emails + phone-shaped digit runs replaced by a fixed "
-   "token, per-doc redaction counts — pure regex, narrow")
+   "token, per-doc redaction counts — pure regex, narrow. Late fold: "
+   "C4 page-grain policy filters (Raffel et al. 2020 §2.2) — badword-"
+   "blocklist hit count over a broadcast (word) table, lorem-ipsum and "
+   "curly-brace flags, combined c4_kept verdict; the synth vocabulary "
+   "never triggers lorem/brace, so the driver row appends the markers "
+   "deterministically (doc_id % 17 / % 23) to give every rule real "
+   "work in both engines")
 def scrub_pii_q(spark, sf):
-    return T.scrub_pii(load(spark, sf, "documents"), "doc_id", "text")
+    from pyspark.sql import functions as F
+
+    d = load(spark, sf, "documents")
+    base = T.scrub_pii(d, "doc_id", "text")
+    ft = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 17 == 0, F.lit(" lorem ipsum"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 23 == 0, F.lit(" {"))
+        .otherwise(F.lit("")))
+    bw = spark.createDataFrame([(w,) for w in _BADWORDS], ["word"])
+    flags = T.c4_page_flags(d.select("doc_id", ft.alias("ft")),
+                            "doc_id", "ft", bw)
+    return base.join(flags, "doc_id")
 
 
 _SPAN_K = 8

@@ -1813,3 +1813,66 @@ def test_zorder_key_and_layout(spark):
         assert hi1 <= lo2  # range-disjoint files -> min/max pruning works
     for v in by_p.values():
         assert v == sorted(v)  # sorted within partition
+
+
+def test_c4_line_filter_rules(spark):
+    """C4 §2.2 line rules, each exercised: terminal punctuation (. ! ?
+    double-quote, checked on the TRIMMED line), >= min_words words,
+    no 'javascript' (case-insensitive); kept lines re-join by newline
+    in original order; docs with no newline are a single line; empty
+    text yields one empty (dropped) line."""
+    rows = [
+        (1, "one two three four five.\n"          # kept
+            "one two three four five\n"           # no terminal punct
+            "three word line.\n"                  # < 5 words
+            "enable JavaScript to view this page.\n"  # js rule
+            "does it really end well?\n"          # kept (?)
+            'he said "quote me on that"\n'        # kept (")
+            "trailing spaces count four five.   "),  # kept (trim first)
+        (2, "single line with five words!"),      # kept, no newline
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["c4"] for r in df.select(
+        "doc_id",
+        T.c4_line_filter(F.col("text")).alias("c4")).collect()}
+    assert got[1]["n_lines"] == 7
+    assert got[1]["n_kept"] == 4
+    assert got[1]["clean"] == (
+        "one two three four five.\n"
+        "does it really end well?\n"
+        'he said "quote me on that"\n'
+        "trailing spaces count four five.   ")
+    assert got[2] == (1, 1, "single line with five words!")
+    assert got[3] == (1, 0, "")
+    # min_words is a real knob
+    got3 = df.where("doc_id = 1").select(
+        T.c4_line_filter(F.col("text"), min_words=3)["n_kept"]
+        .alias("k")).collect()[0]["k"]
+    assert got3 == 5  # 'three word line.' re-admitted; js line still out
+
+
+def test_c4_page_flags(spark):
+    """Page-grain policy: badword hit count via a broadcast blocklist
+    TABLE (case-insensitive), lorem-ipsum + brace flags, combined
+    verdict; docs with zero blocklist hits take the left-join
+    coalesce-0 path."""
+    rows = [
+        (1, "clean words only here"),
+        (2, "one Bad word and another BAD one"),
+        (3, "Lorem Ipsum dolor sit amet"),
+        (4, "some code { return 1; }"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    bw = spark.createDataFrame([("bad",)], ["word"])
+    got = {r["doc_id"]: (r["n_badwords"], r["has_lorem"], r["has_brace"],
+                         r["c4_kept"])
+           for r in T.c4_page_flags(df, "doc_id", "text", bw).collect()}
+    assert got == {
+        1: (0, False, False, True),
+        2: (2, False, False, False),
+        3: (0, True, False, False),
+        4: (0, False, True, False),
+        5: (0, False, False, True),
+    }
