@@ -203,3 +203,61 @@ def top_fraction_gate(df: DataFrame, score_col: str,
             .withColumn("kept", F.coalesce(s >= F.col("_thr"),
                                            F.lit(False)))
             .drop("_thr"))
+
+
+def quantile_buckets(df: DataFrame, group_col: str, score_col: str,
+                     cuts: tuple[tuple[int, int], tuple[int, int]]
+                     = ((1, 3), (2, 3)),
+                     labels: tuple[str, str, str]
+                     = ("head", "middle", "tail")) -> DataFrame:
+    """CCNet-style per-group quantile bucketing (Wenzek et al. 2020
+    §4.3: each language's documents split into head/middle/tail by
+    perplexity terciles — the lowest-perplexity third is the cleanest
+    slice and public pipelines train preferentially on it). Adds a
+    ``bucket`` column; rows with NULL score get a NULL bucket (decide
+    their fate downstream, as CCNet does).
+
+    Exact, deterministic, and engine-mirrorable with NO per-group sort
+    of the corpus: the grouped generalization of top_fraction_gate's
+    histogram device. Cut ranks use INTEGER arithmetic —
+    ``ceil(n·num/den) = floor((n·num + den - 1) / den)`` — so both
+    engines compute identical ranks (a float ``ceil(n * (1/3))`` can
+    straddle an integer by one ulp and shift the threshold). Ties at a
+    threshold fall into the LOWER bucket; the head may exceed n/3 by
+    the tie count, never fall short.
+
+    Scale shape (100 TB): one partial-aggregated (group, score)
+    histogram groupBy, a per-group cumulative window over the
+    grid-bounded histogram (each window partition is one group's
+    DISTINCT rounded scores — ~10^4-10^6 rows for 1e-4-rounded
+    pipeline scores, orders of magnitude under corpus size; pre-bucket
+    a genuinely high-cardinality score to a coarser grid first), and a
+    groups-sized threshold table broadcast back. The naive plan — a
+    per-group ORDER BY + ntile over the corpus — sorts every group's
+    full rows; a hot language (half the web is English) serializes
+    into one partition's sort.
+    """
+    s = F.col(score_col)
+    (n1, d1), (n2, d2) = cuts
+    scored = df.where(s.isNotNull())
+    hist = (scored.groupBy(group_col, score_col)
+            .agg(F.count(F.lit(1)).alias("_c")))
+    tot = scored.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    cum = hist.select(
+        F.col(group_col), s,
+        F.sum("_c").over(
+            Window.partitionBy(group_col).orderBy(s.asc())
+            .rowsBetween(Window.unboundedPreceding, 0)).alias("_cum"))
+    k1 = F.floor((F.col("_n") * n1 + d1 - 1) / d1)
+    k2 = F.floor((F.col("_n") * n2 + d2 - 1) / d2)
+    thr = (cum.join(F.broadcast(tot), group_col)
+           .groupBy(group_col)
+           .agg(F.min(F.when(F.col("_cum") >= k1, s)).alias("_t1"),
+                F.min(F.when(F.col("_cum") >= k2, s)).alias("_t2")))
+    bucket = (F.when(s.isNull(), F.lit(None).cast("string"))
+              .when(s <= F.col("_t1"), F.lit(labels[0]))
+              .when(s <= F.col("_t2"), F.lit(labels[1]))
+              .otherwise(F.lit(labels[2])))
+    return (df.join(F.broadcast(thr), group_col, "left")
+            .withColumn("bucket", bucket)
+            .drop("_t1", "_t2"))

@@ -118,11 +118,29 @@ def _lang_sql() -> str:
         "LEFT JOIN ctc ON bg.w1 = ctc.w1 CROSS JOIN v CROSS JOIN vt), "
         "ppl AS (SELECT doc_id, ROUND(exp(-avg(logp)), 4) AS ppl, "
         "ROUND(exp(avg(dlp)), 4) AS dsir_w FROM lp GROUP BY 1), "
-        f"s AS (SELECT doc_id, {inner} FROM documents) "
-        f"SELECT {case} AS pred_lang, count(*) AS cnt, "
+        f"s AS (SELECT doc_id, {inner} FROM documents), "
+        # CCNet head/middle/tail mirror: per-language perplexity-tercile
+        # thresholds from a (lang, ppl) histogram cumsum; integer cut
+        # ranks (floor((n*k + 2) / 3) == ceil(n*k/3)); ties fall LOW.
+        f"pb AS (SELECT s.doc_id, {case} AS pl, ppl.ppl AS ppl, "
+        "ppl.dsir_w AS dsir_w FROM s LEFT JOIN ppl USING (doc_id)), "
+        "hh AS (SELECT pl, ppl, count(*) AS c FROM pb "
+        "WHERE ppl IS NOT NULL GROUP BY 1, 2), "
+        "tt AS (SELECT pl, sum(c) AS n FROM hh GROUP BY 1), "
+        "cu AS (SELECT pl, ppl, sum(c) OVER (PARTITION BY pl ORDER BY ppl "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum "
+        "FROM hh), "
+        "th AS (SELECT cu.pl, "
+        "min(CASE WHEN cum >= floor((n * 1 + 2) / 3) THEN ppl END) AS t1, "
+        "min(CASE WHEN cum >= floor((n * 2 + 2) / 3) THEN ppl END) AS t2 "
+        "FROM cu JOIN tt USING (pl) GROUP BY 1) "
+        "SELECT pb.pl AS pred_lang, count(*) AS cnt, "
         "ROUND(avg(ppl), 4) AS avg_ppl, "
-        "ROUND(avg(dsir_w), 4) AS avg_dsir "
-        "FROM s LEFT JOIN ppl USING (doc_id) GROUP BY 1")
+        "ROUND(avg(dsir_w), 4) AS avg_dsir, "
+        "count(*) FILTER (WHERE ppl <= t1) AS n_head, "
+        "count(*) FILTER (WHERE ppl > t1 AND ppl <= t2) AS n_mid, "
+        "count(*) FILTER (WHERE ppl > t2) AS n_tail "
+        "FROM pb LEFT JOIN th ON pb.pl = th.pl GROUP BY 1")
 
 
 @q("text_lang_id", _lang_sql(),
@@ -135,11 +153,15 @@ def _lang_sql() -> str:
    "OOV-tolerant left join). Late fold: DSIR importance weights (Xie "
    "et al. 2023) — avg_dsir per language, target LM = the table's "
    "lang='en' subset vs the raw-pool LM (target-side OOV exercised for "
-   "real: non-en bigrams hit the COALESCE-0 path in both engines)")
+   "real: non-en bigrams hit the COALESCE-0 path in both engines). "
+   "Late fold: CCNet §4.3 head/middle/tail perplexity terciles per "
+   "language (quantile_buckets — grouped histogram-cumsum thresholds, "
+   "no per-group corpus sort) as n_head/n_mid/n_tail counts")
 def lang_id_q(spark, sf):
     from pyspark.sql import functions as F
 
-    from ocr_spark.operators.sampling import lm_ppl_and_dsir
+    from ocr_spark.operators.sampling import lm_ppl_and_dsir, \
+        quantile_buckets
     d = load(spark, sf, "documents")
     # persist justified: each trained LM has THREE derived consumers in
     # the fused scoring pass (bigram lookups, context sums, vocab
@@ -152,10 +174,17 @@ def lang_id_q(spark, sf):
     per_doc = (d.select("doc_id", T.lang_id(F.col("text"))
                         .alias("pred_lang"))
                .join(scores, "doc_id", "left"))
-    return per_doc.groupBy("pred_lang").agg(
+    bucketed = quantile_buckets(per_doc, "pred_lang", "ppl")
+    return bucketed.groupBy("pred_lang").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.round(F.avg("ppl"), 4).alias("avg_ppl"),
-        F.round(F.avg("dsir_w"), 4).alias("avg_dsir"))
+        F.round(F.avg("dsir_w"), 4).alias("avg_dsir"),
+        F.sum(F.when(F.col("bucket") == "head", 1).otherwise(0))
+        .alias("n_head"),
+        F.sum(F.when(F.col("bucket") == "middle", 1).otherwise(0))
+        .alias("n_mid"),
+        F.sum(F.when(F.col("bucket") == "tail", 1).otherwise(0))
+        .alias("n_tail"))
 
 
 # Training-window chunking constants for the fold below (overlapping

@@ -1954,3 +1954,52 @@ def test_bpe_word_frequencies_top_v(spark):
     assert allf == {"a": 3, "b": 3, "c": 3}
     top = B.word_frequencies(df, "text", top_v=2).collect()
     assert sorted((r["word"], r["cnt"]) for r in top) == [("a", 3), ("b", 3)]
+
+
+def test_quantile_buckets_terciles(spark):
+    """CCNet-style per-group terciles: integer cut ranks (ceil(n*k/3)
+    via floor-div), ties fall into the LOWER bucket, NULL scores get a
+    NULL bucket, groups bucket independently — exact Python mirror."""
+    import math
+
+    from ocr_spark.operators.sampling import quantile_buckets
+    rows = []
+    # group a: 1..9 -> thresholds at rank 3 and 6 (scores 3.0 and 6.0)
+    rows += [(f"a{i}", "a", float(i)) for i in range(1, 10)]
+    # group b: heavy ties at 1.0 (5 of 7) -> head swallows the tie run
+    rows += [(f"b{i}", "b", 1.0) for i in range(5)]
+    rows += [("b5", "b", 2.0), ("b6", "b", 3.0)]
+    # group c: a single doc -> everything is head
+    rows += [("c0", "c", 9.9)]
+    # NULL scores ride along unbucketed
+    rows += [("a_null", "a", None), ("d_null", "d", None)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "ppl"])
+    got = {r["doc_id"]: r["bucket"]
+           for r in quantile_buckets(df, "grp", "ppl").collect()}
+
+    def mirror():
+        by_g = {}
+        for did, g, s in rows:
+            if s is not None:
+                by_g.setdefault(g, []).append(s)
+        out = {}
+        for did, g, s in rows:
+            if s is None:
+                out[did] = None
+                continue
+            vals = sorted(by_g[g])
+            n = len(vals)
+            t1 = vals[math.ceil(n / 3) - 1]
+            t2 = vals[math.ceil(2 * n / 3) - 1]
+            out[did] = ("head" if s <= t1 else
+                        "middle" if s <= t2 else "tail")
+        return out
+
+    assert got == mirror()
+    # spot-check the tie rule: all five 1.0s are head (> n/3 of group
+    # b), and the tie run swallows BOTH thresholds (t1 = t2 = 1.0) so
+    # the middle bucket is empty and everything above is tail
+    assert [got[f"b{i}"] for i in range(5)] == ["head"] * 5
+    assert got["b5"] == "tail" and got["b6"] == "tail"
+    assert got["c0"] == "head"
+    assert got["a_null"] is None and got["d_null"] is None
