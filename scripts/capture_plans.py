@@ -50,7 +50,10 @@ CHECKS = {
     "j7_golden_alignment": (
         "extraction UDF runs NARROW over the pages scan (ArrowEvalPython "
         "before any Exchange — blobs never shuffle); the alignment "
-        "full-outer join shuffles only url + extracted text."),
+        "full-outer join shuffles only url + extracted text. The C4 "
+        "line-filter fold (c4_kept_lines/c4_md5) is pure higher-order "
+        "array expressions evaluated AFTER the join in the same "
+        "codegen'd projection — no new UDF, no new Exchange."),
     "dedup_minhash_signatures": (
         "single Exchange keyed by doc_id; all 16 lanes min-aggregated in "
         "one pass with partial aggregation (the unpivot happens after "
@@ -174,7 +177,13 @@ CHECKS = {
         "double); the two training subtrees are each one explode + ONE "
         "partial-aggregated groupBy bounded by distinct-bigram count, "
         "both persisted (InMemoryTableScan) — document text never "
-        "crosses an Exchange anywhere."),
+        "crosses an Exchange anywhere. The CCNet tercile fold adds "
+        "only grid-bounded work: the (lang, ppl) histogram is one "
+        "partial-aggregated HashAggregate, its cumulative Window "
+        "partitions by language over DISTINCT rounded scores (never "
+        "corpus rows — a per-group ntile would sort the hot language "
+        "in one partition), and the per-language thresholds rejoin "
+        "via BroadcastExchange."),
     "dedup_components_star_round": (
         "ONE large-star/small-star round (the per-iteration unit of the "
         "registered dedup_cluster_components query): state is the EDGE "
