@@ -2003,3 +2003,73 @@ def test_quantile_buckets_terciles(spark):
     assert got["b5"] == "tail" and got["b6"] == "tail"
     assert got["c0"] == "head"
     assert got["a_null"] is None and got["d_null"] is None
+
+
+def test_pack_sequences_bfd(spark):
+    """Best-fit-decreasing sequence packing: capacity respected, whole
+    docs only, oversize docs flagged into singleton packs, NULL lengths
+    total, determinism across runs — and an independent naive BFD
+    mirror reproduces every assignment per bucket."""
+    import bisect
+    import hashlib
+
+    from ocr_spark.operators.packing import pack_sequences
+
+    cap, nb = 100, 4
+    rows = [(i, (i * 37) % 90 + 8) for i in range(80)]
+    rows += [(100, 150), (101, None)]   # oversize + NULL length
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok"])
+    got = pack_sequences(df, "doc_id", "n_tok", cap, n_buckets=nb)
+    out = {r["doc_id"]: (r["n_tok"], r["pack_id"], r["oversize"])
+           for r in got.collect()}
+    assert set(out) == {i for i, _ in rows}
+
+    # capacity invariant (oversize singletons exempt by contract)
+    sums: dict = {}
+    for did, (ln, pid, ov) in out.items():
+        if not ov:
+            sums[pid] = sums.get(pid, 0) + (ln or 0)
+    assert all(s <= cap for s in sums.values())
+    assert out[100][2] is True
+    ov_pack = out[100][1]
+    assert [d for d, v in out.items() if v[1] == ov_pack] == [100]
+    assert out[101][0] is None and out[101][2] is False
+
+    # independent mirror: same bucketing, same order, naive BFD scan
+    def h(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+
+    mirror = {}
+    for b in range(nb):
+        items = sorted(((ln if ln is not None else 0, i)
+                        for i, ln in rows if h(i) % nb == b),
+                       key=lambda t: (-t[0], t[1]))
+        bins = []   # (remaining, idx), kept sorted
+        n = 0
+        for ln, i in items:
+            if ln > cap:
+                continue   # patched to fresh singleton afterwards
+            j = bisect.bisect_left(bins, (ln, -1))
+            if j < len(bins):
+                rem, idx = bins.pop(j)
+                bisect.insort(bins, (rem - ln, idx))
+            else:
+                idx = n
+                bisect.insort(bins, (cap - ln, idx))
+                n += 1
+            mirror[i] = b * (1 << 40) + idx
+        for ln, i in items:
+            if ln > cap:
+                mirror[i] = b * (1 << 40) + n
+                n += 1
+    assert {d: v[1] for d, v in out.items()} == mirror
+
+    # determinism: a second run yields identical assignments
+    again = {r["doc_id"]: r["pack_id"]
+             for r in pack_sequences(df, "doc_id", "n_tok", cap,
+                                     n_buckets=nb).collect()}
+    assert again == {d: v[1] for d, v in out.items()}
+
+    # packing quality: BFD never uses more packs than one-doc-per-pack
+    n_small = sum(1 for _, ln in rows if ln is not None and ln <= cap)
+    assert len(sums) < n_small
