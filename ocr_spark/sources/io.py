@@ -19,13 +19,24 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class TableIO:
-    """Read/write tables by name under a warehouse root."""
+    """Read/write tables by name under a warehouse root.
+
+    ``max_records_per_file`` bounds the LARGE end of the output file-size
+    distribution (Spark's per-write ``maxRecordsPerFile``; Iceberg
+    analog: ``write.target-file-size-bytes``): without it a hot
+    bucket/salt cell emits one multi-GB file that downstream readers
+    cannot split. The SMALL end is the layout's job — bucket x salt
+    counts are sized so cells land near the target, and this knob only
+    rolls files that overshoot it.
+    """
 
     def __init__(self, spark: SparkSession, warehouse: str,
-                 fmt: str = "parquet") -> None:
+                 fmt: str = "parquet",
+                 max_records_per_file: int | None = None) -> None:
         self.spark = spark
         self.warehouse = warehouse
         self.fmt = fmt
+        self.max_records_per_file = max_records_per_file
 
     def path(self, table: str) -> str:
         return os.path.join(self.warehouse, table)
@@ -36,17 +47,23 @@ class TableIO:
     def read(self, table: str) -> DataFrame:
         return self.spark.read.format(self.fmt).load(self.path(table))
 
+    def _writer(self, df: DataFrame, mode: str):
+        w = df.write.format(self.fmt).mode(mode)
+        if self.max_records_per_file:
+            w = w.option("maxRecordsPerFile", self.max_records_per_file)
+        return w
+
     def overwrite_partitions(self, df: DataFrame, table: str,
                              partition_cols: list[str]) -> None:
         """Idempotent per-partition overwrite (Iceberg: dynamic overwrite /
         MERGE by partition). Requires partitionOverwriteMode=dynamic, set
         by ocr_spark.session.get_spark."""
-        (df.write.format(self.fmt).mode("overwrite")
+        (self._writer(df, "overwrite")
          .partitionBy(*partition_cols).save(self.path(table)))
 
     def append(self, df: DataFrame, table: str,
                partition_cols: list[str] | None = None) -> None:
-        w = df.write.format(self.fmt).mode("append")
+        w = self._writer(df, "append")
         if partition_cols:
             w = w.partitionBy(*partition_cols)
         w.save(self.path(table))

@@ -168,3 +168,29 @@ def test_missing_marker_mismatched_modulus_falls_back(spark, corpus,
     assert [r["url"] for r in a] == [r["url"] for r in b]
     assert all(x["extracted_text"] == y["extracted_text"]
                for x, y in zip(a, b))
+
+
+def test_max_records_per_file_bounds_output_files(spark, tmp_path):
+    """The sink's maxRecordsPerFile knob rolls oversize files: a skewed
+    partition is split into multiple <= N-record files (the Iceberg
+    target-file-size analog), totals unchanged; without the knob the hot
+    partition emits one monolithic file per task."""
+    import glob
+
+    from ocr_spark.sources.io import TableIO
+
+    df = (spark.range(500)
+          .withColumn("bucket", (F.col("id") % 2).cast("int"))
+          .repartition(1))
+    io = TableIO(spark, str(tmp_path / "w"), max_records_per_file=50)
+    io.overwrite_partitions(df, "t", ["bucket"])
+    files = glob.glob(str(tmp_path / "w" / "t") + "/bucket=*/*.parquet")
+    counts = [spark.read.parquet(f).count() for f in files]
+    assert sum(counts) == 500
+    assert max(counts) <= 50
+    assert len(files) >= 10  # 2 partitions x >= 5 rolls each
+    # default (no knob): one file per task per partition dir
+    io2 = TableIO(spark, str(tmp_path / "w2"))
+    io2.overwrite_partitions(df, "t", ["bucket"])
+    files2 = glob.glob(str(tmp_path / "w2" / "t") + "/bucket=*/*.parquet")
+    assert len(files2) == 2
