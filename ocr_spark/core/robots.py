@@ -7,15 +7,36 @@ a corpus engine replaying WARC captures needs the gate itself).
 
 Scope (the subset real crawlers agree on): grouped `User-agent` lines
 select the most specific group (exact product-token match beats `*`;
-multiple agents may share one group), `Allow`/`Disallow` prefix rules,
-longest-prefix-match wins at evaluation, allow wins a same-length tie
-(Google's published tie-break), empty `Disallow:` means allow-all, and
-an unmatched URL defaults to allowed. `$`/`*` wildcards are out of
-scope and documented as such (treated literally). Total: malformed
-input never raises.
+multiple agents may share one group), `Allow`/`Disallow` path rules
+with RFC 9309 §2.2.3 wildcards (`*` matches any character run, a
+trailing `$` anchors the end), most-specific-match wins at evaluation
+(specificity = rule-string length, the published Google convention),
+allow wins a same-length tie, empty `Disallow:` means allow-all, and
+an unmatched URL defaults to allowed. Total: malformed input never
+raises.
 """
 
 from __future__ import annotations
+
+import re
+
+
+def pattern_re(pattern: str) -> str:
+    """Regex translation of an RFC 9309 path rule: anchored at the
+    start, `*` -> `.*`, a TRAILING `$` anchors the end (a `$` anywhere
+    else is a literal byte per the RFC), everything else literal. The
+    translation uses only syntax shared by Java regex and RE2, so the
+    same string drives Spark's regexp_like and the DuckDB oracle."""
+    anchored = pattern.endswith("$")
+    core = pattern[:-1] if anchored else pattern
+    rx = ".*".join(re.escape(part) for part in core.split("*"))
+    return "^" + rx + ("$" if anchored else "")
+
+
+def _match(pattern: str, path: str) -> bool:
+    if "*" not in pattern and not pattern.endswith("$"):
+        return path.startswith(pattern)          # fast path
+    return re.match(pattern_re(pattern), path) is not None
 
 
 def parse_robots(text: str, agent: str = "*") -> list[tuple[str, bool]]:
@@ -82,13 +103,14 @@ def parse_robots(text: str, agent: str = "*") -> list[tuple[str, bool]]:
 
 
 def robots_allows(rules: list[tuple[str, bool]], path: str) -> bool:
-    """Longest-prefix-match evaluation; allow wins same-length ties;
-    no matching rule means allowed."""
+    """Most-specific-match evaluation (specificity = rule-string
+    length, wildcards counted); allow wins same-length ties; no
+    matching rule means allowed."""
     verdict = True
     match_len = -1
-    for prefix, allow in rules:
-        if path.startswith(prefix):
-            plen = len(prefix)
+    for pattern, allow in rules:
+        if _match(pattern, path):
+            plen = len(pattern)
             if plen > match_len or (plen == match_len and allow):
                 verdict, match_len = allow, plen
     return verdict

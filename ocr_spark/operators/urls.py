@@ -128,31 +128,55 @@ def url_path(url: Column) -> Column:
     return F.when(p == "", "/").otherwise(p)
 
 
+def robots_rule_table(spark, rules: list[tuple[str, str, bool]]
+                      ) -> DataFrame:
+    """(host, pattern, allow) rows -> the rule DataFrame apply_robots
+    consumes, with the RFC 9309 wildcard translation precomputed
+    driver-side (a robots rule set is tiny by definition): ``rx`` =
+    core/robots.pattern_re(pattern) — syntax shared by Java regex and
+    RE2 so the SAME string drives Spark and the DuckDB oracle — and
+    ``spec`` = rule-string length, the specificity key."""
+    from ocr_spark.core.robots import pattern_re
+
+    return spark.createDataFrame(
+        [(h, p, a, pattern_re(p), len(p)) for h, p, a in rules],
+        "host string, prefix string, allow boolean, rx string, spec int")
+
+
 def apply_robots(df: DataFrame, id_col: str, url_col: str,
                  rules: DataFrame) -> DataFrame:
     """Gate URLs by robots.txt rules (RFC 9309 evaluation; rule texts
     come from ``core/robots.parse_robots`` at crawl time): ``rules`` is
-    a (host, prefix, allow) table; verdict per URL = the longest
-    matching prefix on its host, allow wins a same-length tie, no match
-    means allowed. Returns (id, robots_ok boolean).
+    a (host, prefix, allow) table — build it with ``robots_rule_table``
+    for full `*`/`$` wildcard support (an ``rx`` regex + ``spec``
+    length per rule); a bare 3-column table evaluates plain-prefix
+    rules. Verdict per URL = the most specific matching rule on its
+    host (specificity = rule-string length), allow wins a same-length
+    tie, no match means allowed. Returns (id, robots_ok boolean).
 
     Scale shape (100 TB): a robots rule set is per-host and tiny
     relative to the corpus — explicitly broadcast; the match is one
-    BroadcastHashJoin on host with the prefix test as a residual
-    condition, and the longest-match argmax is ONE partial-aggregated
-    struct max per URL (prefix-length, allow) — no window, no per-URL
-    Python.
+    BroadcastHashJoin on host with the path test as a residual
+    condition (regexp_like against the per-rule pattern — compiled per
+    rule row on the build side, a constant-size cost), and the
+    most-specific-match argmax is ONE partial-aggregated struct max per
+    URL (specificity, allow) — no window, no per-URL Python.
     """
     from ocr_spark.functions.bucketing import host_of
 
     u = df.select(F.col(id_col),
                   host_of(F.col(url_col)).alias("_h"),
                   url_path(F.col(url_col)).alias("_p"))
+    if "rx" in rules.columns:
+        path_hit = F.regexp_like(F.col("_p"), rules["rx"])
+        spec = F.col("spec")
+    else:
+        path_hit = F.col("_p").startswith(rules["prefix"])
+        spec = F.length("prefix")
     j = u.join(F.broadcast(rules),
-               (F.col("_h") == rules["host"])
-               & F.col("_p").startswith(rules["prefix"]), "left")
+               (F.col("_h") == rules["host"]) & path_hit, "left")
     m = F.when(F.col("prefix").isNotNull(),
-               F.struct(F.length("prefix").alias("l"),
+               F.struct(spec.alias("l"),
                         F.col("allow").alias("allow")))
     return (j.groupBy(id_col).agg(F.max(m).alias("_m"))
             .select(F.col(id_col),

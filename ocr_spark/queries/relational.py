@@ -77,6 +77,22 @@ def _url_expr():
 # construction. The oracle unrolls host_pagerank's exact arithmetic
 # (damping 0.85, dangling hosts keep base mass) for 3 iterations.
 _EXT_HOST_SQL = "('out' || CAST(doc_id % 7 AS VARCHAR) || '.example.net')"
+
+# robots rule model shared by the Spark side and the oracle: (pattern,
+# allow); the third rule carries RFC 9309 wildcards. rx strings are the
+# pattern_re translation, valid in Java regex AND RE2.
+def _robots_rules() -> list[tuple[str, bool]]:
+    return [("/de", False), ("/de/page-1", True), ("/*/page-3$", False)]
+
+
+def _robots_values() -> str:
+    from ocr_spark.core.robots import pattern_re
+    return ", ".join(
+        f"('{p}', {'true' if a else 'false'}, '{pattern_re(p)}')"
+        for p, a in _robots_rules())
+
+
+_ROBOTS_VALUES = _robots_values()
 _PR_CTES = (
     ", eh AS (SELECT DISTINCT lower(source) || '.example.com' AS s, "
     f"{_EXT_HOST_SQL} AS t FROM documents), "
@@ -112,19 +128,23 @@ def _documents_enriched_sql():
         "ORDER BY cnt DESC, a DESC) AS rn FROM ac), "
         "ti AS (SELECT eh, CAST(sum(cnt) AS BIGINT) AS n_in "
         "FROM ac GROUP BY 1), "
-        # robots model: per-host '/de' disallow with '/de/page-1' allow
-        # override; longest prefix wins, allow wins a same-length tie
-        "rb AS (SELECT rhost, prefix, allow FROM "
+        # robots model: per-host '/de' disallow, '/de/page-1' allow
+        # override, and the RFC 9309 wildcard rule '/*/page-3$' (both
+        # `*` and the `$` anchor exercised — page-30..39 must NOT
+        # match); most specific (longest rule string) wins, allow wins
+        # a same-length tie. rx literals come from the SAME pattern_re
+        # translation the Spark side broadcasts.
+        "rb AS (SELECT rhost, prefix, allow, rx FROM "
         "(SELECT DISTINCT lower(source) || '.example.com' AS rhost "
         "FROM documents) "
-        "CROSS JOIN (VALUES ('/de', false), ('/de/page-1', true)) "
-        "rr(prefix, allow)), "
+        f"CROSS JOIN (VALUES {_ROBOTS_VALUES}) "
+        "rr(prefix, allow, rx)), "
         "pp AS (SELECT doc_id, lower(source) || '.example.com' AS chost, "
         "COALESCE(NULLIF(regexp_extract(url_canon, "
         "'^[A-Za-z+.-]+://[^/]*(/.*)$', 1), ''), '/') AS pth FROM c), "
         "rm AS (SELECT pp.doc_id, rb.prefix, rb.allow FROM pp "
         "JOIN rb ON rb.rhost = pp.chost "
-        "AND starts_with(pp.pth, rb.prefix)), "
+        "AND regexp_matches(pp.pth, rb.rx)), "
         "rv AS (SELECT doc_id, allow, ROW_NUMBER() OVER (PARTITION BY "
         "doc_id ORDER BY length(prefix) DESC, allow DESC) AS rn "
         "FROM rm) "
@@ -166,11 +186,13 @@ def _documents_enriched_sql():
    "last; ext_n_inbound = that host's inbound link count; anchor "
    "EXTRACTION from real HTML is verified by extract_html_roundtrip's "
    "anchors_csv, this verifies the host-grain aggregation). Late fold: "
-   "robots.txt gating (apply_robots, RFC 9309 longest-prefix-match "
+   "robots.txt gating (apply_robots, RFC 9309 most-specific-match "
    "with allow-wins-tie over a broadcast per-host rule table; rule "
    "PARSING from robots.txt text is core/robots.py, pytest-covered — "
    "robots_ok verifies the distributed evaluation: '/de' disallow + "
-   "'/de/page-1' allow override per host)")
+   "'/de/page-1' allow override + the '/*/page-3$' wildcard rule, "
+   "whose $ anchor must NOT catch page-30..39; both engines match the "
+   "same pattern_re regex translation)")
 def documents_enriched(spark, sf):
     from ocr_spark.functions.bucketing import host_of
     from ocr_spark.operators.urls import (
@@ -203,11 +225,13 @@ def documents_enriched(spark, sf):
         F.concat(F.lit("more-"),
                  (F.col("doc_id") % 9).cast("string")).alias("anchor")))
     asum = host_anchor_summary(anchors, "ext_host", "anchor")
+    from ocr_spark.core.robots import pattern_re
+    pats = spark.createDataFrame(
+        [(p, a, pattern_re(p), len(p)) for p, a in _robots_rules()],
+        "prefix string, allow boolean, rx string, spec int")
     rules = (d.select(F.concat(F.lower("source"), F.lit(".example.com"))
                       .alias("host")).distinct()
-             .crossJoin(spark.createDataFrame(
-                 [("/de", False), ("/de/page-1", True)],
-                 "prefix string, allow boolean")))
+             .crossJoin(pats))
     robots = apply_robots(
         d.select("doc_id", canonicalize_url(F.col("url")).alias("_uc")),
         "doc_id", "_uc", rules)

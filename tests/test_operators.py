@@ -2073,3 +2073,49 @@ def test_pack_sequences_bfd(spark):
     # packing quality: BFD never uses more packs than one-doc-per-pack
     n_small = sum(1 for _, ln in rows if ln is not None and ln <= cap)
     assert len(sums) < n_small
+
+
+def test_robots_wildcards_core():
+    """RFC 9309 §2.2.3 wildcards: `*` matches any char run, a trailing
+    `$` anchors the end (a mid-pattern `$` is literal), specificity =
+    rule-string length with wildcards counted, allow still wins ties;
+    pattern_re emits syntax valid in both Java regex and RE2."""
+    from ocr_spark.core.robots import (parse_robots, pattern_re,
+                                       robots_allows)
+
+    rules = [("/*.php$", False), ("/fish*", False), ("/fish*/ok", True)]
+    assert robots_allows(rules, "/dir/x.php") is False
+    assert robots_allows(rules, "/dir/x.php?y=1") is True   # $ anchors
+    assert robots_allows(rules, "/fishheads/a") is False
+    assert robots_allows(rules, "/fishtank/ok/page") is True  # longer wins
+    # unmatched default
+    assert robots_allows(rules, "/other") is True
+    # parse keeps wildcard rules verbatim
+    g = parse_robots("User-agent: *\nDisallow: /*/tmp$\n", "x")
+    assert g == [("/*/tmp$", False)]
+    assert robots_allows(g, "/a/tmp") is False
+    assert robots_allows(g, "/a/tmp/file") is True
+    assert pattern_re("/*/page-3$") == "^/.*/page\\-3$"
+
+
+def test_apply_robots_wildcards_distributed(spark):
+    """The distributed evaluator under a wildcard rule table matches
+    robots_allows URL-for-URL (regexp_like residual on the broadcast
+    join; specificity = rule-string length)."""
+    from ocr_spark.core.robots import robots_allows
+    from ocr_spark.operators.urls import apply_robots, robots_rule_table
+
+    pats = [("/de", False), ("/de/page-1", True), ("/*/page-3$", False)]
+    rules = robots_rule_table(
+        spark, [("h.example.com", p, a) for p, a in pats])
+    paths = ["/de/x", "/de/page-1/y", "/en/page-3", "/en/page-30",
+             "/fr/page-3", "/de/page-3", "/", "/en/other"]
+    df = spark.createDataFrame(
+        [(i, f"https://h.example.com{p}") for i, p in enumerate(paths)],
+        ["doc_id", "url"])
+    got = {r["doc_id"]: r["robots_ok"]
+           for r in apply_robots(df, "doc_id", "url", rules).collect()}
+    expect = {i: robots_allows(pats, p) for i, p in enumerate(paths)}
+    assert got == expect
+    # the $ anchor is live: page-3 blocked, page-30 allowed
+    assert got[2] is False and got[3] is True
