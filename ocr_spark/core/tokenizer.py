@@ -99,15 +99,18 @@ def tokenize(html: str) -> TokenStream:
     recoveries = 0
     n = len(html)
     i = 0
+    # hot loop: bind the two per-iteration attribute lookups once
+    find = html.find
+    append = tokens.append
 
     while i < n:
-        lt = html.find("<", i)
+        lt = find("<", i)
         if lt < 0:
             if i < n:
-                tokens.append(("text", html[i:]))
+                append(("text", html[i:]))
             break
         if lt > i:
-            tokens.append(("text", html[i:lt]))
+            append(("text", html[i:lt]))
 
         # Dispatch on the character after '<' (single index op instead of
         # a chain of startswith probes — this loop runs once per tag).
@@ -116,30 +119,30 @@ def tokenize(html: str) -> TokenStream:
         if nxt_c == "!" or nxt_c == "?":
             # Comment
             if html.startswith("<!--", lt):
-                end = html.find("-->", lt + 4)
+                end = find("-->", lt + 4)
                 if end < 0:  # unterminated comment: swallow to EOF
                     recoveries += 1
                     break
-                tokens.append(("comment", html[lt + 4 : end]))
+                append(("comment", html[lt + 4 : end]))
                 i = end + 3
                 continue
 
             # CDATA (emitted as text per the XML-ish convention)
             if html.startswith("<![CDATA[", lt):
-                end = html.find("]]>", lt + 9)
+                end = find("]]>", lt + 9)
                 if end < 0:
                     recoveries += 1
                     break
-                tokens.append(("text", html[lt + 9 : end]))
+                append(("text", html[lt + 9 : end]))
                 i = end + 3
                 continue
 
             # Doctype / bogus markup declaration
-            end = html.find(">", lt + 2)
+            end = find(">", lt + 2)
             if end < 0:
                 recoveries += 1
                 break
-            tokens.append(("doctype", html[lt + 2 : end]))
+            append(("doctype", html[lt + 2 : end]))
             i = end + 1
             continue
 
@@ -149,13 +152,13 @@ def tokenize(html: str) -> TokenStream:
             if m is None:
                 # "</" followed by non-letter: HTML5 calls this a bogus
                 # comment; consume to '>' (or EOF).
-                end = html.find(">", lt + 2)
+                end = find(">", lt + 2)
                 recoveries += 1
                 if end < 0:
                     break
                 i = end + 1
                 continue
-            tokens.append(("end", m.group(1).lower()))
+            append(("end", m.group(1).lower()))
             i = m.end()
             continue
 
@@ -168,13 +171,13 @@ def tokenize(html: str) -> TokenStream:
                 recoveries += 1
                 break
             # Literal '<' in text.
-            tokens.append(("text", "<"))
+            append(("text", "<"))
             i = lt + 1
             continue
 
         tag = m.group(1).lower()
         self_closing = m.group(3) == "/"
-        tokens.append(("start", tag, m.group(2), self_closing))
+        append(("start", tag, m.group(2), self_closing))
         i = m.end()
 
         # RAWTEXT mode: consume verbatim until the matching close tag.
@@ -184,12 +187,12 @@ def tokenize(html: str) -> TokenStream:
             if close < 0:
                 # Unterminated rawtext: content runs to EOF, no close token.
                 recoveries += 1
-                tokens.append(("text", html[i:]))
-                tokens.append(("end", tag))
+                append(("text", html[i:]))
+                append(("end", tag))
                 break
-            tokens.append(("text", html[i:close]))
-            gt = html.find(">", close)
-            tokens.append(("end", tag))
+            append(("text", html[i:close]))
+            gt = find(">", close)
+            append(("end", tag))
             i = (gt + 1) if gt >= 0 else n
             continue
 
