@@ -146,9 +146,11 @@ CHECKS = {
         "summary is host-grain (two partial-aggregated groupBys over "
         "(host, anchor) rows) and rejoins via BroadcastExchange like "
         "PageRank; the robots verdict is one BroadcastHashJoin of the "
-        "tiny per-host rule table (prefix test as residual condition) "
-        "+ one partial-aggregated struct-max keyed by doc_id — no new "
-        "corpus-grain shuffle carries more than ids + small values."),
+        "tiny per-host rule table (per-rule wildcard regexp_like as "
+        "the residual condition — patterns compiled per build-side "
+        "rule row, constant cost) + one partial-aggregated struct-max "
+        "keyed by doc_id — no new corpus-grain shuffle carries more "
+        "than ids + small values."),
     "sim_ivf_assign_histogram": (
         "SemDeDup fold: the (id, vector, cell) working set is assigned "
         "ONCE — one ArrowEvalPython over the BROADCAST centroid matrix "
