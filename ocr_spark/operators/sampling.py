@@ -254,7 +254,11 @@ def quantile_buckets(df: DataFrame, group_col: str, score_col: str,
            .groupBy(group_col)
            .agg(F.min(F.when(F.col("_cum") >= k1, s)).alias("_t1"),
                 F.min(F.when(F.col("_cum") >= k2, s)).alias("_t2")))
-    bucket = (F.when(s.isNull(), F.lit(None).cast("string"))
+    # NULL-threshold guard: a NULL group key joins no threshold row (SQL
+    # equality), so without it those rows would silently land in the
+    # last bucket — bucket them NULL like NULL scores instead
+    bucket = (F.when(s.isNull() | F.col("_t1").isNull(),
+                     F.lit(None).cast("string"))
               .when(s <= F.col("_t1"), F.lit(labels[0]))
               .when(s <= F.col("_t2"), F.lit(labels[1]))
               .otherwise(F.lit(labels[2])))

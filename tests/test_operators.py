@@ -1973,6 +1973,8 @@ def test_quantile_buckets_terciles(spark):
     rows += [("c0", "c", 9.9)]
     # NULL scores ride along unbucketed
     rows += [("a_null", "a", None), ("d_null", "d", None)]
+    # NULL group key: joins no threshold row -> NULL bucket, never 'tail'
+    rows += [("g_null", None, 5.0)]
     df = spark.createDataFrame(rows, ["doc_id", "grp", "ppl"])
     got = {r["doc_id"]: r["bucket"]
            for r in quantile_buckets(df, "grp", "ppl").collect()}
@@ -1980,11 +1982,11 @@ def test_quantile_buckets_terciles(spark):
     def mirror():
         by_g = {}
         for did, g, s in rows:
-            if s is not None:
+            if s is not None and g is not None:
                 by_g.setdefault(g, []).append(s)
         out = {}
         for did, g, s in rows:
-            if s is None:
+            if s is None or g is None:
                 out[did] = None
                 continue
             vals = sorted(by_g[g])
@@ -2003,6 +2005,7 @@ def test_quantile_buckets_terciles(spark):
     assert got["b5"] == "tail" and got["b6"] == "tail"
     assert got["c0"] == "head"
     assert got["a_null"] is None and got["d_null"] is None
+    assert got["g_null"] is None
 
 
 def test_pack_sequences_bfd(spark):
