@@ -130,10 +130,11 @@ def bpe_segment(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return sym
 
 
-# Per-Python-worker segmentation memo: {merges_key: (ranks, {word: tokens})}.
-# The S8 per-executor-singleton pattern — each distinct word is segmented
-# once per worker process, across batches AND jobs.
-_MEMO: dict[int, tuple[dict, dict]] = {}
+# Per-Python-worker segmentation memo keyed by the merge list itself
+# (exact — a hash key could collide across models): {merges: (ranks,
+# {word: tokens})}. The S8 per-executor-singleton pattern — each distinct
+# word is segmented once per worker process, across batches AND jobs.
+_MEMO: dict[tuple, tuple[dict, dict]] = {}
 
 
 def bpe_tokenize(df: DataFrame, id_col: str, text_col: str,
@@ -144,7 +145,7 @@ def bpe_tokenize(df: DataFrame, id_col: str, text_col: str,
     the broadcast-table discipline) and expanded into a per-worker
     rank dict + word memo on first use. Returns
     (id, tokens ARRAY<STRING>, n_bpe_tokens INT)."""
-    mkey = hash(tuple(merges))
+    mkey = tuple(merges)
     mlist = list(merges)
 
     @F.pandas_udf("array<string>")
