@@ -31,9 +31,13 @@ from pyspark.sql import functions as F
 
 from ocr_spark.operators.textstats import words_of
 
-# End-of-word marker symbol (the paper's </w>): lets a merge distinguish
-# word-final subwords, and makes detokenization a pure string op.
-END = "</w>"
+# End-of-word marker symbol. The paper writes it as '</w>', but that
+# LITERAL substring occurs in real web text (any page discussing markup)
+# and would corrupt detokenization; we use a private-use codepoint and
+# STRIP any occurrence of it from input words (documented normalization,
+# like control-char stripping in real tokenizers), which makes
+# detokenize() an exact inverse of the stripped text for ALL inputs.
+END = ""
 
 
 def word_frequencies(df: DataFrame, text_col: str,
@@ -66,6 +70,7 @@ def bpe_train(word_freqs: list[tuple[str, int]],
 
     vocab: dict[tuple[str, ...], int] = {}
     for w, c in word_freqs:
+        w = w.replace(END, "")       # the marker-strip normalization
         if w:
             key = tuple(w) + (END,)
             vocab[key] = vocab.get(key, 0) + c
@@ -105,7 +110,12 @@ def bpe_segment(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     """Segment one word with trained merge ranks: repeatedly apply the
     LOWEST-rank (earliest-learned) applicable merge to all its
     occurrences, left to right — the standard apply order, which makes
-    segmentation a pure function of the merge list."""
+    segmentation a pure function of the merge list. Occurrences of the
+    END marker codepoint in the input are stripped first (see END); a
+    word that was nothing but markers yields no tokens."""
+    word = word.replace(END, "")
+    if not word:
+        return []
     sym = list(word) + [END]
     while len(sym) > 1:
         best_rank = None
@@ -152,6 +162,10 @@ def bpe_tokenize(df: DataFrame, id_col: str, text_col: str,
     def _tok(texts: pd.Series) -> pd.Series:
         entry = _MEMO.get(mkey)
         if entry is None:
+            # bound worker memory to ONE model: a sweep over retrained
+            # merge tables must not ratchet up a Heaps-law word dict
+            # per historical model
+            _MEMO.clear()
             entry = ({p: i for i, p in enumerate(mlist)}, {})
             _MEMO[mkey] = entry
         ranks, memo = entry
@@ -178,6 +192,9 @@ def bpe_tokenize(df: DataFrame, id_col: str, text_col: str,
 
 
 def detokenize(tokens: list[str]) -> str:
-    """Inverse of tokenization for round-trip testing: concatenate and
-    turn each end-of-word marker back into a single space."""
+    """Exact inverse of tokenization over marker-stripped text:
+    concatenate and turn each end-of-word marker back into a single
+    space. Exactness holds for ALL inputs because the marker codepoint
+    is stripped from words before segmentation, so it can only ever
+    appear as the word terminator."""
     return "".join(tokens).replace(END, " ").rstrip(" ")

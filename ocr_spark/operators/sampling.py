@@ -219,12 +219,15 @@ def quantile_buckets(df: DataFrame, group_col: str, score_col: str,
 
     Exact, deterministic, and engine-mirrorable with NO per-group sort
     of the corpus: the grouped generalization of top_fraction_gate's
-    histogram device. Cut ranks use INTEGER arithmetic —
-    ``ceil(n·num/den) = floor((n·num + den - 1) / den)`` — so both
-    engines compute identical ranks (a float ``ceil(n * (1/3))`` can
-    straddle an integer by one ulp and shift the threshold). Ties at a
-    threshold fall into the LOWER bucket; the head may exceed n/3 by
-    the tie count, never fall short.
+    histogram device. Cut ranks use true INTEGER division on both
+    engines — ``ceil(n·num/den) = (n·num + den - 1) div den`` (Spark
+    ``div``, oracle ``//``) — so the ranks are exact at any n, where a
+    float ``ceil(n * (1/3))`` can straddle an integer by one ulp and
+    shift the threshold. Ties at a threshold fall into the LOWER
+    bucket; the head may exceed n/3 by the tie count, never fall
+    short. If the input plan is expensive (a join/UDF pipeline),
+    persist it first: the histogram and the final bucket join are two
+    separate consumers.
 
     Scale shape (100 TB): one partial-aggregated (group, score)
     histogram groupBy, a per-group cumulative window over the
@@ -242,14 +245,16 @@ def quantile_buckets(df: DataFrame, group_col: str, score_col: str,
     scored = df.where(s.isNotNull())
     hist = (scored.groupBy(group_col, score_col)
             .agg(F.count(F.lit(1)).alias("_c")))
-    tot = scored.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    # per-group totals derive from the grid-bounded histogram — a second
+    # corpus-grain aggregation over `scored` would re-run the input plan
+    tot = hist.groupBy(group_col).agg(F.sum("_c").alias("_n"))
     cum = hist.select(
         F.col(group_col), s,
         F.sum("_c").over(
             Window.partitionBy(group_col).orderBy(s.asc())
             .rowsBetween(Window.unboundedPreceding, 0)).alias("_cum"))
-    k1 = F.floor((F.col("_n") * n1 + d1 - 1) / d1)
-    k2 = F.floor((F.col("_n") * n2 + d2 - 1) / d2)
+    k1 = F.expr(f"(_n * {n1} + {d1 - 1}) div {d1}")
+    k2 = F.expr(f"(_n * {n2} + {d2 - 1}) div {d2}")
     thr = (cum.join(F.broadcast(tot), group_col)
            .groupBy(group_col)
            .agg(F.min(F.when(F.col("_cum") >= k1, s)).alias("_t1"),

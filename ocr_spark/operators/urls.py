@@ -128,55 +128,84 @@ def url_path(url: Column) -> Column:
     return F.when(p == "", "/").otherwise(p)
 
 
+def _rule_row(pattern: str, allow: bool) -> tuple:
+    """One translated rule row: (prefix, allow, rx, spec, wild). The
+    single spelling of the rx/spec/wild contract — every consumer
+    (robots_rule_table, the driver fold, tests) builds rows here so the
+    translation and the specificity key cannot drift apart."""
+    from ocr_spark.core.robots import pattern_re
+
+    wild = "*" in pattern or pattern.endswith("$")
+    return (pattern, allow, pattern_re(pattern), len(pattern), wild)
+
+
+RULE_SCHEMA = ("prefix string, allow boolean, rx string, spec int, "
+               "wild boolean")
+
+
+def robots_pattern_table(spark, pats: list[tuple[str, bool]]) -> DataFrame:
+    """Host-free (pattern, allow) list -> translated rule rows (for
+    callers that cross-join one shared rule set onto many hosts)."""
+    return spark.createDataFrame(
+        [_rule_row(p, a) for p, a in pats], RULE_SCHEMA)
+
+
 def robots_rule_table(spark, rules: list[tuple[str, str, bool]]
                       ) -> DataFrame:
     """(host, pattern, allow) rows -> the rule DataFrame apply_robots
     consumes, with the RFC 9309 wildcard translation precomputed
     driver-side (a robots rule set is tiny by definition): ``rx`` =
     core/robots.pattern_re(pattern) — syntax shared by Java regex and
-    RE2 so the SAME string drives Spark and the DuckDB oracle — and
-    ``spec`` = rule-string length, the specificity key."""
-    from ocr_spark.core.robots import pattern_re
-
+    RE2 so the SAME string drives Spark and the DuckDB oracle —
+    ``spec`` = rule-string length (the specificity key), and ``wild``
+    marking rules that actually need regex matching."""
     return spark.createDataFrame(
-        [(h, p, a, pattern_re(p), len(p)) for h, p, a in rules],
-        "host string, prefix string, allow boolean, rx string, spec int")
+        [(h, *_rule_row(p, a)) for h, p, a in rules],
+        "host string, " + RULE_SCHEMA)
 
 
 def apply_robots(df: DataFrame, id_col: str, url_col: str,
                  rules: DataFrame) -> DataFrame:
     """Gate URLs by robots.txt rules (RFC 9309 evaluation; rule texts
     come from ``core/robots.parse_robots`` at crawl time): ``rules`` is
-    a (host, prefix, allow) table — build it with ``robots_rule_table``
-    for full `*`/`$` wildcard support (an ``rx`` regex + ``spec``
-    length per rule); a bare 3-column table evaluates plain-prefix
-    rules. Verdict per URL = the most specific matching rule on its
-    host (specificity = rule-string length), allow wins a same-length
-    tie, no match means allowed. Returns (id, robots_ok boolean).
+    a (host, prefix, allow) table, ideally built by
+    ``robots_rule_table``; a bare 3-column table is COLLECTED (tiny by
+    the operator's own broadcast contract) and re-translated through
+    the same helper, so wildcard rules in it are never silently
+    evaluated as literal prefixes. Verdict per URL = the most specific
+    matching rule on its host (specificity = rule-string length),
+    allow wins a same-length tie, no match means allowed. Returns
+    (id, robots_ok boolean).
 
     Scale shape (100 TB): a robots rule set is per-host and tiny
     relative to the corpus — explicitly broadcast; the match is one
     BroadcastHashJoin on host with the path test as a residual
-    condition (regexp_like against the per-rule pattern — compiled per
-    rule row on the build side, a constant-size cost), and the
-    most-specific-match argmax is ONE partial-aggregated struct max per
-    URL (specificity, allow) — no window, no per-URL Python.
+    condition, and the most-specific-match argmax is ONE
+    partial-aggregated struct max per URL (specificity, allow) — no
+    window, no per-URL Python. Residual cost kept honest: plain prefix
+    rules (the vast majority of real robots files) match via codegen'd
+    startswith; only rules flagged ``wild`` pay regexp_like, whose
+    non-literal pattern recompiles per residual evaluation — bounded
+    by (URLs on wildcard-bearing hosts) x (that host's wildcard
+    rules), not by the corpus x rule product.
     """
     from ocr_spark.functions.bucketing import host_of
 
+    if "rx" not in rules.columns:
+        rows = rules.select("host", "prefix", "allow").collect()
+        rules = robots_rule_table(
+            df.sparkSession,
+            [(r["host"], r["prefix"], r["allow"]) for r in rows])
     u = df.select(F.col(id_col),
                   host_of(F.col(url_col)).alias("_h"),
                   url_path(F.col(url_col)).alias("_p"))
-    if "rx" in rules.columns:
-        path_hit = F.regexp_like(F.col("_p"), rules["rx"])
-        spec = F.col("spec")
-    else:
-        path_hit = F.col("_p").startswith(rules["prefix"])
-        spec = F.length("prefix")
+    path_hit = (F.when(rules["wild"],
+                       F.regexp_like(F.col("_p"), rules["rx"]))
+                .otherwise(F.col("_p").startswith(rules["prefix"])))
     j = u.join(F.broadcast(rules),
                (F.col("_h") == rules["host"]) & path_hit, "left")
     m = F.when(F.col("prefix").isNotNull(),
-               F.struct(spec.alias("l"),
+               F.struct(F.col("spec").alias("l"),
                         F.col("allow").alias("allow")))
     return (j.groupBy(id_col).agg(F.max(m).alias("_m"))
             .select(F.col(id_col),

@@ -225,13 +225,10 @@ def documents_enriched(spark, sf):
         F.concat(F.lit("more-"),
                  (F.col("doc_id") % 9).cast("string")).alias("anchor")))
     asum = host_anchor_summary(anchors, "ext_host", "anchor")
-    from ocr_spark.core.robots import pattern_re
-    pats = spark.createDataFrame(
-        [(p, a, pattern_re(p), len(p)) for p, a in _robots_rules()],
-        "prefix string, allow boolean, rx string, spec int")
+    from ocr_spark.operators.urls import robots_pattern_table
     rules = (d.select(F.concat(F.lower("source"), F.lit(".example.com"))
                       .alias("host")).distinct()
-             .crossJoin(pats))
+             .crossJoin(robots_pattern_table(spark, _robots_rules())))
     robots = apply_robots(
         d.select("doc_id", canonicalize_url(F.col("url")).alias("_uc")),
         "doc_id", "_uc", rules)

@@ -121,7 +121,7 @@ def _lang_sql() -> str:
         f"s AS (SELECT doc_id, {inner} FROM documents), "
         # CCNet head/middle/tail mirror: per-language perplexity-tercile
         # thresholds from a (lang, ppl) histogram cumsum; integer cut
-        # ranks (floor((n*k + 2) / 3) == ceil(n*k/3)); ties fall LOW.
+        # ranks ((n*k + 2) // 3 == ceil(n*k/3)); ties fall LOW.
         f"pb AS (SELECT s.doc_id, {case} AS pl, ppl.ppl AS ppl, "
         "ppl.dsir_w AS dsir_w FROM s LEFT JOIN ppl USING (doc_id)), "
         "hh AS (SELECT pl, ppl, count(*) AS c FROM pb "
@@ -131,8 +131,8 @@ def _lang_sql() -> str:
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum "
         "FROM hh), "
         "th AS (SELECT cu.pl, "
-        "min(CASE WHEN cum >= floor((n * 1 + 2) / 3) THEN ppl END) AS t1, "
-        "min(CASE WHEN cum >= floor((n * 2 + 2) / 3) THEN ppl END) AS t2 "
+        "min(CASE WHEN cum >= (n * 1 + 2) // 3 THEN ppl END) AS t1, "
+        "min(CASE WHEN cum >= (n * 2 + 2) // 3 THEN ppl END) AS t2 "
         "FROM cu JOIN tt USING (pl) GROUP BY 1) "
         "SELECT pb.pl AS pred_lang, count(*) AS cnt, "
         "ROUND(avg(ppl), 4) AS avg_ppl, "

@@ -1888,8 +1888,13 @@ def test_bpe_train_paper_example():
     assert merges == [("e", "s"), ("es", "t"), ("est", B.END),
                       ("l", "o"), ("lo", "w")]
     ranks = {p: i for i, p in enumerate(merges)}
-    assert B.bpe_segment("newest", ranks) == ["n", "e", "w", "est</w>"]
-    assert B.bpe_segment("lowest", ranks) == ["low", "est</w>"]
+    assert B.bpe_segment("newest", ranks) == ["n", "e", "w",
+                                              "est" + B.END]
+    assert B.bpe_segment("lowest", ranks) == ["low", "est" + B.END]
+    # marker-strip normalization: END codepoints in input words vanish
+    assert B.bpe_segment("new" + B.END + "est", ranks) == [
+        "n", "e", "w", "est" + B.END]
+    assert B.bpe_segment(B.END, ranks) == []
     # unseen characters segment to chars + END (never raises)
     assert B.bpe_segment("xyz", ranks) == ["x", "y", "z", B.END]
     # early stop: no pair occurs twice -> fewer merges than asked
@@ -1900,7 +1905,8 @@ def _naive_bpe_apply(word, merges):
     """Independent mirror of segmentation: replay the merge LIST in
     learned order (rank order == replay order for BPE), each merge
     applied to all occurrences left-to-right."""
-    sym = list(word) + ["</w>"]
+    from ocr_spark.operators.bpe import END
+    sym = list(word.replace(END, "")) + [END]
     for a, b in merges:
         out, i = [], 0
         while i < len(sym):
