@@ -146,11 +146,13 @@ CHECKS = {
         "summary is host-grain (two partial-aggregated groupBys over "
         "(host, anchor) rows) and rejoins via BroadcastExchange like "
         "PageRank; the robots verdict is one BroadcastHashJoin of the "
-        "tiny per-host rule table (per-rule wildcard regexp_like as "
-        "the residual condition — patterns compiled per build-side "
-        "rule row, constant cost) + one partial-aggregated struct-max "
-        "keyed by doc_id — no new corpus-grain shuffle carries more "
-        "than ids + small values."),
+        "tiny per-host rule table whose residual is a CASE: plain "
+        "prefix rules match via codegen'd startswith, only wild-flagged "
+        "rules pay regexp_like (non-literal pattern, recompiled per "
+        "residual evaluation — bounded by URLs-on-wildcard-hosts x "
+        "that host's wildcard rules) + one partial-aggregated "
+        "struct-max keyed by doc_id — no new corpus-grain shuffle "
+        "carries more than ids + small values."),
     "sim_ivf_assign_histogram": (
         "SemDeDup fold: the (id, vector, cell) working set is assigned "
         "ONCE — one ArrowEvalPython over the BROADCAST centroid matrix "
