@@ -102,6 +102,30 @@ def parse_robots(text: str, agent: str = "*") -> list[tuple[str, bool]]:
     return merged
 
 
+def parse_sitemap_urls(text: str) -> list[str]:
+    """`Sitemap:` lines of a robots.txt (RFC 9309 §2.2.4 treats them as
+    any-group metadata; the sitemaps.org convention points the crawler
+    at the host's own URL list — this is the discovery hook that feeds
+    core/sitemap.py). Group-independent per the spec: collected from
+    the WHOLE file, order preserved, duplicates dropped (first wins),
+    comments stripped, malformed lines ignored — total."""
+    if not text:
+        return []
+    out: list[str] = []
+    seen: set[str] = set()
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        if key.strip().lower() == "sitemap":
+            val = val.strip()
+            if val and val not in seen:
+                seen.add(val)
+                out.append(val)
+    return out
+
+
 def robots_allows(rules: list[tuple[str, bool]], path: str) -> bool:
     """Most-specific-match evaluation (specificity = rule-string
     length, wildcards counted); allow wins same-length ties; no

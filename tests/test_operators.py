@@ -2128,3 +2128,24 @@ def test_apply_robots_wildcards_distributed(spark):
     assert got == expect
     # the $ anchor is live: page-3 blocked, page-30 allowed
     assert got[2] is False and got[3] is True
+
+
+def test_parse_sitemap_urls_from_robots():
+    """Sitemap: lines are group-independent metadata (collected from
+    the whole file), order-preserving, first-occurrence-deduped,
+    comment-stripped, and total on malformed input — the discovery
+    hook joining the robots gate to the sitemap parser."""
+    from ocr_spark.core.robots import parse_sitemap_urls
+
+    txt = ("User-agent: a\nDisallow: /x\n"
+           "Sitemap: https://h.example.com/sitemap.xml  # primary\n"
+           "User-agent: *\n"
+           "sitemap: https://h.example.com/news.xml\n"
+           "Sitemap: https://h.example.com/sitemap.xml\n"   # dup
+           "Sitemap:\n"                                      # empty
+           "Sitemap https://no-colon.example.com/s.xml\n")   # malformed
+    assert parse_sitemap_urls(txt) == [
+        "https://h.example.com/sitemap.xml",
+        "https://h.example.com/news.xml"]
+    assert parse_sitemap_urls("") == []
+    assert parse_sitemap_urls("garbage\n:::\n") == []
