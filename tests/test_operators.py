@@ -2149,3 +2149,26 @@ def test_parse_sitemap_urls_from_robots():
         "https://h.example.com/news.xml"]
     assert parse_sitemap_urls("") == []
     assert parse_sitemap_urls("garbage\n:::\n") == []
+
+
+def test_apply_robots_bare_table_wildcards_not_literal(spark):
+    """The review scenario: a bare 3-column (host, prefix, allow) table
+    carrying a wildcard rule (the shape parse_robots feeds) must NOT
+    evaluate the pattern as a literal prefix — apply_robots collects
+    and re-translates it, so verdicts match core robots_allows."""
+    from ocr_spark.core.robots import robots_allows
+    from ocr_spark.operators.urls import apply_robots
+
+    pats = [("/*/tmp$", False)]
+    bare = spark.createDataFrame(
+        [("h.example.com", p, a) for p, a in pats],
+        "host string, prefix string, allow boolean")
+    df = spark.createDataFrame(
+        [(1, "https://h.example.com/a/tmp"),
+         (2, "https://h.example.com/a/tmp/file")],
+        ["doc_id", "url"])
+    got = {r["doc_id"]: r["robots_ok"]
+           for r in apply_robots(df, "doc_id", "url", bare).collect()}
+    assert got == {1: robots_allows(pats, "/a/tmp"),
+                   2: robots_allows(pats, "/a/tmp/file")}
+    assert got == {1: False, 2: True}
