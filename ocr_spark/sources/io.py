@@ -132,3 +132,119 @@ class CheckpointManifest:
         with open(p, "w") as f:
             f.write(str(n + 1))
         return n + 1
+
+
+class VersionedTable:
+    """Partition-grain copy-on-write table with snapshot time travel —
+    the Iceberg feature set the parquet fallback was missing (snapshot
+    isolation, `VERSION AS OF` reads, instant rollback), implemented
+    with the same manifest discipline as CheckpointManifest.
+
+    Why a training pipeline needs it: a model release must pin the
+    exact corpus it trained on. With plain dynamic-partition overwrite,
+    a recrawl that rewrites bucket 7 silently changes every later read;
+    here each commit writes NEW files under ``data/snap-<n>-<uuid>/``
+    and appends one JSON line to the manifest mapping the partitions it
+    (re)wrote, so ``read(snapshot_id=k)`` resolves each partition to
+    its newest files at k — old snapshots stay byte-stable forever (or
+    until an explicit GC policy prunes them), and rollback is reading
+    an older id. Readers never list the data directory; the manifest
+    IS the table (Iceberg's core idea), so a crashed half-written
+    commit (files present, no manifest line) is invisible.
+
+    Commit protocol (single-writer, like the extract job's driver
+    loop): write files -> fsync-free atomic manifest append via
+    write-temp + ``os.replace`` of the WHOLE manifest (manifests are
+    tiny: one line per commit). Concurrent writers would need a
+    catalog's compare-and-swap — out of scope, stated.
+
+    Scale shape: the manifest holds (partition -> directory) strings,
+    one entry per partition per commit that touched it — independent of
+    row count; reads hand Spark an explicit directory list, so
+    partition pruning happens driver-side at manifest resolution (read
+    only the partitions you ask for via ``partitions=``), and file
+    listing stays per-directory.
+    """
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "_snapshots.json")
+
+    def snapshots(self) -> list[dict]:
+        if not os.path.exists(self._manifest_path):
+            return []
+        with open(self._manifest_path) as f:
+            return json.load(f)
+
+    def _write_manifest(self, snaps: list[dict]) -> None:
+        tmp = self._manifest_path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(snaps, f, indent=1)
+        os.replace(tmp, self._manifest_path)
+
+    def commit(self, df: DataFrame, partition_col: str | None = None,
+               note: str = "") -> int:
+        """Write ``df`` as a new snapshot. With ``partition_col``,
+        semantics are Iceberg dynamic-partition overwrite: partitions
+        PRESENT in ``df`` are replaced, absent ones carry over from the
+        previous snapshot. Without it, the commit replaces the whole
+        table. Returns the new snapshot id (1-based, monotone)."""
+        snaps = self.snapshots()
+        sid = (snaps[-1]["id"] + 1) if snaps else 1
+        rel = f"snap-{sid:06d}-{uuid.uuid4().hex[:8]}"
+        out = os.path.join(self.root, "data", rel)
+        parts: dict[str, str]
+        if partition_col is None:
+            df.write.mode("errorifexists").parquet(out)
+            parts = {"__table__": rel}
+        else:
+            # partition the LAYOUT on a duplicate string column so the
+            # real column (with its type) stays inside the data files —
+            # reads then need no partition-dir inference, which would
+            # choke on the snap-<n>/key=value two-level structure
+            from pyspark.sql import functions as F
+            (df.withColumn("_pv", F.col(partition_col).cast("string"))
+             .write.mode("errorifexists").partitionBy("_pv").parquet(out))
+            vals = [str(r[0]) for r in df.select(partition_col)
+                    .distinct().collect()]
+            parts = {v: os.path.join(rel, f"_pv={v}") for v in vals}
+        snaps.append({"id": sid, "ts": time.time(), "note": note,
+                      "partition_col": partition_col, "parts": parts})
+        self._write_manifest(snaps)
+        return sid
+
+    def _resolve(self, snapshot_id: int | None,
+                 partitions: list[str] | None) -> tuple[dict, dict]:
+        snaps = self.snapshots()
+        if snapshot_id is not None:
+            snaps = [s for s in snaps if s["id"] <= snapshot_id]
+        if not snaps:
+            raise ValueError(
+                f"no snapshot <= {snapshot_id!r} in {self.root}")
+        live: dict[str, str] = {}
+        meta = snaps[-1]
+        for s in snaps:   # later commits shadow earlier per partition
+            if s["partition_col"] is None:
+                live = dict(s["parts"])
+            else:
+                live.update(s["parts"])
+        if partitions is not None:
+            live = {k: v for k, v in live.items() if k in partitions}
+        return live, meta
+
+    def read(self, snapshot_id: int | None = None,
+             partitions: list[str] | None = None) -> DataFrame:
+        """The table AS OF ``snapshot_id`` (default: latest).
+        ``partitions`` prunes driver-side to the named partition values
+        (manifest resolution — no data-directory listing at all)."""
+        live, _ = self._resolve(snapshot_id, partitions)
+        dirs = [os.path.join(self.root, "data", rel)
+                for rel in live.values()]
+        if not dirs:
+            raise ValueError("no partitions matched")
+        return self.spark.read.parquet(*dirs)

@@ -194,3 +194,77 @@ def test_max_records_per_file_bounds_output_files(spark, tmp_path):
     io2.overwrite_partitions(df, "t", ["bucket"])
     files2 = glob.glob(str(tmp_path / "w2" / "t") + "/bucket=*/*.parquet")
     assert len(files2) == 2
+
+
+def test_versioned_table_time_travel(spark, tmp_path):
+    """Snapshot log semantics: dynamic-partition commits replace only
+    the partitions they carry (absent ones carry over), read() is the
+    latest live view, read(snapshot_id=k) is byte-stable forever,
+    partition pruning resolves driver-side, and a crashed half-commit
+    (files on disk, no manifest line) is invisible."""
+    from ocr_spark.sources.io import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    v1 = vt.commit(spark.createDataFrame(
+        [(0, "a0"), (1, "b0")], ["bucket", "val"]), "bucket", note="full")
+    v2 = vt.commit(spark.createDataFrame(
+        [(1, "b1")], ["bucket", "val"]), "bucket", note="recrawl b1")
+    assert (v1, v2) == (1, 2)
+
+    def rows(**kw):
+        return {(r["bucket"], r["val"]) for r in vt.read(**kw).collect()}
+
+    assert rows() == {(0, "a0"), (1, "b1")}                  # latest
+    assert rows(snapshot_id=1) == {(0, "a0"), (1, "b0")}     # time travel
+    assert rows(partitions=["1"]) == {(1, "b1")}             # pruned
+    assert rows(snapshot_id=1, partitions=["1"]) == {(1, "b0")}
+    # partition column keeps its type (lives in the data files)
+    assert dict(vt.read().dtypes)["bucket"] == "bigint"
+
+    # crash simulation: data dir written, manifest line never appended
+    import os
+    orphan = tmp_path / "t" / "data" / "snap-000099-deadbeef"
+    os.makedirs(orphan)
+    (orphan / "junk.parquet").write_bytes(b"not a commit")
+    assert rows() == {(0, "a0"), (1, "b1")}   # reader never lists data/
+
+    # whole-table (unpartitioned) commit shadows everything
+    v3 = vt.commit(spark.createDataFrame([(9, "z")], ["bucket", "val"]))
+    assert rows() == {(9, "z")}
+    assert rows(snapshot_id=2) == {(0, "a0"), (1, "b1")}
+    assert [s["id"] for s in vt.snapshots()] == [1, 2, 3] and v3 == 3
+
+    # reading before any snapshot (or past one) fails loudly
+    import pytest as _pytest
+    empty = VersionedTable(spark, str(tmp_path / "empty"))
+    with _pytest.raises(ValueError):
+        empty.read()
+
+
+def test_versioned_table_pins_training_corpus(spark, corpus, tmp_path):
+    """Integration with the extract job's output shape: commit per-group
+    results as snapshots; a later recrawl overwrite of one bucket does
+    NOT change what a pinned snapshot reads (the model-release
+    reproducibility contract)."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.plans.extract_job import extract_pages
+    from ocr_spark.sources.io import VersionedTable
+
+    pages = spark.read.parquet(corpus)
+    res = extract_pages(pages, n_buckets=4, salt_n=2).select(
+        "url", "bucket", F.md5("extracted_text").alias("h")).cache()
+    vt = VersionedTable(spark, str(tmp_path / "results"))
+    pin = vt.commit(res, "bucket", note="training corpus v1")
+    baseline = {r["url"]: r["h"] for r in vt.read().collect()}
+
+    # recrawl rewrites bucket 0 with different content
+    recrawl = res.where("bucket = 0").withColumn(
+        "h", F.md5(F.concat(F.col("h"), F.lit("changed"))))
+    vt.commit(recrawl, "bucket", note="recrawl")
+    pinned = {r["url"]: r["h"] for r in vt.read(snapshot_id=pin).collect()}
+    assert pinned == baseline
+    latest = {r["url"]: r["h"] for r in vt.read().collect()}
+    changed = {u for u in baseline if latest[u] != baseline[u]}
+    assert changed == {r["url"]
+                       for r in res.where("bucket = 0").collect()}
