@@ -243,8 +243,19 @@ def run_extract_job(
     group_size: int = 8,
     fail_after_groups: int | None = None,
     fail_point: str = "group_start",
+    versioned: bool = False,
 ) -> dict:
     """Resumable driver loop: process pending buckets in groups.
+
+    ``versioned=True`` writes results through VersionedTable instead of
+    dynamic partition overwrite: each group becomes one snapshot commit
+    (partition-grain copy-on-write), so the results table carries its
+    full history — ``VersionedTable(spark, out_dir + "/results").read()``
+    is the exactly-once latest view (a resumed group's re-commit shadows
+    its crashed predecessor), and any earlier snapshot id stays
+    byte-stable for corpus pinning. Versioned results MUST be read
+    through VersionedTable — a plain recursive parquet read of the root
+    would see every historical snapshot at once.
 
     Each group is one Spark job over a bucket-pruned scan; results are
     written with dynamic partition overwrite (idempotent), lineage/metrics
@@ -264,6 +275,10 @@ def run_extract_job(
     multiplier that is fine at sandbox scale and flagged for 100 TB.
     """
     io = TableIO(spark, out_dir)
+    vt = None
+    if versioned:
+        from ocr_spark.sources.io import VersionedTable
+        vt = VersionedTable(spark, os.path.join(out_dir, "results"))
     manifest = CheckpointManifest(os.path.join(out_dir, "_checkpoints"))
     snapshot_id = uuid.uuid4().hex[:12]
 
@@ -331,9 +346,12 @@ def run_extract_job(
                 F.col("url"), F.lit(False), n_buckets, salt_n)
             subset = pages.where(bucket.isin(group))
         results = extract_pages(subset, n_buckets, salt_n, hot=hot).cache()
-        io.overwrite_partitions(
-            results.drop("extract_us", "input_bytes", "salt"),
-            "results", ["bucket"])
+        out_cols = results.drop("extract_us", "input_bytes", "salt")
+        if vt is not None:
+            vt.commit(out_cols, "bucket",
+                      note=f"run {snapshot_id} buckets {group}")
+        else:
+            io.overwrite_partitions(out_cols, "results", ["bucket"])
         attempt = max(manifest.attempt_of(b) for b in group)
         io.append(lineage_of(results, attempt, snapshot_id), "lineage")
         io.append(metrics_of(results, attempt, snapshot_id), "metrics")

@@ -268,3 +268,38 @@ def test_versioned_table_pins_training_corpus(spark, corpus, tmp_path):
     changed = {u for u in baseline if latest[u] != baseline[u]}
     assert changed == {r["url"]
                        for r in res.where("bucket = 0").collect()}
+
+
+def test_versioned_results_sink_resume_byte_identical(spark, corpus,
+                                                      tmp_path):
+    """versioned=True end to end: crash after one group, resume — the
+    VersionedTable latest view is byte-identical to golden (re-commits
+    shadow the crashed group), one snapshot per completed group, and
+    the pre-crash snapshot stays a stable partial view."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.sources.io import VersionedTable
+
+    out = str(tmp_path / "out")
+    st = run_extract_job(spark, corpus, out, n_buckets=N_BUCKETS,
+                         group_size=2, fail_after_groups=1,
+                         versioned=True)
+    assert st["completed"] is False
+    vt = VersionedTable(spark, f"{out}/results")
+    pre = vt.snapshots()[-1]["id"]
+    partial = vt.read(snapshot_id=pre).count()
+
+    st2 = run_extract_job(spark, corpus, out, n_buckets=N_BUCKETS,
+                          group_size=2, versioned=True)
+    assert st2["completed"] is True
+    golden = spark.read.parquet(
+        corpus.replace("pages.parquet", "golden.parquet"))
+    latest = vt.read().select(
+        "url", F.encode("extracted_text", "utf-8").alias("got"))
+    div = (latest.join(golden, "url")
+           .where(F.col("got") != F.col("expected_text")).count())
+    assert div == 0
+    assert latest.count() == golden.count()
+    # the pinned pre-crash snapshot did not move
+    assert vt.read(snapshot_id=pre).count() == partial
+    assert len(vt.snapshots()) > 1
