@@ -188,13 +188,23 @@ class VersionedTable:
         os.replace(tmp, self._manifest_path)
 
     def commit(self, df: DataFrame, partition_col: str | None = None,
-               note: str = "") -> int:
+               note: str = "", replace_all: bool = False) -> int:
         """Write ``df`` as a new snapshot. With ``partition_col``,
-        semantics are Iceberg dynamic-partition overwrite: partitions
+        default semantics are Iceberg DYNAMIC overwrite: partitions
         PRESENT in ``df`` are replaced, absent ones carry over from the
-        previous snapshot. Without it, the commit replaces the whole
-        table. Returns the new snapshot id (1-based, monotone)."""
+        previous snapshot; ``replace_all=True`` is the STATIC overwrite
+        (the new mapping replaces the whole live view). Without a
+        partition column the table is unpartitioned and every commit
+        replaces it. The partition scheme is fixed by the FIRST commit
+        — a mismatched ``partition_col`` raises (mixing unpartitioned
+        and partitioned commits would double-read carried-over
+        partitions). Returns the new snapshot id (1-based, monotone)."""
         snaps = self.snapshots()
+        if snaps and snaps[0]["partition_col"] != partition_col:
+            raise ValueError(
+                f"table at {self.root} is partitioned by "
+                f"{snaps[0]['partition_col']!r}; commit asked for "
+                f"{partition_col!r}")
         sid = (snaps[-1]["id"] + 1) if snaps else 1
         rel = f"snap-{sid:06d}-{uuid.uuid4().hex[:8]}"
         out = os.path.join(self.root, "data", rel)
@@ -214,7 +224,8 @@ class VersionedTable:
                     .distinct().collect()]
             parts = {v: os.path.join(rel, f"_pv={v}") for v in vals}
         snaps.append({"id": sid, "ts": time.time(), "note": note,
-                      "partition_col": partition_col, "parts": parts})
+                      "partition_col": partition_col,
+                      "replace_all": bool(replace_all), "parts": parts})
         self._write_manifest(snaps)
         return sid
 
@@ -229,13 +240,52 @@ class VersionedTable:
         live: dict[str, str] = {}
         meta = snaps[-1]
         for s in snaps:   # later commits shadow earlier per partition
-            if s["partition_col"] is None:
+            if s["partition_col"] is None or s.get("replace_all"):
                 live = dict(s["parts"])
             else:
                 live.update(s["parts"])
         if partitions is not None:
             live = {k: v for k, v in live.items() if k in partitions}
         return live, meta
+
+    def expire_snapshots(self, keep_last: int) -> list[str]:
+        """Iceberg-style snapshot expiry: keep the newest ``keep_last``
+        snapshots readable and delete the data directories nothing
+        surviving references. The oldest surviving snapshot is
+        COMPACTED in place — its manifest entry becomes the fully
+        resolved live view at that id (replace_all), so history
+        truncation never changes what any surviving id reads. Crash
+        safety preserves the design invariant: the new manifest is
+        written atomically FIRST, then unreferenced dirs are removed —
+        a crash in between leaves invisible orphans, never a dangling
+        reference. Returns the deleted relative dirs."""
+        import shutil
+
+        snaps = self.snapshots()
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        if len(snaps) <= keep_last:
+            return []
+        surviving = snaps[-keep_last:]
+        base = surviving[0]
+        base_live, _ = self._resolve(base["id"], None)
+        compacted = {"id": base["id"], "ts": base["ts"],
+                     "note": (base.get("note", "")
+                              + " (compacted by expire_snapshots)"),
+                     "partition_col": base["partition_col"],
+                     "replace_all": True, "parts": base_live}
+        new_snaps = [compacted] + [dict(s) for s in surviving[1:]]
+        referenced = {rel.split(os.sep)[0]
+                      for s in new_snaps for rel in s["parts"].values()}
+        self._write_manifest(new_snaps)
+        deleted = []
+        data = os.path.join(self.root, "data")
+        for name in sorted(os.listdir(data)):
+            if name.startswith("snap-") and name not in referenced:
+                shutil.rmtree(os.path.join(data, name),
+                              ignore_errors=True)
+                deleted.append(name)
+        return deleted
 
     def read(self, snapshot_id: int | None = None,
              partitions: list[str] | None = None) -> DataFrame:

@@ -228,17 +228,78 @@ def test_versioned_table_time_travel(spark, tmp_path):
     (orphan / "junk.parquet").write_bytes(b"not a commit")
     assert rows() == {(0, "a0"), (1, "b1")}   # reader never lists data/
 
-    # whole-table (unpartitioned) commit shadows everything
-    v3 = vt.commit(spark.createDataFrame([(9, "z")], ["bucket", "val"]))
+    # the partition scheme is fixed by the first commit — an
+    # unpartitioned commit on a partitioned table would double-read
+    # carried-over partitions, so it must raise
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="partitioned by"):
+        vt.commit(spark.createDataFrame([(9, "z")], ["bucket", "val"]))
+    # static overwrite (replace_all) resets the live view instead
+    v3 = vt.commit(spark.createDataFrame([(9, "z")], ["bucket", "val"]),
+                   "bucket", replace_all=True)
     assert rows() == {(9, "z")}
     assert rows(snapshot_id=2) == {(0, "a0"), (1, "b1")}
     assert [s["id"] for s in vt.snapshots()] == [1, 2, 3] and v3 == 3
 
+    # unpartitioned tables: every commit replaces the whole table
+    ut = VersionedTable(spark, str(tmp_path / "ut"))
+    ut.commit(spark.createDataFrame([(1, "x")], ["k", "v"]))
+    ut.commit(spark.createDataFrame([(2, "y")], ["k", "v"]))
+    assert {(r["k"], r["v"]) for r in ut.read().collect()} == {(2, "y")}
+    assert {(r["k"], r["v"])
+            for r in ut.read(snapshot_id=1).collect()} == {(1, "x")}
+
     # reading before any snapshot (or past one) fails loudly
-    import pytest as _pytest
     empty = VersionedTable(spark, str(tmp_path / "empty"))
     with _pytest.raises(ValueError):
         empty.read()
+
+
+def test_versioned_table_expire_snapshots(spark, tmp_path):
+    """Snapshot expiry: surviving ids read EXACTLY what they read
+    before (the oldest survivor is compacted to its resolved view),
+    expired ids fail loudly, and unreferenced data dirs are deleted
+    while still-referenced old dirs survive (partition carryover)."""
+    import os
+
+    from ocr_spark.sources.io import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.commit(spark.createDataFrame(
+        [(0, "a0"), (1, "b0"), (2, "c0")], ["bucket", "val"]), "bucket")
+    vt.commit(spark.createDataFrame([(1, "b1")], ["bucket", "val"]),
+              "bucket")
+    vt.commit(spark.createDataFrame([(2, "c2")], ["bucket", "val"]),
+              "bucket")
+    vt.commit(spark.createDataFrame([(1, "b3")], ["bucket", "val"]),
+              "bucket")
+
+    def rows(**kw):
+        return {(r["bucket"], r["val"]) for r in vt.read(**kw).collect()}
+
+    before3, before4 = rows(snapshot_id=3), rows()
+    # keep_last=2: snap 2's dir is STILL referenced (surviving snapshot
+    # 3 reads bucket 1 = 'b1' from it via carryover) — nothing deletable
+    assert vt.expire_snapshots(keep_last=2) == []
+    assert rows(snapshot_id=3) == before3 == {(0, "a0"), (1, "b1"),
+                                              (2, "c2")}
+    assert rows() == before4 == {(0, "a0"), (1, "b3"), (2, "c2")}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        vt.read(snapshot_id=1)   # expired by the manifest truncation
+
+    # keep_last=1: only the latest view survives (buckets 0/2 still
+    # carry from snaps 1/3, so those dirs stay); snap 2's dir is now
+    # unreferenced and really removed from disk
+    deleted = vt.expire_snapshots(keep_last=1)
+    assert len(deleted) == 1 and deleted[0].startswith("snap-000002")
+    assert rows() == before4
+    with _pytest.raises(ValueError):
+        vt.read(snapshot_id=3)
+    data = tmp_path / "t" / "data"
+    assert len([d for d in os.listdir(data) if d.startswith("snap-")]) == 3
+    # expiry is idempotent / no-op when nothing to drop
+    assert vt.expire_snapshots(keep_last=1) == []
 
 
 def test_versioned_table_pins_training_corpus(spark, corpus, tmp_path):
