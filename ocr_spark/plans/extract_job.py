@@ -280,6 +280,24 @@ def run_extract_job(
         from ocr_spark.sources.io import VersionedTable
         vt = VersionedTable(spark, os.path.join(out_dir, "results"))
     manifest = CheckpointManifest(os.path.join(out_dir, "_checkpoints"))
+    # A resume must not flip sink modes: buckets written plain and marked
+    # done would silently be MISSING from the VersionedTable view (and
+    # vice versa) — record the mode with the checkpoints and reject a
+    # mismatch loudly.
+    mode_file = os.path.join(out_dir, "_checkpoints", "_SINK_MODE")
+    want_mode = "versioned" if versioned else "plain"
+    if os.path.exists(mode_file):
+        with open(mode_file) as f:
+            have_mode = f.read().strip()
+        if have_mode != want_mode:
+            raise ValueError(
+                f"results at {out_dir} were written with the "
+                f"{have_mode!r} sink; resuming with {want_mode!r} would "
+                f"silently drop the already-completed buckets from the "
+                f"readable view")
+    else:
+        with open(mode_file, "w") as f:
+            f.write(want_mode)
     snapshot_id = uuid.uuid4().hex[:12]
 
     pages = spark.read.parquet(pages_path)

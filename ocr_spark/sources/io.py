@@ -220,9 +220,14 @@ class VersionedTable:
             from pyspark.sql import functions as F
             (df.withColumn("_pv", F.col(partition_col).cast("string"))
              .write.mode("errorifexists").partitionBy("_pv").parquet(out))
-            vals = [str(r[0]) for r in df.select(partition_col)
-                    .distinct().collect()]
-            parts = {v: os.path.join(rel, f"_pv={v}") for v in vals}
+            # manifest keys come from the directories Spark ACTUALLY
+            # wrote (Hive-escaped spelling) — never from a second
+            # evaluation of df, which would re-run the upstream plan
+            # and could diverge from disk (str(True) vs 'true', %xx
+            # escapes, non-deterministic inputs)
+            parts = {d[len("_pv="):]: os.path.join(rel, d)
+                     for d in sorted(os.listdir(out))
+                     if d.startswith("_pv=")}
         snaps.append({"id": sid, "ts": time.time(), "note": note,
                       "partition_col": partition_col,
                       "replace_all": bool(replace_all), "parts": parts})
@@ -230,9 +235,17 @@ class VersionedTable:
         return sid
 
     def _resolve(self, snapshot_id: int | None,
-                 partitions: list[str] | None) -> tuple[dict, dict]:
+                 partitions: list | None) -> tuple[dict, dict]:
         snaps = self.snapshots()
         if snapshot_id is not None:
+            if snaps and snapshot_id > snaps[-1]["id"]:
+                # a pin against a FUTURE/unknown id must fail loudly —
+                # silently returning the latest view would make the
+                # "pinned corpus" track every later recrawl, the exact
+                # failure this table exists to prevent
+                raise ValueError(
+                    f"unknown snapshot {snapshot_id} (latest is "
+                    f"{snaps[-1]['id']}) in {self.root}")
             snaps = [s for s in snaps if s["id"] <= snapshot_id]
         if not snaps:
             raise ValueError(
@@ -245,7 +258,13 @@ class VersionedTable:
             else:
                 live.update(s["parts"])
         if partitions is not None:
-            live = {k: v for k, v in live.items() if k in partitions}
+            # match the on-disk spelling AND its percent-unescaped form
+            # (Spark Hive-escapes special chars in partition dirs), with
+            # values normalized through str() so natural ints work
+            from urllib.parse import unquote
+            want = {str(p) for p in partitions}
+            live = {k: v for k, v in live.items()
+                    if k in want or unquote(k) in want}
         return live, meta
 
     def expire_snapshots(self, keep_last: int) -> list[str]:
@@ -264,37 +283,54 @@ class VersionedTable:
         snaps = self.snapshots()
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
-        if len(snaps) <= keep_last:
-            return []
-        surviving = snaps[-keep_last:]
-        base = surviving[0]
-        base_live, _ = self._resolve(base["id"], None)
-        compacted = {"id": base["id"], "ts": base["ts"],
-                     "note": (base.get("note", "")
-                              + " (compacted by expire_snapshots)"),
-                     "partition_col": base["partition_col"],
-                     "replace_all": True, "parts": base_live}
-        new_snaps = [compacted] + [dict(s) for s in surviving[1:]]
+        if len(snaps) > keep_last:
+            surviving = snaps[-keep_last:]
+            base = surviving[0]
+            base_live, _ = self._resolve(base["id"], None)
+            compacted = {"id": base["id"], "ts": base["ts"],
+                         "note": (base.get("note", "")
+                                  + " (compacted by expire_snapshots)"),
+                         "partition_col": base["partition_col"],
+                         "replace_all": True, "parts": base_live}
+            new_snaps = [compacted] + [dict(s) for s in surviving[1:]]
+            self._write_manifest(new_snaps)
+            snaps = new_snaps
+        # the sweep ALWAYS runs (even when nothing was truncated) so a
+        # crash between a previous manifest write and its rmtree loop is
+        # self-healing: orphans are reclaimed on the next expiry call
         referenced = {rel.split(os.sep)[0]
-                      for s in new_snaps for rel in s["parts"].values()}
-        self._write_manifest(new_snaps)
+                      for s in snaps for rel in s["parts"].values()}
         deleted = []
         data = os.path.join(self.root, "data")
-        for name in sorted(os.listdir(data)):
-            if name.startswith("snap-") and name not in referenced:
-                shutil.rmtree(os.path.join(data, name),
-                              ignore_errors=True)
-                deleted.append(name)
+        if os.path.isdir(data):
+            for name in sorted(os.listdir(data)):
+                if name.startswith("snap-") and name not in referenced:
+                    shutil.rmtree(os.path.join(data, name),
+                                  ignore_errors=True)
+                    deleted.append(name)
         return deleted
 
     def read(self, snapshot_id: int | None = None,
-             partitions: list[str] | None = None) -> DataFrame:
+             partitions: list | None = None) -> DataFrame:
         """The table AS OF ``snapshot_id`` (default: latest).
         ``partitions`` prunes driver-side to the named partition values
-        (manifest resolution — no data-directory listing at all)."""
+        (manifest resolution — no data-directory listing at all; values
+        are str()-normalized, so natural ints work). A prune that
+        matches nothing returns an EMPTY DataFrame with the live view's
+        schema — consumers iterating partition values must not crash on
+        a legitimately absent one. Snapshots may evolve schemas; reads
+        spanning several commits merge them (mergeSchema), carried-over
+        partitions showing NULL for later-added columns."""
+        from pyspark.sql import functions as F
+
         live, _ = self._resolve(snapshot_id, partitions)
+        if not live:
+            full, _ = self._resolve(snapshot_id, None)
+            dirs = [os.path.join(self.root, "data", rel)
+                    for rel in full.values()]
+            return (self.spark.read.option("mergeSchema", "true")
+                    .parquet(*dirs).where(F.lit(False)))
         dirs = [os.path.join(self.root, "data", rel)
                 for rel in live.values()]
-        if not dirs:
-            raise ValueError("no partitions matched")
-        return self.spark.read.parquet(*dirs)
+        return (self.spark.read.option("mergeSchema", "true")
+                .parquet(*dirs))

@@ -364,3 +364,65 @@ def test_versioned_results_sink_resume_byte_identical(spark, corpus,
     # the pinned pre-crash snapshot did not move
     assert vt.read(snapshot_id=pre).count() == partial
     assert len(vt.snapshots()) > 1
+
+
+def test_versioned_table_review_hardening(spark, tmp_path):
+    """Round of review fixes pinned: (a) manifest keys come from the
+    dirs Spark wrote (bool 'true', not str(True) — and commit evaluates
+    df once); (b) read(snapshot_id > latest) raises; (c) int partition
+    values prune naturally, and an absent partition yields an EMPTY
+    frame with the table schema; (d) schema evolution across commits
+    merges (carried-over partitions read NULL for new columns); (e) a
+    crashed expiry's orphan dirs are reclaimed by the next call."""
+    import os
+
+    import pytest as _pytest
+
+    from ocr_spark.sources.io import VersionedTable
+
+    # (a) boolean partition values
+    bt = VersionedTable(spark, str(tmp_path / "b"))
+    bt.commit(spark.createDataFrame([(True, 1), (False, 2)],
+                                    ["flag", "v"]), "flag")
+    assert {(r["flag"], r["v"]) for r in bt.read().collect()} \
+        == {(True, 1), (False, 2)}
+    assert set(bt.snapshots()[0]["parts"]) == {"true", "false"}
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.commit(spark.createDataFrame([(0, "a"), (1, "b")],
+                                    ["bucket", "val"]), "bucket")
+    # (b) unknown (future) snapshot id
+    with _pytest.raises(ValueError, match="unknown snapshot"):
+        vt.read(snapshot_id=99)
+    # (c) natural-int prune + empty-but-typed absent partition
+    assert {r["val"] for r in vt.read(partitions=[1]).collect()} == {"b"}
+    empty = vt.read(partitions=[7])
+    assert empty.count() == 0
+    assert set(empty.columns) == {"bucket", "val"}
+    # (d) schema evolution: second commit adds a column
+    vt.commit(spark.createDataFrame([(1, "b2", 0.5)],
+                                    ["bucket", "val", "score"]), "bucket")
+    got = {r["bucket"]: (r["val"], r["score"])
+           for r in vt.read().collect()}
+    assert got == {0: ("a", None), 1: ("b2", 0.5)}
+    # (e) orphan sweep is self-healing: fake a crashed expiry by
+    # planting an unreferenced snap dir, then expire with nothing to
+    # truncate — the orphan is still reclaimed
+    orphan = tmp_path / "t" / "data" / "snap-000077-feedface"
+    os.makedirs(orphan)
+    (orphan / "x").write_text("junk")
+    deleted = vt.expire_snapshots(keep_last=10)
+    assert deleted == ["snap-000077-feedface"]
+    assert not orphan.exists()
+
+
+def test_versioned_sink_mode_flip_rejected(spark, corpus, tmp_path):
+    """Resuming with the other sink mode must fail loudly — completed
+    buckets would silently vanish from the readable view."""
+    out = str(tmp_path / "out")
+    st = run_extract_job(spark, corpus, out, n_buckets=N_BUCKETS,
+                         group_size=2, fail_after_groups=1)
+    assert st["completed"] is False
+    with pytest.raises(ValueError, match="sink"):
+        run_extract_job(spark, corpus, out, n_buckets=N_BUCKETS,
+                        group_size=2, versioned=True)
