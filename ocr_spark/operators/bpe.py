@@ -144,7 +144,27 @@ def bpe_segment(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
 # (exact — a hash key could collide across models): {merges: (ranks,
 # {word: tokens})}. The S8 per-executor-singleton pattern — each distinct
 # word is segmented once per worker process, across batches AND jobs.
-_MEMO: dict[tuple, tuple[dict, dict]] = {}
+# Small LRU (ADVICE r3): two tokenize jobs with different merge tables
+# interleaved on one executor must not thrash each other's word memos
+# every batch; bounded at _MEMO_MAX models so a sweep over retrained
+# tables still cannot ratchet up a Heaps-law dict per historical model.
+from collections import OrderedDict
+
+_MEMO: "OrderedDict[tuple, tuple[dict, dict]]" = OrderedDict()
+_MEMO_MAX = 4
+
+
+def _memo_entry(mkey: tuple, mlist: list) -> tuple[dict, dict]:
+    """(ranks, word-memo) for a merge table, LRU-cached per worker."""
+    entry = _MEMO.get(mkey)
+    if entry is None:
+        while len(_MEMO) >= _MEMO_MAX:
+            _MEMO.popitem(last=False)  # evict least-recently-used
+        entry = ({p: i for i, p in enumerate(mlist)}, {})
+        _MEMO[mkey] = entry
+    else:
+        _MEMO.move_to_end(mkey)
+    return entry
 
 
 def bpe_tokenize(df: DataFrame, id_col: str, text_col: str,
@@ -160,15 +180,7 @@ def bpe_tokenize(df: DataFrame, id_col: str, text_col: str,
 
     @F.pandas_udf("array<string>")
     def _tok(texts: pd.Series) -> pd.Series:
-        entry = _MEMO.get(mkey)
-        if entry is None:
-            # bound worker memory to ONE model: a sweep over retrained
-            # merge tables must not ratchet up a Heaps-law word dict
-            # per historical model
-            _MEMO.clear()
-            entry = ({p: i for i, p in enumerate(mlist)}, {})
-            _MEMO[mkey] = entry
-        ranks, memo = entry
+        ranks, memo = _memo_entry(mkey, mlist)
         out = []
         for t in texts:
             if t is None:

@@ -139,6 +139,11 @@ def _rule_row(pattern: str, allow: bool) -> tuple:
     return (pattern, allow, pattern_re(pattern), len(pattern), wild)
 
 
+# Cap on the bare-rules convenience collect in apply_robots: a real
+# robots rule set is per-host and small; anything past this is a
+# contract violation that should route through robots_rule_table.
+MAX_BARE_RULES = 100_000
+
 RULE_SCHEMA = ("prefix string, allow boolean, rx string, spec int, "
                "wild boolean")
 
@@ -192,7 +197,18 @@ def apply_robots(df: DataFrame, id_col: str, url_col: str,
     from ocr_spark.functions.bucketing import host_of
 
     if "rx" not in rules.columns:
-        rows = rules.select("host", "prefix", "allow").collect()
+        # bounded collect (ADVICE r3): the re-translation convenience is
+        # for rule sets that honor the operator's broadcast contract; a
+        # contract-violating huge table must fail with a direction, not
+        # OOM the driver after re-evaluating an arbitrary upstream plan
+        rows = (rules.select("host", "prefix", "allow")
+                .limit(MAX_BARE_RULES + 1).collect())
+        if len(rows) > MAX_BARE_RULES:
+            raise ValueError(
+                f"apply_robots: bare 3-column rules table exceeds "
+                f"{MAX_BARE_RULES} rows — build it with "
+                f"robots_rule_table(...) (driver-side wildcard "
+                f"translation) instead of passing a raw DataFrame")
         rules = robots_rule_table(
             df.sparkSession,
             [(r["host"], r["prefix"], r["allow"]) for r in rows])

@@ -134,6 +134,19 @@ class CheckpointManifest:
         return n + 1
 
 
+def _norm_pv(v) -> str:
+    """One casting rule for requested partition values: mirror Spark's
+    string cast (the spelling the _pv= layout directories use), so
+    read(partitions=[True]) or [42] or [date(...)] match the disk form.
+    Supported key types: int, str, bool, date (others: pass the Spark
+    string-cast spelling yourself)."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    return str(v)
+
+
 class VersionedTable:
     """Partition-grain copy-on-write table with snapshot time travel —
     the Iceberg feature set the parquet fallback was missing (snapshot
@@ -209,6 +222,7 @@ class VersionedTable:
         rel = f"snap-{sid:06d}-{uuid.uuid4().hex[:8]}"
         out = os.path.join(self.root, "data", rel)
         parts: dict[str, str]
+        schema_dir: str | None = None
         if partition_col is None:
             df.write.mode("errorifexists").parquet(out)
             parts = {"__table__": rel}
@@ -228,9 +242,22 @@ class VersionedTable:
             parts = {d[len("_pv="):]: os.path.join(rel, d)
                      for d in sorted(os.listdir(out))
                      if d.startswith("_pv=")}
-        snaps.append({"id": sid, "ts": time.time(), "note": note,
-                      "partition_col": partition_col,
-                      "replace_all": bool(replace_all), "parts": parts})
+            if not parts:
+                # EMPTY partitioned commit: Spark wrote only _SUCCESS (no
+                # parquet footer anywhere), so a table whose every live
+                # partition is empty would have no schema source and
+                # read() could only fail confusingly (ADVICE r3). Record
+                # a 0-row unpartitioned schema file with the snapshot;
+                # read() falls back to it for a typed empty DataFrame.
+                df.limit(0).write.mode("errorifexists").parquet(
+                    os.path.join(out, "_schema"))
+                schema_dir = os.path.join(rel, "_schema")
+        entry = {"id": sid, "ts": time.time(), "note": note,
+                 "partition_col": partition_col,
+                 "replace_all": bool(replace_all), "parts": parts}
+        if schema_dir is not None:
+            entry["schema_dir"] = schema_dir
+        snaps.append(entry)
         self._write_manifest(snaps)
         return sid
 
@@ -260,11 +287,22 @@ class VersionedTable:
         if partitions is not None:
             # match the on-disk spelling AND its percent-unescaped form
             # (Spark Hive-escapes special chars in partition dirs), with
-            # values normalized through str() so natural ints work
+            # requested values normalized through Spark's OWN string-cast
+            # spelling (_norm_pv) so int/str/bool/date all line up with
+            # the _pv= directory names (ADVICE r3: plain str(True) is
+            # 'True' but the dir is '_pv=true')
             from urllib.parse import unquote
-            want = {str(p) for p in partitions}
+            want = {_norm_pv(p) for p in partitions}
             live = {k: v for k, v in live.items()
                     if k in want or unquote(k) in want}
+            if not live:
+                import warnings
+                warnings.warn(
+                    f"VersionedTable.read(partitions={partitions!r}) at "
+                    f"{self.root} matched no live partition — returning "
+                    f"an empty DataFrame (supported key types: int, str, "
+                    f"bool, date; other types must be passed in Spark's "
+                    f"string-cast spelling)", stacklevel=3)
         return live, meta
 
     def expire_snapshots(self, keep_last: int) -> list[str]:
@@ -300,6 +338,8 @@ class VersionedTable:
         # self-healing: orphans are reclaimed on the next expiry call
         referenced = {rel.split(os.sep)[0]
                       for s in snaps for rel in s["parts"].values()}
+        referenced |= {s["schema_dir"].split(os.sep)[0]
+                       for s in snaps if s.get("schema_dir")}
         deleted = []
         data = os.path.join(self.root, "data")
         if os.path.isdir(data):
@@ -328,6 +368,20 @@ class VersionedTable:
             full, _ = self._resolve(snapshot_id, None)
             dirs = [os.path.join(self.root, "data", rel)
                     for rel in full.values()]
+            if not dirs:
+                # the full view itself is empty (only empty partitioned
+                # commits so far) — fall back to the schema files those
+                # commits recorded; with none at all, fail with a typed
+                # message instead of spark.read.parquet() zero-paths
+                snaps = [s for s in self.snapshots()
+                         if snapshot_id is None or s["id"] <= snapshot_id]
+                dirs = [os.path.join(self.root, "data", s["schema_dir"])
+                        for s in snaps if s.get("schema_dir")]
+                if not dirs:
+                    raise ValueError(
+                        f"VersionedTable at {self.root} is empty at "
+                        f"snapshot {snapshot_id!r}: no data and no "
+                        f"recorded schema")
             return (self.spark.read.option("mergeSchema", "true")
                     .parquet(*dirs).where(F.lit(False)))
         dirs = [os.path.join(self.root, "data", rel)

@@ -2172,3 +2172,41 @@ def test_apply_robots_bare_table_wildcards_not_literal(spark):
     assert got == {1: robots_allows(pats, "/a/tmp"),
                    2: robots_allows(pats, "/a/tmp/file")}
     assert got == {1: False, 2: True}
+
+
+def test_apply_robots_bare_table_collect_is_capped(spark, monkeypatch):
+    """ADVICE r4: the bare-3-column convenience collect is bounded — a
+    contract-violating large rules table raises a directed error instead
+    of OOMing the driver."""
+    import pytest as _pytest
+
+    from ocr_spark.operators import urls as U
+
+    bare = spark.createDataFrame(
+        [(f"h{i}.com", "/x", False) for i in range(5)],
+        ["host", "prefix", "allow"])
+    df = spark.createDataFrame([(1, "https://h0.com/x")], ["doc_id", "url"])
+    monkeypatch.setattr(U, "MAX_BARE_RULES", 3)
+    with _pytest.raises(ValueError, match="robots_rule_table"):
+        U.apply_robots(df, "doc_id", "url", bare)
+
+
+def test_bpe_memo_lru_keeps_recent_models():
+    """ADVICE r4: the per-worker segmentation memo is a small LRU —
+    interleaved jobs with different merge tables no longer thrash each
+    other's word memos, and old models are evicted oldest-first."""
+    from ocr_spark.operators import bpe as B
+
+    B._MEMO.clear()
+    keys = [((f"a{i}", "b"),) for i in range(B._MEMO_MAX + 2)]
+    for k in keys:
+        B._memo_entry(k, list(k))
+    assert len(B._MEMO) == B._MEMO_MAX
+    assert keys[0] not in B._MEMO and keys[1] not in B._MEMO
+    # a hit refreshes recency: touching the oldest survivor keeps it
+    # alive through the next insertion
+    survivor = keys[2]
+    B._memo_entry(survivor, list(survivor))
+    B._memo_entry((("z", "z"),), [("z", "z")])
+    assert survivor in B._MEMO
+    B._MEMO.clear()

@@ -426,3 +426,35 @@ def test_versioned_sink_mode_flip_rejected(spark, corpus, tmp_path):
     with pytest.raises(ValueError, match="sink"):
         run_extract_job(spark, corpus, out, n_buckets=N_BUCKETS,
                         group_size=2, versioned=True)
+
+
+def test_versioned_table_empty_commit_and_pv_normalization(spark, tmp_path):
+    """ADVICE r4 fixes pinned: (a) an EMPTY partitioned first commit
+    records a schema file, so read() returns a typed empty DataFrame
+    instead of a zero-path parquet error; (b) requested partition values
+    normalize through Spark's string cast (read(partitions=[True])
+    matches the '_pv=true' dir); (c) expiry keeps recorded schema dirs
+    alive."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.sources.io import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "e"))
+    df = spark.createDataFrame([(True, 1)], ["flag", "v"])
+    vt.commit(df.where(F.lit(False)), "flag")
+    empty = vt.read()
+    assert empty.count() == 0
+    assert set(empty.columns) == {"flag", "v"}
+    # (b) bool partition value in its NATURAL Python spelling
+    vt.commit(df, "flag")
+    assert [r["v"] for r in vt.read(partitions=[True]).collect()] == [1]
+    assert vt.read(partitions=[False]).count() == 0  # absent, typed-empty
+    # (c) expiry compacts away the empty snapshot but never deletes a
+    # schema dir a surviving snapshot still records
+    vt.expire_snapshots(keep_last=2)
+    assert [r["v"] for r in vt.read().collect()] == [1]
+    # a table that truly has no schema anywhere fails with a typed error
+    vt2 = VersionedTable(spark, str(tmp_path / "none"))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="no snapshot"):
+        vt2.read()
