@@ -589,6 +589,17 @@ def duplicated_span_stats(df: DataFrame, id_col: str, text_col: str,
     array needs O(corpus) sorted global state — this needs only
     per-hash counts. Cost is the k-factor hash work, all codegen'd.
     """
+    ps = _dup_gram_positions(df, id_col, text_col, k, min_count)
+    spans, words = _span_folds(F.col("_ps"), k)
+    return ps.select(F.col(id_col), spans.cast("int").alias("dup_spans"),
+                     words.cast("int").alias("dup_words"))
+
+
+def _dup_gram_positions(df: DataFrame, id_col: str, text_col: str,
+                        k: int, min_count: int) -> DataFrame:
+    """(id, _ps sorted positions of duplicated k-grams) for affected docs
+    — the shared spine of duplicated_span_stats / remove_duplicated_spans
+    (see duplicated_span_stats for the scale rationale)."""
     ws = F.filter(F.split(F.col(text_col), " ", -1), lambda w: w != "")
     n = F.size(ws)
     pos = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
@@ -600,20 +611,69 @@ def duplicated_span_stats(df: DataFrame, id_col: str, text_col: str,
                 .alias("_gh")))
     dup = (grams.groupBy("_gh").agg(F.count(F.lit(1)).alias("_c"))
            .where(F.col("_c") >= min_count).select("_gh"))
-    ps = (grams.join(dup, "_gh")
-          .groupBy(id_col)
-          .agg(F.sort_array(F.collect_list("pos")).alias("_ps")))
-    n_ps = F.size("_ps")
+    return (grams.join(dup, "_gh")
+            .groupBy(id_col)
+            .agg(F.sort_array(F.collect_list("pos")).alias("_ps")))
+
+
+def _span_folds(ps, k: int):
+    """(span count, covered word count) columns over a NON-EMPTY sorted
+    duplicated-gram position array: spans = 1 + #(gaps > k), words =
+    k + sum(min(gap, k)) == |union of windows [p, p+k)|."""
+    n_ps = F.size(ps)
     idx = F.when(n_ps >= 2, F.sequence(F.lit(2), n_ps)).otherwise(
         F.array().cast("array<int>"))
-    gap = lambda j: (F.element_at("_ps", j)  # noqa: E731
-                     - F.element_at("_ps", j - F.lit(1)))
+    gap = lambda j: (F.element_at(ps, j)  # noqa: E731
+                     - F.element_at(ps, j - F.lit(1)))
     spans = F.lit(1) + F.aggregate(
         idx, F.lit(0), lambda a, j: a + F.when(gap(j) > k, 1).otherwise(0))
     words = F.lit(k) + F.aggregate(
         idx, F.lit(0), lambda a, j: a + F.least(gap(j), F.lit(k)))
-    return ps.select(F.col(id_col), spans.cast("int").alias("dup_spans"),
-                     words.cast("int").alias("dup_words"))
+    return spans, words
+
+
+def remove_duplicated_spans(df: DataFrame, id_col: str, text_col: str,
+                            k: int = 8, min_count: int = 2) -> DataFrame:
+    """ExactSubstr REMOVAL (Lee et al. 2021 §4.1 semantics at k-gram/word
+    grain): cut every merged duplicated window out of the text, not just
+    count it — the pass Lee et al.'s pipeline (and every modern
+    replication: RefinedWeb, Dolma) actually runs on the training corpus.
+    EVERY occurrence of a duplicated region is removed (the conservative
+    variant; keeping one canonical copy is a policy choice layered on
+    top via dedup_exact over the spans).
+
+    Returns ``df``'s columns plus ``clean_text`` (words OUTSIDE the
+    merged duplicated windows, joined by single spaces — removal is
+    word-grain, so inter-word whitespace is normalized by construction;
+    NULL text stays NULL), ``dup_spans`` and ``dup_words`` (identical to
+    :func:`duplicated_span_stats`, coalesced to 0 for clean docs).
+
+    Scale shape: the duplicated-position table comes from the SAME
+    one-groupBy positional-k-gram pass as duplicated_span_stats (text
+    never shuffles — positions come back as one int array per affected
+    doc, AQE broadcasts that table), and the cut is the
+    dedup_repeated_lines reassembly device: a narrow higher-order
+    filter + array_join, no UDF. Per-doc cost of the membership test is
+    O(n_words x dup_words) in the worst case — local CPU on an
+    already-flagged doc, never data movement.
+    """
+    ps = _dup_gram_positions(df, id_col, text_col, k, min_count)
+    psc = F.coalesce(F.col("_ps"), F.array().cast("array<int>"))
+    ws = F.filter(F.split(F.col(text_col), " ", -1), lambda w: w != "")
+    rem = F.array_sort(F.array_distinct(F.flatten(
+        F.transform(psc, lambda p: F.sequence(p, p + F.lit(k - 1))))))
+    clean = F.when(
+        F.col(text_col).isNull(), F.lit(None).cast("string")).otherwise(
+        F.array_join(
+            F.filter(ws, lambda w, i: ~F.array_contains(
+                rem, (i + F.lit(1)).cast("int"))), " "))
+    spans, words = _span_folds(psc, k)
+    return (df.join(ps, id_col, "left")
+            .select(*df.columns, clean.alias("clean_text"),
+                    F.when(F.size(psc) == 0, F.lit(0))
+                    .otherwise(spans).cast("int").alias("dup_spans"),
+                    F.when(F.size(psc) == 0, F.lit(0))
+                    .otherwise(words).cast("int").alias("dup_words")))
 
 
 # --------------------------------------------------------------------------

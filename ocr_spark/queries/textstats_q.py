@@ -313,7 +313,11 @@ _SPAN_K = 8
    f"CAST({_SPAN_K} + COALESCE(list_sum(list_transform("
    "range(2, len(ps) + 1), "
    f"j -> least(ps[j] - ps[j-1], {_SPAN_K}))), 0) AS INT) AS dup_words "
-   "FROM s) "
+   "FROM s), "
+   # ExactSubstr REMOVAL mirror (r4): removed word indices = union of
+   # the duplicated windows [p, p+k); clean text = the other words
+   "r AS (SELECT doc_id, list_sort(list_distinct(flatten("
+   f"list_transform(ps, p -> range(p, p + {_SPAN_K}))))) AS rem FROM s) "
    "SELECT w.doc_id, len(ws) AS n_words, "
    "ROUND(len(list_distinct(ws)) / greatest(len(ws), 1), 4) "
    "AS distinct_ratio, "
@@ -322,28 +326,41 @@ _SPAN_K = 8
    "COALESCE(m.dup_spans, 0) AS dup_spans, "
    "COALESCE(m.dup_words, 0) AS dup_words, "
    "ROUND(COALESCE(m.dup_words, 0) / greatest(len(ws), 1), 4) "
-   "AS dup_word_frac "
-   "FROM w LEFT JOIN m ON w.doc_id = m.doc_id",
+   "AS dup_word_frac, "
+   # inner COALESCE: DuckDB's array_to_string([]) is NULL, Spark's
+   # array_join([]) is '' — a fully-removed doc must hash '' on both;
+   # the ws IS NULL guard keeps NULL-text docs NULL
+   "CASE WHEN ws IS NULL THEN NULL ELSE "
+   "md5(COALESCE(array_to_string(list_filter(ws, (x, i) -> "
+   "NOT list_contains(COALESCE(r.rem, CAST([] AS BIGINT[])), i)), ' '), "
+   "'')) END AS clean_md5 "
+   "FROM w LEFT JOIN m ON w.doc_id = m.doc_id "
+   "LEFT JOIN r ON w.doc_id = r.doc_id",
    "Gopher-style repetition filters: distinct-word ratio + top-word "
    "share (spam/boilerplate detectors); r3 adds exact duplicated-"
    "substring spans at k-gram resolution (duplicated_span_stats — the "
    "shuffle-friendly ExactSubstr variant, Lee et al. 2021): dup_spans/"
    "dup_words/dup_word_frac over corpus-wide >= 2-occurrence 8-gram "
-   "windows, merged per doc")
+   "windows, merged per doc. r4 adds the actual REMOVAL "
+   "(remove_duplicated_spans): clean_md5 fingerprints the text with "
+   "every merged duplicated window cut out (word-grain), the oracle "
+   "recomputing the removal independently from the positional k-grams")
 def repetition_q(spark, sf):
     from pyspark.sql import functions as F
 
-    from ocr_spark.operators.dedup import duplicated_span_stats
+    from ocr_spark.operators.dedup import remove_duplicated_spans
     d = load(spark, sf, "documents")
     base = T.repetition_stats(d, "doc_id", "text")
-    spans = duplicated_span_stats(d, "doc_id", "text", k=_SPAN_K)
-    return (base.join(spans, "doc_id", "left")
+    cleaned = remove_duplicated_spans(
+        d.select("doc_id", "text"), "doc_id", "text", k=_SPAN_K)
+    return (base.join(cleaned.select("doc_id", "clean_text", "dup_spans",
+                                     "dup_words"), "doc_id")
             .select("doc_id", "n_words", "distinct_ratio", "top_word_share",
-                    F.coalesce("dup_spans", F.lit(0)).alias("dup_spans"),
-                    F.coalesce("dup_words", F.lit(0)).alias("dup_words"),
-                    F.round(F.coalesce("dup_words", F.lit(0))
+                    "dup_spans", "dup_words",
+                    F.round(F.col("dup_words")
                             / F.greatest("n_words", F.lit(1)), 4)
-                    .alias("dup_word_frac")))
+                    .alias("dup_word_frac"),
+                    F.md5("clean_text").alias("clean_md5")))
 
 
 @q("curation_pipeline",

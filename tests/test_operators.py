@@ -2210,3 +2210,57 @@ def test_bpe_memo_lru_keeps_recent_models():
     B._memo_entry((("z", "z"),), [("z", "z")])
     assert survivor in B._MEMO
     B._MEMO.clear()
+
+
+def test_remove_duplicated_spans_matches_python_mirror(spark):
+    """ExactSubstr removal (Lee et al. 2021 §4.1, word grain): an exact
+    independent mirror — positional k-grams, corpus-wide >= 2 counts,
+    union of duplicated windows removed from EVERY occurrence — must
+    reproduce clean_text/dup_words byte-for-byte, including NULL/empty/
+    no-dup docs and within-doc repeats."""
+    from collections import Counter
+
+    from ocr_spark.operators.dedup import remove_duplicated_spans
+
+    K = 3
+    shared = "alpha beta gamma delta epsilon"
+    docs = [
+        (1, f"intro words {shared} tail one"),
+        (2, f"other lead {shared} closing remarks here"),
+        (3, "x y z x y z x y z"),              # within-doc repetition
+        (4, "completely unique words nothing repeats at all"),
+        (5, None),
+        (6, ""),
+        (7, "a b"),                             # shorter than k
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["clean_text"], r["dup_spans"], r["dup_words"])
+           for r in remove_duplicated_spans(df, "doc_id", "text",
+                                            k=K, min_count=2).collect()}
+
+    # -- independent mirror --
+    words = {i: ([w for w in t.split(" ") if w] if t is not None else None)
+             for i, t in docs}
+    grams = Counter()
+    for ws in words.values():
+        if ws:
+            for p in range(len(ws) - K + 1):
+                grams[" ".join(ws[p:p + K])] += 1
+    for i, t in docs:
+        ws = words[i]
+        if ws is None:
+            assert got[i] == (None, 0, 0)
+            continue
+        pos = [p for p in range(len(ws) - K + 1)
+               if grams[" ".join(ws[p:p + K])] >= 2]
+        rem = sorted({j for p in pos for j in range(p, p + K)})
+        clean = " ".join(w for j, w in enumerate(ws) if j not in rem)
+        spans = 0
+        for a, b in zip([None] + pos, pos):
+            if a is None or b - a > K:
+                spans += 1
+        assert got[i] == (clean, spans, len(rem)), f"doc {i}"
+    # docs 1 and 2 share the 5-word sentence; doc 3 repeats within itself
+    assert got[1][2] > 0 and got[2][2] > 0 and got[3][2] > 0
+    assert shared not in got[1][0] and shared not in got[2][0]
+    assert got[4] == (docs[3][1], 0, 0)
