@@ -9,6 +9,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ocr_spark.operators.hashing import MOD_P, md5long
+from ocr_spark.operators.util import DEFAULT_BROADCAST_ROWS
 
 # Small fixed per-language marker lexicons (n-gram-heuristic language ID).
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -185,7 +186,9 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def model_quality_scores(df: DataFrame, id_col: str, text_col: str,
-                         weights: DataFrame, bias: float = 0.0) -> DataFrame:
+                         weights: DataFrame, bias: float = 0.0,
+                         max_model_rows: int | None = DEFAULT_BROADCAST_ROWS
+                         ) -> DataFrame:
     """fastText-style linear quality-classifier scoring — the
     model-based filter of public curation pipelines (CCNet, Wenzek et
     al. 2020 §4.4; LLaMA, Touvron et al. 2023 §2 both score pages with
@@ -199,21 +202,24 @@ def model_quality_scores(df: DataFrame, id_col: str, text_col: str,
     convention.
 
     Scale shape (100 TB): a trained classifier vocabulary is ~1-2M
-    rows / tens of MB — explicitly broadcast, never shuffled against
-    the corpus. One narrow explode of (id, word), one LEFT broadcast
+    rows / tens of MB — broadcast through the size gate
+    (maybe_broadcast: past ``max_model_rows`` the lookup degrades to a
+    shuffle join instead of OOMing the driver), never shuffled against
+    the corpus when small. One narrow explode of (id, word), one LEFT
     lookup, one partial-aggregated per-doc (count, weighted-sum) —
     document text never enters a shuffle, and no UDF: the whole score
     is codegen'd expressions. The model stays a TABLE, not an inlined
     literal expression (the IVF literal-centroid lesson — weights
     change per model version; plans must not embed them).
     """
-    from ocr_spark.operators.util import spread_small_scan
+    from ocr_spark.operators.util import maybe_broadcast, spread_small_scan
     exploded = spread_small_scan(
         df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.explode(words_of(F.col(text_col))).alias("word"))
     per_doc = (exploded
-               .join(F.broadcast(weights), "word", "left")
+               .join(maybe_broadcast(weights, max_model_rows),
+                     "word", "left")
                .groupBy(id_col)
                .agg(F.count(F.lit(1)).alias("_n"),
                     F.sum(F.coalesce(F.col("weight"), F.lit(0.0)))
@@ -297,7 +303,9 @@ def fit_bigram_lm(df: DataFrame, id_col: str, text_col: str,
 
 
 def lm_perplexity(df: DataFrame, id_col: str, text_col: str,
-                  bigram_counts: DataFrame, k: float = 0.5) -> DataFrame:
+                  bigram_counts: DataFrame, k: float = 0.5,
+                  max_model_rows: int | None = DEFAULT_BROADCAST_ROWS
+                  ) -> DataFrame:
     """Score each document's add-k-smoothed bigram perplexity under a
     trained count table: P(w2|w1) = (c12 + k) / (c1 + k·V), ppl =
     exp(-mean ln P) over the doc's bigrams, rounded to 4. Docs with
@@ -306,24 +314,27 @@ def lm_perplexity(df: DataFrame, id_col: str, text_col: str,
     size V are derived FROM the (possibly pruned) bigram table, so the
     distribution is self-consistent for any ``min_count``.
 
-    Scale shape (100 TB): the trained LM is a TABLE, explicitly
-    broadcast (never an inlined literal — the IVF centroid lesson),
-    and both probability lookups are broadcast hash joins against the
-    narrow (id, w1, w2) explode; the per-doc mean is ONE
-    partial-aggregated groupBy carrying (id, double) pairs — document
-    text never crosses an Exchange. If the LM outgrows broadcast
-    (unpruned web-scale), the same plan degrades gracefully to a
-    shuffle join on w1, w2 — drop the broadcast hint, nothing else
-    changes.
+    Scale shape (100 TB): the trained LM is a TABLE, broadcast through
+    the SIZE GATE (never an inlined literal — the IVF centroid lesson):
+    one bounded probe of the count table decides, and past
+    ``max_model_rows`` the same plan degrades gracefully to a shuffle
+    join on (w1, w2) instead of OOMing the driver on an unpruned
+    web-scale LM (pass None to skip the probe for a known-tiny table).
+    Both probability lookups then join against the narrow (id, w1, w2)
+    explode; the per-doc mean is ONE partial-aggregated groupBy
+    carrying (id, double) pairs — document text never crosses an
+    Exchange either way.
     """
+    from ocr_spark.operators.util import broadcast_hint_fn
+    hint = broadcast_hint_fn(bigram_counts, max_model_rows)
     cc = bigram_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
     v = bigram_counts.select(
         F.explode(F.array("w1", "w2")).alias("w")).agg(
         F.countDistinct("w").alias("vs"))
     bg = _bigrams(df, id_col, text_col)
     logp = (bg
-            .join(F.broadcast(bigram_counts), ["w1", "w2"], "left")
-            .join(F.broadcast(cc), "w1", "left")
+            .join(hint(bigram_counts), ["w1", "w2"], "left")
+            .join(hint(cc), "w1", "left")
             .join(F.broadcast(v))
             .select(F.col(id_col), F.log(
                 (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(k))
@@ -491,18 +502,23 @@ def tf_idf_word_stats(df: DataFrame, id_col: str, text_col: str
                     F.round(F.col("_max_tf") * idf, 4).alias("top_tfidf")))
 
 
-def tfidf_top_term(df: DataFrame, id_col: str, text_col: str
+def tfidf_top_term(df: DataFrame, id_col: str, text_col: str,
+                   max_model_rows: int | None = DEFAULT_BROADCAST_ROWS
                    ) -> DataFrame:
     """Per-document most-salient term by tf·idf — the keyword-extraction
     view of the same statistic. Deterministic tie-break: highest tf·idf,
     then lexicographically LAST word (max of a (tfidf, word) struct on
     both engines). Docs with no words are absent — left-join downstream.
 
-    Scale shape: the word-grain idf table is vocabulary-sized —
-    explicitly broadcast into the (word, doc) grain lookup, never
-    shuffled against it; the per-doc argmax is ONE partial-aggregated
-    max of a small struct.
+    Scale shape: the word-grain idf table is vocabulary-sized — under
+    ``max_model_rows`` it is broadcast into the (word, doc) grain
+    lookup; a web-scale vocabulary (10^8 distinct words) trips the gate
+    and the lookup becomes a shuffle join on word instead of a driver
+    OOM (VERDICT r3 #4). When gating, the idf table is persisted so the
+    bounded probe doubles as its materialization for the join. The
+    per-doc argmax is ONE partial-aggregated max of a small struct.
     """
+    from ocr_spark.operators.util import maybe_broadcast
     dw = _word_doc_counts(df, id_col, text_col)
     n = df.agg(F.count(F.lit(1)).alias("_nd"))
     idf = (dw.groupBy("word").agg(F.count(F.lit(1)).alias("doc_freq"))
@@ -510,7 +526,9 @@ def tfidf_top_term(df: DataFrame, id_col: str, text_col: str
            .select("word", F.round(F.log(F.col("_nd")
                                          / F.col("doc_freq")), 4)
                    .alias("idf")))
-    return (dw.join(F.broadcast(idf), "word")
+    if max_model_rows is not None:
+        idf = idf.persist()
+    return (dw.join(maybe_broadcast(idf, max_model_rows), "word")
             .select(F.col(id_col),
                     F.struct(F.round(F.col("_c_dw") * F.col("idf"), 4)
                              .alias("tfidf"),

@@ -2264,3 +2264,63 @@ def test_remove_duplicated_spans_matches_python_mirror(spark):
     assert got[1][2] > 0 and got[2][2] > 0 and got[3][2] > 0
     assert shared not in got[1][0] and shared not in got[2][0]
     assert got[4] == (docs[3][1], 0, 0)
+
+
+def test_maybe_broadcast_gate_degrades_to_shuffle_join(spark):
+    """VERDICT r3 #3/#4: model-table lookups broadcast only under the
+    size gate — past max_model_rows the SAME plan degrades to a shuffle
+    join (no driver OOM), with identical values either way."""
+    from ocr_spark.operators.textstats import model_quality_scores
+
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        # the hint must DECIDE the strategy: disable the size-based
+        # auto-broadcast and AQE's runtime re-plan for the assertion
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        wt = spark.range(100).selectExpr("CAST(id AS STRING) AS word",
+                                         "CAST(id AS DOUBLE) AS weight")
+        docs = spark.createDataFrame([(1, "1 2 oov"), (2, "3 3")],
+                                     ["doc_id", "text"])
+        small = model_quality_scores(docs, "doc_id", "text", wt,
+                                     max_model_rows=1000)
+        assert "BroadcastHashJoin" in \
+            small._jdf.queryExecution().executedPlan().toString()
+        big = model_quality_scores(docs, "doc_id", "text", wt,
+                                   max_model_rows=10)
+        plan = big._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert sorted(map(tuple, small.collect())) \
+            == sorted(map(tuple, big.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
+def test_histogram_device_guards_ungridded_scores(spark):
+    """VERDICT r3 #2: a continuous (unrounded) score column would build
+    a corpus-sized window partition inside the histogram device — the
+    grid guard must raise a directed error instead; rounded scores pass
+    unchanged under the same bound."""
+    import pytest as _pytest
+
+    from ocr_spark.operators.sampling import (
+        quantile_buckets, top_fraction_gate)
+
+    n = 500
+    # deterministic 'continuous' scores: every value distinct
+    cont = spark.range(n).selectExpr(
+        "id", "'g' AS g", "1.0 + id / 7777.0 AS score")
+    with _pytest.raises(ValueError, match="coarser grid"):
+        top_fraction_gate(cont, "score", 0.4, max_grid=100)
+    with _pytest.raises(ValueError, match="coarser grid"):
+        quantile_buckets(cont, "g", "score", max_grid=100)
+    # a rounded score under the same bound works and is exact
+    grid = cont.selectExpr("id", "g", "ROUND(score, 2) AS score")
+    kept = top_fraction_gate(grid, "score", 0.4, max_grid=100) \
+        .where("kept").count()
+    assert kept >= int(0.4 * n)  # ties may exceed, never fall short
+    assert quantile_buckets(grid, "g", "score", max_grid=100) \
+        .where("bucket IS NOT NULL").count() == n
