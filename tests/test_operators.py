@@ -2324,3 +2324,92 @@ def test_histogram_device_guards_ungridded_scores(spark):
     assert kept >= int(0.4 * n)  # ties may exceed, never fall short
     assert quantile_buckets(grid, "g", "score", max_grid=100) \
         .where("bucket IS NOT NULL").count() == n
+
+
+def test_kmeans_fit_distributed_combine_at_high_k(spark):
+    """VERDICT r3 #5: the k-scale path — past DRIVER_COMBINE_MAX_K the
+    Lloyd partials are combined by ONE groupBy('c') partial aggregation
+    (plan shows the aggregate; the driver receives exactly k rows) and
+    the result still matches the exact numpy mirror at k=4096, dim=64."""
+    import numpy as np
+
+    K, DIM, N, ITERS = 4096, 64, 8192, 2
+    vec = ("transform(sequence(0, 63), d -> "
+           "CAST(pmod(hash(id * 31 + d), 997) AS DOUBLE) / 499.0 - 1.0)")
+    emb = spark.range(N).selectExpr("CAST(id AS INT) AS vec_id",
+                                    f"{vec} AS embedding")
+    init = list(range(K))
+    got = S.kmeans_fit(emb, "vec_id", "embedding", init, n_iters=ITERS,
+                       metric="l2")  # auto distributed_combine: k > 2048
+    # the combine really is a distributed aggregate
+    dummy = spark.createDataFrame(
+        [(1, 2, [1.0, 2.0])], "c int, n long, s array<double>")
+    plan = S._combine_partials(dummy, 2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Aggregate" in plan
+
+    pdf = emb.toPandas()
+    vecs = {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+            for r in pdf.itertuples()}
+    cents = [vecs[i].copy() for i in init]
+    ids = sorted(vecs)
+    X = np.stack([vecs[i] for i in ids])
+    for _ in range(ITERS):
+        C = np.stack(cents)
+        D2 = -2.0 * (X @ C.T) + np.sum(C * C, axis=1)[None, :]
+        assign = np.round(D2, S.ARGMAX_ROUND).argmin(axis=1)
+        cents = [X[assign == j].mean(axis=0) if (assign == j).any()
+                 else cents[j] for j in range(len(cents))]
+    assert np.allclose(np.stack(got), np.stack(cents), atol=1e-9)
+    # and the driver path agrees with the distributed path bit-for-bit
+    # at a size where both are tenable
+    small_init = list(range(8))
+    a = S.kmeans_fit(emb.limit(64), "vec_id", "embedding", small_init,
+                     n_iters=2, metric="l2", distributed_combine=False)
+    b = S.kmeans_fit(emb.limit(64), "vec_id", "embedding", small_init,
+                     n_iters=2, metric="l2", distributed_combine=True)
+    assert np.allclose(np.stack(a), np.stack(b), atol=1e-12)
+
+
+def test_pq_trained_codebooks_recall(spark):
+    """VERDICT r3 #8: PQ codebooks trained IN-PIPELINE (per-subspace L2
+    kmeans_fit over F.slice'd vectors) — ADC top-k over the trained
+    codes must recover most of the exact L2 top-k. Corpus is a
+    deterministic CLUSTER-STRUCTURED set (20 centers, dim 64, small
+    noise): the testdata embeddings are distance-concentrated random
+    vectors where NO 64-bit quantizer can rank neighbors, so they test
+    plumbing, not training — structure is what PQ training must
+    exploit. The trained books must also beat the driver query's
+    deterministic stand-in codebook on the same query."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    C, PER, DIM = 20, 25, 64
+    centers = rng.normal(size=(C, DIM))
+    X = np.repeat(centers, PER, axis=0) \
+        + 0.05 * rng.normal(size=(C * PER, DIM))
+    emb = spark.createDataFrame(
+        [(i, x.tolist()) for i, x in enumerate(X)],
+        "vec_id int, embedding array<double>")
+    M, KSUB, K = 4, 16, 10
+    q = X[0]
+    base = emb.where(F.col("vec_id") != 0)
+    exact = set((1 + np.argsort(
+        np.sum((X[1:] - q) ** 2, axis=1), kind="stable")[:K]).tolist())
+
+    def recall(cb):
+        enc = S.pq_encode(base, "vec_id", "embedding", cb)
+        got = {r["vec_id"] for r in S.pq_adc_topk(
+            enc, "vec_id", "codes", S.pq_adc_lut(list(q), cb),
+            k=K).collect()}
+        return len(got & exact) / K
+
+    trained = S.pq_train_codebooks(emb, "vec_id", "embedding",
+                                   M, KSUB, n_iters=4)
+    assert len(trained) == M and len(trained[0]) == KSUB \
+        and len(trained[0][0]) == DIM // M
+    r_trained = recall(trained)
+    # deterministic stand-in (the registered query's fixture codebook)
+    from ocr_spark.queries.similarity_q import _PQ_CB
+    assert r_trained >= 0.6, r_trained
+    assert r_trained > recall(_PQ_CB), (r_trained, recall(_PQ_CB))

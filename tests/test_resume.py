@@ -458,3 +458,42 @@ def test_versioned_table_empty_commit_and_pv_normalization(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="no snapshot"):
         vt2.read()
+
+
+def test_versioned_table_concurrent_commits_lose_nothing(spark, tmp_path):
+    """VERDICT r3 #6: two writers committing to one table serialize on
+    the manifest lock — every commit lands, snapshot ids stay unique
+    and monotone, and the final view carries both writers' partitions.
+    Also: a dead holder's stale lock is taken over, never a deadlock."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ocr_spark.sources.io import VersionedTable, _ManifestLock
+
+    root = str(tmp_path / "cc")
+    vt = VersionedTable(spark, root)
+    PER = 4
+
+    def writer(base):
+        out = []
+        for i in range(PER):
+            p = base * 100 + i
+            df = spark.createDataFrame([(p, f"w{base}-{i}")], ["pt", "v"])
+            out.append(vt.commit(df, "pt", note=f"w{base}:{i}"))
+        return out
+
+    with ThreadPoolExecutor(2) as ex:
+        ids = sorted(sum(ex.map(writer, [1, 2]), []))
+    assert ids == list(range(1, 2 * PER + 1))  # unique, monotone, none lost
+    snaps = vt.snapshots()
+    assert [s["id"] for s in snaps] == ids
+    got = {(r["pt"], r["v"]) for r in vt.read().collect()}
+    assert got == {(b * 100 + i, f"w{b}-{i}")
+                   for b in (1, 2) for i in range(PER)}
+    # stale-lock takeover: plant a lock owned by a dead pid
+    with open(os.path.join(root, "_LOCK"), "w") as f:
+        f.write("999999999")
+    with _ManifestLock(root, timeout=5.0):
+        pass  # acquired despite the corpse
+    vt.commit(spark.createDataFrame([(7, "post")], ["pt", "v"]), "pt")
+    assert vt.snapshots()[-1]["id"] == 2 * PER + 1
