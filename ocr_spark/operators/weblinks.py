@@ -13,11 +13,18 @@ Spark shape (100 TB):
     referring hosts per destination host — partial-agg groupBy over the
     already-distinct edge list.
 
-Resolution model (documented simplification, mirrored by the oracle):
-absolute http(s) kept; protocol-relative '//h/p' gets the base scheme;
-root-relative '/p' joins the base origin; anything else is treated as
-root-relative (no dot-segment normalization — crawl frontiers
-canonicalize with `ocr_spark.operators.urls.canonicalize_url` anyway).
+Resolution model (RFC 3986 §5 as pure expressions, r4): absolute
+http(s) kept as-is; protocol-relative '//h/p' gets the base scheme;
+root-relative '/p' joins the base origin; RELATIVE refs merge with the
+base path's directory (§5.3) — and both of the last two run
+remove_dot_segments (§5.2.4: './' dropped, '../' pops a segment,
+floored at root, trailing dot segments leave a trailing slash), so
+'../a' from '/sec/idx' resolves to '/a', not '/../a'. Documented
+simplifications: dot-segment removal applies to the whole merged
+string (a query/fragment containing '/./' or '/../' would be
+normalized too — not a shape real hrefs take), and absolute refs are
+NOT re-normalized (a crawl frontier canonicalizes those with
+`ocr_spark.operators.urls.canonicalize_url`).
 """
 
 from __future__ import annotations
@@ -48,17 +55,48 @@ def outlinks_udf(html: Column) -> Column:
     return _links(html)
 
 
+def remove_dot_segments(path: Column) -> Column:
+    """RFC 3986 §5.2.4 over a path column that starts with '/': one
+    fold over the split segments — '.' dropped, '..' pops the last kept
+    segment (never the leading root), a TRAILING '.'/'..' leaves a
+    trailing slash, '//' runs preserved. Pure codegen'd expressions,
+    oracle-mirrorable as the same list fold."""
+    segs = F.split(path, "/", -1)  # leading "" = the root anchor
+    folded = F.aggregate(
+        segs,
+        F.array().cast("array<string>"),
+        lambda acc, s: (
+            F.when(s == ".", acc)
+             .when(s == "..",
+                   F.slice(acc, 1, F.greatest(F.size(acc) - 1, F.lit(1))))
+             .otherwise(F.concat(acc, F.array(s)))))
+    last = F.element_at(segs, -1)
+    out = F.when(last.isin(".", ".."),
+                 F.concat(folded, F.array(F.lit("")))).otherwise(folded)
+    return F.array_join(out, "/")
+
+
 def resolve_links(links: Column, base_url: Column) -> Column:
-    """Resolve raw hrefs against the page URL — pure expressions."""
+    """Resolve raw hrefs against the page URL — pure expressions (see
+    the module docstring for the RFC 3986 mapping)."""
     scheme = F.regexp_extract(base_url, "^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
     origin = F.regexp_extract(base_url, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)",
                               1)
+    # base path's directory (§5.3 merge): path up to the last '/', '/'
+    # when the base has no path beyond the authority
+    base_path = F.regexp_extract(base_url,
+                                 "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*(/[^?#]*)?",
+                                 1)
+    base_dir = F.regexp_extract(base_path, "^(.*/)", 1)
+    base_dir = F.when(base_dir == "", F.lit("/")).otherwise(base_dir)
 
     def one(l: Column) -> Column:
         return (F.when(l.startswith("http://") | l.startswith("https://"), l)
                 .when(l.startswith("//"), F.concat(scheme, F.lit(":"), l))
-                .when(l.startswith("/"), F.concat(origin, l))
-                .otherwise(F.concat(origin, F.lit("/"), l)))
+                .when(l.startswith("/"),
+                      F.concat(origin, remove_dot_segments(l)))
+                .otherwise(F.concat(
+                    origin, remove_dot_segments(F.concat(base_dir, l)))))
 
     return F.transform(links, one)
 

@@ -28,7 +28,12 @@ QUERIES: list[QuerySpec] = []
 
 _NAV_A = '<nav><a href="/">home</a> <a href="'
 _PRE_B = '">'      # ... per-doc anchor text ('more-<doc_id%9>') ...
-_PRE_C = '</a></nav><p>'
+_A_CLOSE = '</a>'  # ... then two EMPTY-text relative anchors (r4: the
+#                       RFC 3986 dot-segment fold — empty anchors add no
+#                       words, so the block/extraction oracles are
+#                       untouched while n_links/links_csv exercise the
+#                       real merge + remove_dot_segments path) ...
+_NAV_CLOSE = '</nav><p>'
 _SUFFIX = '</p><footer>copyright footer</footer></body></html>'
 
 # per-doc external href: 'https://out<doc_id%7>.example.net/p-<doc_id%50>'
@@ -69,11 +74,25 @@ def _anchor_text():
     return F.concat(F.lit("more-"), (F.col("doc_id") % 9).cast("string"))
 
 
+def _rel_anchors():
+    """Two empty-text relative hrefs per doc: '../../a/./art-<did%4>'
+    (dot segments climb past the base dir, floor at root) and
+    './rel-<did%6>' (same-dir reference). Resolved against the base
+    'https://<source>.example.com/sec/idx' these MUST come out as
+    '/a/art-N' and '/sec/rel-N' — the oracle pins the closed form."""
+    did = F.col("doc_id")
+    return F.concat(
+        F.lit('<a href="../../a/./art-'), (did % 4).cast("string"),
+        F.lit('"></a><a href="./rel-'), (did % 6).cast("string"),
+        F.lit('"></a>'))
+
+
 def _page():
     """Encoded page bytes (shared by both roundtrip queries)."""
     return F.encode(F.concat(_head(), F.lit(_NAV_A), _ext_href(),
                              F.lit(_PRE_B), _anchor_text(),
-                             F.lit(_PRE_C), F.col("text"),
+                             F.lit(_A_CLOSE), _rel_anchors(),
+                             F.lit(_NAV_CLOSE), F.col("text"),
                              F.lit(_SUFFIX)), "utf-8")
 
 
@@ -121,13 +140,20 @@ QUERIES.append(QuerySpec(
     "THEN norm ELSE '' END AS extracted, "
     "'html' AS kind, "
     "CASE WHEN norm = '' THEN 2 ELSE 3 END AS n_blocks, "
-    "CAST(2 AS INT) AS n_links, "
-    "('https://' || source || '.example.com/,' || " + _EXT_SQL + ") "
-    "AS links_csv, "
+    "CAST(4 AS INT) AS n_links, "
+    # the two relative hrefs pin the RFC 3986 closed form: base dir
+    # /sec/ + '../../a/./art-N' -> /a/art-N (floored at root),
+    # './rel-N' -> /sec/rel-N
+    "('https://' || source || '.example.com/,' || " + _EXT_SQL + " || "
+    "',https://' || source || '.example.com/a/art-' || "
+    "CAST(doc_id % 4 AS VARCHAR) || "
+    "',https://' || source || '.example.com/sec/rel-' || "
+    "CAST(doc_id % 6 AS VARCHAR)) AS links_csv, "
     "array_to_string(list_sort([source || '.example.com', "
     "'out' || CAST(doc_id % 7 AS VARCHAR) || '.example.net']), ',') "
     "AS hosts_csv, "
-    "('home,more-' || CAST(doc_id % 9 AS VARCHAR)) AS anchors_csv, "
+    "('home,more-' || CAST(doc_id % 9 AS VARCHAR) || ',,') "
+    "AS anchors_csv, "
     "CAST(doc_id % 11 = 0 AS INT) AS noindex, "
     "CASE WHEN doc_id % 5 = 0 THEN " + _CANON_SQL + " ELSE NULL END "
     "AS canonical, "
@@ -137,7 +163,11 @@ QUERIES.append(QuerySpec(
     "over the same page bytes), expression-only URL resolution, the "
     "distinct-destination-host cut, and head metadata (robots noindex "
     "gate, rel=canonical dedup key, title — early-exit head-only "
-    "tokenization) — all VALUES verified per doc",
+    "tokenization); r4 adds RFC 3986 §5 reference resolution (merge + "
+    "remove_dot_segments as one expression fold) exercised by two "
+    "per-doc relative hrefs ('../../a/./art-N', './rel-N') whose "
+    "closed-form resolutions the oracle pins — all VALUES verified "
+    "per doc",
 ))
 
 

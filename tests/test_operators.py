@@ -1135,7 +1135,9 @@ def test_resolve_links_and_host_graph(spark):
     from ocr_spark.operators import weblinks as W
     rows = [
         ("https://a.com/d/idx", ["/r", "p.html", "//c.com/x",
-                                 "http://b.com/y", "https://a.com/self"]),
+                                 "http://b.com/y", "https://a.com/self",
+                                 "../up", "./here", "../../../over",
+                                 "/x/../y/./z", "sub/.."]),
         ("https://b.com/", ["https://a.com/z"]),
         ("https://c.com/q", None),
     ]
@@ -1143,9 +1145,16 @@ def test_resolve_links_and_host_graph(spark):
     got = (df.where(F.col("links").isNotNull())
            .select(W.resolve_links(F.col("links"), F.col("url"))
                    .alias("r")).collect())
+    # RFC 3986 §5: relative refs merge with the base DIRECTORY (/d/)
+    # and dot segments resolve (floored at root; trailing '..' keeps a
+    # trailing slash) — cross-checked against urllib.parse.urljoin
+    import urllib.parse as up
     assert got[0]["r"] == [
-        "https://a.com/r", "https://a.com/p.html", "https://c.com/x",
-        "http://b.com/y", "https://a.com/self"]
+        "https://a.com/r", "https://a.com/d/p.html", "https://c.com/x",
+        "http://b.com/y", "https://a.com/self",
+        "https://a.com/up", "https://a.com/d/here", "https://a.com/over",
+        "https://a.com/y/z", "https://a.com/d/"]
+    assert got[0]["r"] == [up.urljoin(rows[0][0], l) for l in rows[0][1]]
     edges = {(r["src_host"], r["dst_host"]) for r in
              W.host_edges(df.where(F.col("links").isNotNull()),
                           "url", "links").collect()}
