@@ -133,6 +133,21 @@ def run_default() -> None:
     timings["extract_pipeline"] = round(dt, 3)
     timings["extract_docs_per_sec"] = round(n / dt, 1)
 
+    # FROZEN comparability subset (bench_frozen.py): spellings pinned at
+    # r4, never folded into — cross-round deltas here are engine deltas
+    # within the printed noise bound, not new work (VERDICT r3 #1/#7).
+    from bench_frozen import FROZEN
+    frozen: dict[str, float] = {}
+    for name, fn in FROZEN.items():
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _force(fn(spark, sf_dir))
+            runs.append(time.perf_counter() - t0)
+        frozen[name] = round(min(runs), 3)
+        spreads.append(max(runs) / min(runs))
+    frozen["total"] = round(sum(frozen.values()), 3)
+
     total = round(sum(v for k, v in timings.items()
                       if k != "extract_docs_per_sec"), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -141,6 +156,7 @@ def run_default() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "frozen": frozen,
         # host-noise evidence: max/min ratio of the two timed runs per
         # query — median ~1 means a quiet round, a large max means some
         # query's min may still sit in a noise spike

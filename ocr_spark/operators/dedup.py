@@ -776,11 +776,27 @@ def dedup_incremental(batch: DataFrame, history: DataFrame, id_col: str,
     join. The batch is scanned twice (both scans column-pruned); only
     Bloom-positive rows carry their payload into the anti-join shuffle.
     """
-    spark = batch.sparkSession
     hist_h = history.select(md5long(F.col(text_col)).alias("_h"))
+    return dedup_incremental_vs_hashes(
+        batch, hist_h, md5long(F.col(text_col)),
+        n_bits, n_hashes, coalesce_to)
+
+
+def dedup_incremental_vs_hashes(batch: DataFrame, hist_h: DataFrame,
+                                key, n_bits: int = DEFAULT_BLOOM_BITS,
+                                n_hashes: int = DEFAULT_BLOOM_HASHES,
+                                coalesce_to: int = 32) -> DataFrame:
+    """The fingerprint-table form of :func:`dedup_incremental`: keep the
+    batch rows whose ``key`` column expression (a 60-bit md5long hash)
+    is absent from ``hist_h``, a persisted (_h long) fingerprint table
+    — the shape the production ingest loop maintains so yesterday's
+    corpus never re-hashes its payload (run_ingest_job keeps one such
+    table per committed drop). Same exactness contract: the Bloom mask
+    only decides which rows may SKIP the residual anti-join."""
+    spark = batch.sparkSession
     mask = build_bloom_mask(hist_h, "_h", n_bits, n_hashes, coalesce_to)
     member = bloom_member_udf(spark, mask, n_bits, n_hashes)
-    b = batch.withColumn("_h", md5long(F.col(text_col)))
+    b = batch.withColumn("_h", key)
     definite_new = b.where(~member(F.col("_h")))
     survivors = (b.where(member(F.col("_h")))
                  .join(hist_h.distinct(), "_h", "left_anti"))
