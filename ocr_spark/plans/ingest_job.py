@@ -187,7 +187,14 @@ def run_ingest_job(
                 pages, hist_h, _content_key(), n_bits=bloom_bits)
         else:
             new_pages = pages
-        results = extract_pages(new_pages, n_buckets, salt_n).cache()
+        # skew stats from the STAGED table (url column only), not from
+        # new_pages — letting extract_pages derive them internally would
+        # re-run the whole Bloom+anti-join subtree just to count hosts
+        # (caught in the captured plan, docs/PLANS.md ingest_drop_
+        # pipeline); the superset is equally valid skew evidence
+        from ocr_spark.functions.bucketing import SKEW_FACTOR, hot_hosts
+        results = extract_pages(new_pages, n_buckets, salt_n,
+                                hot=hot_hosts(pages, SKEW_FACTOR)).cache()
         out_cols = (results.drop("extract_us", "input_bytes", "salt")
                     .withColumn("drop_id", F.lit(drop)))
         sid = vt.commit(out_cols, "drop_id",

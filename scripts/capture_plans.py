@@ -188,6 +188,31 @@ CHECKS = {
         "corpus rows — a per-group ntile would sort the hot language "
         "in one partition), and the per-language thresholds rejoin "
         "via BroadcastExchange."),
+    "text_repetition_stats": (
+        "r4 ExactSubstr REMOVAL fold: the positional k-gram pass is ONE "
+        "partial-aggregated HashAggregate on the 60-bit gram hash — the "
+        "exploded rows carry (id, pos, hash), never text — and the "
+        "duplicated positions return as ONE sorted int array per "
+        "affected doc (collect_list groupBy keyed by doc_id), a table "
+        "orders of magnitude under corpus size that AQE turns into a "
+        "BroadcastHashJoin back onto the narrow scan; the window-union "
+        "cut + word-grain reassembly (clean_md5) are higher-order array "
+        "expressions in the SAME codegen projection — no UDF, and the "
+        "document text never crosses an Exchange."),
+    "ingest_drop_pipeline": (
+        "the per-drop unit of plans/ingest_job.py (staged pages -> "
+        "Bloom incremental dedup vs the fingerprint history -> "
+        "extraction): the Bloom membership probe is an ArrowEvalPython "
+        "NARROW on the staged scan (mask is a broadcast variable), the "
+        "definite-new branch reaches the extraction UDF with NO join, "
+        "only Bloom-positive rows enter the anti-join against the "
+        "(_h)-only history scan (hash-sized Exchanges), the extraction "
+        "UDF evaluates before the plan's single blob-free clustering "
+        "Exchange — page bytes never shuffle anywhere, the history "
+        "side never reads its payload (ReadSchema: _h only), and the "
+        "hot-host skew stats come from the STAGED scan (url column), "
+        "never a re-run of the dedup subtree (the r4 capture caught "
+        "exactly that and run_ingest_job now passes hot= explicitly)."),
     "dedup_components_star_round": (
         "ONE large-star/small-star round (the per-iteration unit of the "
         "registered dedup_cluster_components query): state is the EDGE "
@@ -243,6 +268,31 @@ def main() -> None:
             df = extract_pages(
                 spark.read.parquet(pages_path),
                 n_buckets=64, salt_n=8)
+        elif name == "ingest_drop_pipeline":
+            # mirror run_ingest_job's per-drop unit over a staged pages
+            # table + a fingerprint-only history (the job's real shapes)
+            from ocr_spark.operators.dedup import (
+                dedup_incremental_vs_hashes)
+            from ocr_spark.operators.hashing import md5long
+            from pyspark.sql import functions as F
+            pages_path = f"{corpus}/pages.parquet"
+            mpb = max(1 << 20, min(32 << 20,
+                                   os.path.getsize(pages_path)
+                                   // (slots * 3)))
+            spark.conf.set("spark.sql.files.maxPartitionBytes", str(mpb))
+            staged = spark.read.parquet(pages_path)
+            hist_dir = os.path.join(REPO, "BENCH", "_plans_hist")
+            if not os.path.exists(hist_dir):
+                (staged.limit(500)
+                 .select(md5long(F.col("html")).alias("_h"))
+                 .write.mode("overwrite").parquet(hist_dir))
+            hist_h = spark.read.parquet(hist_dir).select("_h")
+            new_pages = dedup_incremental_vs_hashes(
+                staged, hist_h, md5long(F.col("html")))
+            from ocr_spark.functions.bucketing import (
+                SKEW_FACTOR, hot_hosts)
+            df = extract_pages(new_pages, n_buckets=64, salt_n=8,
+                               hot=hot_hosts(staged, SKEW_FACTOR))
         elif name == "dedup_components_star_round":
             # The registered dedup_cluster_components query is iterative
             # (eager checkpoints between rounds), so its final plan is a
