@@ -1,0 +1,134 @@
+"""Structured Streaming twin of the daily-ingest job: a file-source
+``readStream`` over the pages directory, ``foreachBatch`` running the
+SAME per-drop unit as ``plans/ingest_job.run_ingest_job`` (Bloom
+incremental dedup vs committed history -> narrow extraction -> one
+VersionedTable snapshot per micro-batch), with ``Trigger.AvailableNow``
+for bounded runs and unchanged continuous triggers on a real cluster.
+
+This is the reference upload endpoint (/root/reference/ocr_project/
+ocr_app/views.py:18-26) at its most literal: files land in a directory,
+each micro-batch of new files becomes one pinnable snapshot, and pages
+whose bytes were already extracted in an earlier COMMITTED batch are
+never extracted or stored twice.
+
+Exactly-once under foreachBatch's at-least-once contract (the
+load-bearing detail): Spark's streaming checkpoint commits a batch only
+AFTER the foreachBatch callback returns, so a crash anywhere inside the
+callback replays the whole micro-batch — same batch_id, same files (the
+file source logs its offsets before processing). The callback is
+therefore built to be a pure function of (batch files, DONE-batch
+history):
+
+  * history = fingerprints of batches with a done marker ONLY (never
+    whatever sits on disk) — a replay dedups against exactly what the
+    crashed attempt did and reproduces the same rows;
+  * the VersionedTable commit shadows the crashed attempt's snapshot
+    copy-on-write at the same ``drop_id`` partition;
+  * the per-batch fingerprint write is an idempotent overwrite;
+  * the done marker is written LAST, so the one remaining window —
+    crash after our marker but before Spark's checkpoint commit —
+    replays into an early-return no-op.
+
+Scale shape: identical to the batch job (per-batch cost bounded by the
+batch, history side is an 8-byte hash column, blobs never shuffle);
+``maxFilesPerTrigger`` is the backpressure lever — AvailableNow
+honors source rate limits, so a backlog drains as a sequence of
+bounded snapshots rather than one unbounded batch.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_spark.plans.extract_job import extract_pages, lineage_of, metrics_of
+from ocr_spark.plans.ingest_job import DropManifest, _content_key
+from ocr_spark.sources.io import TableIO, VersionedTable
+
+
+class InjectedCrash(RuntimeError):
+    """Test-only crash injected into the worst-case window (after the
+    snapshot commit and fingerprint write, before the done marker)."""
+
+
+def run_streaming_ingest(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    n_buckets: int = 16,
+    salt_n: int = 4,
+    bloom_bits: int = 1 << 20,
+    max_files_per_trigger: int = 1,
+    fail_once_pre_mark_at: int | None = None,
+) -> dict:
+    """Drain every unprocessed page file under ``pages_dir`` into the
+    versioned results table at ``out_dir`` (see module docstring for the
+    protocol), one snapshot per micro-batch. Read results ONLY through
+    ``VersionedTable(spark, out_dir + "/results")``.
+
+    ``fail_once_pre_mark_at=k`` raises on the FIRST attempt of batch k
+    inside the worst-case crash window; the restarted query replays the
+    batch (same id, same files) and must converge byte-identically.
+    """
+    from ocr_spark.functions.bucketing import SKEW_FACTOR, hot_hosts
+    from ocr_spark.operators.dedup import dedup_incremental_vs_hashes
+
+    io = TableIO(spark, out_dir)
+    vt = VersionedTable(spark, os.path.join(out_dir, "results"))
+    manifest = DropManifest(os.path.join(out_dir, "_checkpoints"))
+    hist_root = os.path.join(out_dir, "_history")
+    ran: list[str] = []
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        drop = f"batch-{batch_id:06d}"
+        if drop in manifest.done_drops():
+            return  # replay of a batch that crashed post-mark: no-op
+        attempt = manifest.attempt_of(drop)
+        pages = batch_df.persist()
+        try:
+            hist_dirs = [os.path.join(hist_root, f"drop={d}")
+                         for d in sorted(manifest.done_drops())]
+            if hist_dirs:
+                hist_h = spark.read.parquet(*hist_dirs).select("_h")
+                new_pages = dedup_incremental_vs_hashes(
+                    pages, hist_h, _content_key(), n_bits=bloom_bits)
+            else:
+                new_pages = pages
+            # skew stats once, from the batch itself (url column only) —
+            # same rationale as run_ingest_job: deriving them inside
+            # extract_pages would re-run the dedup subtree
+            results = extract_pages(new_pages, n_buckets, salt_n,
+                                    hot=hot_hosts(pages, SKEW_FACTOR)
+                                    ).cache()
+            out_cols = (results.drop("extract_us", "input_bytes", "salt")
+                        .withColumn("drop_id", F.lit(drop)))
+            sid = vt.commit(out_cols, "drop_id",
+                            note=f"stream batch {batch_id}")
+            io.append(lineage_of(results, attempt, f"stream:{sid}"),
+                      "lineage")
+            io.append(metrics_of(results, attempt, f"stream:{sid}"),
+                      "metrics")
+            (pages.select(_content_key().alias("_h")).distinct()
+             .write.mode("overwrite")
+             .parquet(os.path.join(hist_root, f"drop={drop}")))
+            results.unpersist()
+        finally:
+            pages.unpersist()
+        if fail_once_pre_mark_at == batch_id and attempt == 1:
+            raise InjectedCrash(f"pre-mark crash in batch {batch_id}")
+        manifest.mark_done(drop, {"snapshot_id": sid})
+        ran.append(drop)
+
+    schema = spark.read.parquet(pages_dir).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(pages_dir))
+    q = (stream.writeStream.foreachBatch(_process)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", checkpoint).start())
+    q.awaitTermination()
+    return {"completed": True, "batches_run": sorted(ran),
+            "drops_done": sorted(manifest.done_drops())}

@@ -1,0 +1,146 @@
+"""Streaming twin of the daily-ingest job (streaming/ingest.py):
+file-source readStream -> foreachBatch per-drop unit -> one
+VersionedTable snapshot per micro-batch, exactly-once under
+foreachBatch's at-least-once replay."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.sources.io import VersionedTable
+from ocr_spark.streaming.ingest import run_streaming_ingest
+
+_WORDS = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+          "lamda mu nu xi omicron pi rho sigma tau upsilon ")
+
+_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("warc_ts", pa.timestamp("us")),
+    ("html", pa.binary()),
+    ("text", pa.string()),
+    ("lang", pa.string()),
+])
+
+
+def _page(tag: str) -> bytes:
+    body = f"essay {tag} " + _WORDS
+    return (f"<html><body><nav><a href='/'>home</a></nav>"
+            f"<p>{body}</p><footer>copyright footer</footer>"
+            f"</body></html>").encode()
+
+
+def _row(url: str, tag: str) -> dict:
+    return {"url": url,
+            "warc_ts": datetime.datetime(2026, 1, 1),
+            "html": _page(tag), "text": None, "lang": "en"}
+
+
+def _write_file(stream_dir: str, name: str, rows: list[dict],
+                mtime: int) -> None:
+    os.makedirs(stream_dir, exist_ok=True)
+    path = os.path.join(stream_dir, name)
+    pq.write_table(pa.Table.from_pylist(rows, schema=_SCHEMA), path)
+    # the file source drains oldest-modTime first: pin the order
+    os.utime(path, (mtime, mtime))
+
+
+def _latest(spark, out: str, snapshot_id=None):
+    vt = VersionedTable(spark, os.path.join(out, "results"))
+    rows = (vt.read(snapshot_id=snapshot_id)
+            .select("url", "drop_id",
+                    F.encode("extracted_text", "utf-8").alias("b"))
+            .collect())
+    return sorted((r["url"], r["drop_id"], bytes(r["b"])) for r in rows)
+
+
+DUP = _row("https://s.example.com/u2", "two")
+
+
+def _seed_stream(tmp_path) -> str:
+    stream = str(tmp_path / "stream")
+    _write_file(stream, "f1.parquet", [
+        _row("https://s.example.com/u1", "one"),
+        DUP,
+        _row("https://s.example.com/u3", "three"),
+    ], mtime=1_700_000_000)
+    _write_file(stream, "f2.parquet", [
+        DUP,  # byte-identical recrawl: must NOT be re-extracted
+        _row("https://s.example.com/u4", "four"),
+        _row("https://s.example.com/u5", "five"),
+    ], mtime=1_700_000_100)
+    return stream
+
+
+def test_streaming_ingest_crash_resume_byte_identical(spark, tmp_path):
+    """Two page files drained as two micro-batches (maxFilesPerTrigger=1
+    under AvailableNow); a crash injected in the worst-case window of
+    batch 1 (after its snapshot commit and fingerprint write, before the
+    done marker), then a restart from the same streaming checkpoint.
+    Pins: (a) the latest view is byte-identical to an uninterrupted
+    run's; (b) the crashed batch's prior snapshot stays byte-stable;
+    (c) the recrawled page is extracted exactly once; (d) a further
+    restart drains nothing."""
+    stream = _seed_stream(tmp_path)
+
+    # --- uninterrupted reference run ---
+    out_a = str(tmp_path / "a")
+    st = run_streaming_ingest(spark, stream, out_a,
+                              str(tmp_path / "ck_a"), n_buckets=4)
+    assert st["batches_run"] == ["batch-000000", "batch-000001"]
+    ref = _latest(spark, out_a)
+    assert len(ref) == 5
+    vt_a = VersionedTable(spark, out_a + "/results")
+    b1 = {r["url"] for r in
+          vt_a.read(partitions=["batch-000001"]).collect()}
+    assert b1 == {"https://s.example.com/u4",
+                  "https://s.example.com/u5"}  # (c) seen-once
+
+    # --- crashed run + restart ---
+    out_b = str(tmp_path / "b")
+    ck_b = str(tmp_path / "ck_b")
+    with pytest.raises(Exception, match="pre-mark crash in batch 1"):
+        run_streaming_ingest(spark, stream, out_b, ck_b, n_buckets=4,
+                             fail_once_pre_mark_at=1)
+    snap1_before = _latest(spark, out_b, snapshot_id=1)
+    st2 = run_streaming_ingest(spark, stream, out_b, ck_b, n_buckets=4)
+    assert st2["batches_run"] == ["batch-000001"]  # replayed, same id
+    assert _latest(spark, out_b) == ref                      # (a)
+    assert _latest(spark, out_b, snapshot_id=1) == snap1_before  # (b)
+    vt_b = VersionedTable(spark, out_b + "/results")
+    # the replayed batch landed as a NEW snapshot shadowing the crashed
+    # one at the same partition
+    assert [s["id"] for s in vt_b.snapshots()] == [1, 2, 3]
+    # (d) nothing pending
+    st3 = run_streaming_ingest(spark, stream, out_b, ck_b, n_buckets=4)
+    assert st3["batches_run"] == []
+
+
+def test_streaming_ingest_late_arrival_one_new_row(spark, tmp_path):
+    """The continuous upload-endpoint shape: after the stream has
+    drained, one more file arrives carrying an already-seen page plus
+    one genuinely new one -> the next drain commits exactly one new row
+    in its own snapshot, history untouched."""
+    stream = _seed_stream(tmp_path)
+    out = str(tmp_path / "o")
+    ck = str(tmp_path / "ck")
+    run_streaming_ingest(spark, stream, out, ck, n_buckets=4)
+    before = _latest(spark, out)
+
+    _write_file(stream, "f3.parquet", [
+        DUP,
+        _row("https://s.example.com/new", "upload"),
+    ], mtime=1_700_000_200)
+    st = run_streaming_ingest(spark, stream, out, ck, n_buckets=4)
+    assert st["batches_run"] == ["batch-000002"]
+    vt = VersionedTable(spark, os.path.join(out, "results"))
+    new_rows = vt.read(partitions=["batch-000002"]).collect()
+    assert [r["url"] for r in new_rows] == ["https://s.example.com/new"]
+    assert "upload" in new_rows[0]["extracted_text"]
+    after = _latest(spark, out)
+    assert len(after) == 6 and set(before) < set(after)
