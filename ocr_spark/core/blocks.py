@@ -17,7 +17,7 @@ import html as _htmlmod
 import re
 from dataclasses import dataclass
 
-from ocr_spark.core.dom import Node
+from ocr_spark.core.dom import _IMPLICIT_CLOSE, _SCOPE_TAGS, VOID_TAGS, Node
 
 # Elements whose subtree contributes no visible text.
 SKIP_TAGS = frozenset({
@@ -75,7 +75,7 @@ def normalize_ws(text: str) -> str:
     return s.strip()
 
 
-@dataclass
+@dataclass(slots=True)
 class Block:
     """One segmented text block with shallow features.
 
@@ -178,6 +178,163 @@ def segment_blocks(root: Node) -> list[Block]:
         for child in reversed(node.children):
             events.append(("enter", child, child_anchor, child_boiler))
 
+    if frags:
+        flush()
+    return blocks
+
+
+def segment_blocks_stream(tokens: list[tuple]) -> list[Block]:
+    """Single-pass block segmentation straight off the token stream —
+    byte-identical to ``segment_blocks(build_dom(tokens))`` by
+    construction, without materializing the tree.
+
+    The hot path built ~75 Node objects per kB of HTML (measured 215k
+    allocations over a 3k-doc bench mix) only to DFS them back into the
+    order the token stream already has. This spelling simulates
+    ``build_dom``'s exact open-stack rules (dom.py: implicit-close table
+    bounded by scope tags, nearest-match end-tag popping, void /
+    self-closing never pushed, EOF closes all) while segmenting, so
+    every flush fires at the same point with the same (tag, depth,
+    boiler) context as the tree walk. Depth falls out of the stack:
+    an element created when the open stack holds k ancestors (root
+    excluded) has DOM depth k+1.
+
+    SKIP_TAGS subtrees contribute nothing, but their elements still
+    occupy the open stack (exactly as in build_dom) so end tags that pop
+    THROUGH a skipped subtree close the same outer elements.
+
+    ``segment_blocks`` stays as the independently-readable reference
+    spelling; `test_segment_blocks_stream_matches_dom_reference` pins
+    equality over the synthetic corpus, the adversarial templates, and
+    hypothesis soup.
+    """
+    blocks: list[Block] = []
+    frags: list[str] = []
+    anchor_frags: list[str] = []
+    ctx: list[tuple[str, int, bool]] = [("body", 0, False)]
+    # open-element stack, root excluded: (tag, pushed_ctx, anchor_inc,
+    # boiler inside this element)
+    stack: list[tuple[str, bool, int, bool]] = []
+    skip_from: int | None = None   # stack index of the skip-subtree root
+    anchor = 0                     # enclosing-<a> count (active path)
+    unescape = _htmlmod.unescape
+
+    def flush() -> None:
+        nonlocal frags, anchor_frags
+        raw = "".join(frags)
+        text = normalize_ws(raw)
+        if text:
+            tag, depth, boiler = ctx[-1]
+            n_words = _words(text)
+            a_words = (min(_words(normalize_ws("".join(anchor_frags))),
+                           n_words) if anchor_frags else 0)
+            blocks.append(Block(
+                block_id=len(blocks),
+                tag=tag,
+                depth=depth,
+                text=text,
+                n_chars=len(text),
+                n_words=n_words,
+                anchor_words=a_words,
+                link_density=(a_words / n_words) if n_words else 0.0,
+                in_boiler_container=boiler,
+            ))
+        frags = []
+        anchor_frags = []
+
+    def pop_to(idx: int) -> None:
+        """Close stack[idx:] innermost-first — each closed block element
+        flushes under ITS context then pops it, exactly the tree walk's
+        exit-event order."""
+        nonlocal skip_from, anchor
+        if idx == len(stack) - 1:           # the overwhelmingly common
+            _t, pushed, a_inc, _b = stack.pop()  # case: one entry pops
+            anchor -= a_inc
+            if pushed:
+                if frags:
+                    flush()
+                ctx.pop()
+        else:
+            for _t, pushed, a_inc, _b in reversed(stack[idx:]):
+                anchor -= a_inc
+                if pushed:
+                    if frags:
+                        flush()
+                    ctx.pop()
+            del stack[idx:]
+        if skip_from is not None and len(stack) <= skip_from:
+            skip_from = None
+
+    for tok in tokens:
+        kind = tok[0]
+        if kind == "text":
+            if skip_from is not None:
+                continue
+            data = unescape(tok[1])
+            if data:
+                frags.append(data)
+                if anchor > 0:
+                    anchor_frags.append(data)
+        elif kind == "start":
+            tag = tok[1]
+            self_closing = tok[3]
+            closes = _IMPLICIT_CLOSE.get(tag)
+            if closes is not None:
+                idx = None
+                for k in range(len(stack) - 1, -1, -1):
+                    t = stack[k][0]
+                    if t in closes:
+                        idx = k
+                        break
+                    if t in _SCOPE_TAGS:
+                        break
+                if idx is not None:
+                    pop_to(idx)
+            real = tag not in VOID_TAGS and not self_closing
+            if skip_from is not None:
+                if real:
+                    stack.append((tag, False, 0, False))
+                continue
+            boiler = stack[-1][3] if stack else False
+            if tag in SKIP_TAGS:
+                if real:
+                    stack.append((tag, False, 0, boiler))
+                    skip_from = len(stack) - 1
+                continue
+            if tag == "br" or tag == "hr":
+                if frags:
+                    flush()
+                continue
+            child_boiler = boiler or (tag in BOILER_CONTAINERS)
+            pushed = False
+            if tag in BLOCK_TAGS:
+                if frags:
+                    flush()
+                ctx.append((tag, len(stack) + 1, child_boiler))
+                pushed = True
+            if real:
+                a_inc = 1 if tag == "a" else 0
+                anchor += a_inc
+                stack.append((tag, pushed, a_inc, child_boiler))
+            elif pushed:
+                # self-closing block element: enter+exit back to back
+                if frags:
+                    flush()
+                ctx.pop()
+        elif kind == "end":
+            tag = tok[1]
+            if tag in VOID_TAGS:
+                continue
+            idx = None
+            for k in range(len(stack) - 1, -1, -1):
+                if stack[k][0] == tag:
+                    idx = k
+                    break
+            if idx is not None:
+                pop_to(idx)
+        # comments/doctypes contribute nothing
+
+    pop_to(0)
     if frags:
         flush()
     return blocks

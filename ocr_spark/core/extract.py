@@ -17,8 +17,8 @@ from dataclasses import dataclass, field
 
 from ocr_spark.core import pdf as _pdf
 from ocr_spark.core.assemble import assemble
-from ocr_spark.core.blocks import Block, classify_blocks, segment_blocks
-from ocr_spark.core.dom import build_dom
+from ocr_spark.core.blocks import (
+    Block, classify_blocks, segment_blocks_stream)
 from ocr_spark.core.encoding import decode_bytes
 from ocr_spark.core.tokenizer import tokenize
 
@@ -82,8 +82,10 @@ def extract(data: bytes | None, lang: str | None = None,
         return ExtractResult(encoding=enc)
 
     stream = tokenize(decoded)
-    root = build_dom(stream.tokens)
-    blocks = classify_blocks(segment_blocks(root))
+    # single-pass segmentation off the token stream — byte-identical to
+    # segment_blocks(build_dom(tokens)), the pinned reference spelling
+    # (blocks.py segment_blocks_stream docstring)
+    blocks = classify_blocks(segment_blocks_stream(stream.tokens))
     text = assemble(blocks)
 
     total_words = sum(b.n_words for b in blocks)

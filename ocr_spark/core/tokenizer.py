@@ -175,9 +175,10 @@ def tokenize(html: str) -> TokenStream:
             i = lt + 1
             continue
 
-        tag = m.group(1).lower()
-        self_closing = m.group(3) == "/"
-        append(("start", tag, m.group(2), self_closing))
+        tag, attr_src, slash = m.group(1, 2, 3)  # one C call, not three
+        tag = tag.lower()
+        self_closing = slash == "/"
+        append(("start", tag, attr_src, self_closing))
         i = m.end()
 
         # RAWTEXT mode: consume verbatim until the matching close tag.

@@ -125,3 +125,67 @@ def test_pdf_block_span_invariants(lines, two_col):
 def test_normalize_ws_matches_regex_reference(s):
     from ocr_spark.core.blocks import _WS_RE, normalize_ws
     assert normalize_ws(s) == _WS_RE.sub(" ", s).strip()
+
+
+# --- streaming segmenter vs DOM reference spelling ---
+
+def _blocks_equal(tokens):
+    from ocr_spark.core.blocks import segment_blocks, segment_blocks_stream
+    from ocr_spark.core.dom import build_dom
+    ref = segment_blocks(build_dom(tokens))
+    fast = segment_blocks_stream(tokens)
+    assert fast == ref  # Block is a dataclass: full field-wise equality
+
+
+@given(html_soup)
+@settings(max_examples=400, deadline=None)
+def test_segment_blocks_stream_matches_dom_reference(soup):
+    """The hot-path streaming segmenter (no tree materialized) must be
+    FIELD-IDENTICAL to segment_blocks(build_dom(tokens)) — the pinned
+    reference spelling — on adversarial soup."""
+    _blocks_equal(tokenize(soup).tokens)
+
+
+def test_segment_blocks_stream_matches_on_targeted_edges():
+    """Closed-form nasty cases for the stack simulation: implicit closes
+    (incl. popping THROUGH a skipped subtree), scope boundaries,
+    self-closing block tags, stray/void end tags, nested anchors,
+    rawtext skip subtrees, depth-sensitive contexts."""
+    cases = [
+        "<div><p>a<p>b</div>c",                      # implicit p close
+        "<ul><li>x<li>y</ul>",                       # implicit li close
+        "<table><tr><td>1<td>2<tr><td>3</table>",    # td/tr chain
+        "<div><p>out<div><p>in</div>more</div>",     # scope boundary
+        "<p>text<select><p>inner</select>tail",      # implicit close into skip
+        "<p>pre<select><div>s</div></p>post",        # end pops through skip
+        "<div/>x<p/>y",                              # self-closing blocks
+        "<p>a</br>b</p>",                            # void end ignored
+        "</p>stray<p>ok</q></p>",                    # stray ends
+        "<a href=x>l1<a>l2</a>l3</a>tail",           # nested anchors
+        "<nav><p>boiler</p></nav><p>body text</p>",  # boiler context
+        "<script>var a='<p>x</p>';</script><p>real</p>",  # rawtext skip
+        "<title>t</title><p>kept</p>",               # rawtext skip (title)
+        "<h1>head<article><p>deep</p></article>",    # depth-sensitive
+        "<p>&amp;\tx  y&#10;</p>",                   # entities + ws collapse
+        "<div>" * 60 + "deep" + "</div>" * 60,       # deep nesting
+        "text only, no tags at all",
+        "<body><header>h</header><p>" + "w " * 20 + "</p></body>",
+    ]
+    for html in cases:
+        _blocks_equal(tokenize(html).tokens)
+
+
+def test_segment_blocks_stream_matches_on_synth_corpus():
+    """Corpus-level pin: every synthetic page (all templates, incl. the
+    malformed/adversarial ones) segments identically both ways."""
+    from ocr_spark.core.encoding import decode_bytes
+    from ocr_spark.synth import make_pages
+    n = 0
+    for p in make_pages(400, seed=1234):
+        html = p["html"]
+        if html is None or html[:5] == b"%PDF-":
+            continue
+        decoded, _ = decode_bytes(bytes(html))
+        _blocks_equal(tokenize(decoded).tokens)
+        n += 1
+    assert n > 300
