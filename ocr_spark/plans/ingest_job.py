@@ -115,6 +115,90 @@ def _list_drops(warc_dir: str) -> list[str]:
     return [n for n in names if n.endswith(".warc.gz")]
 
 
+def _history_view_dirs(out_dir: str, done: set[str]) -> list[str]:
+    """Directories whose union IS the fingerprint history of ``done``.
+
+    With no compaction marker this is one ``drop=<name>`` dir per done
+    drop. After :func:`compact_history` it is the compact dir plus the
+    done drops folded in SINCE that compaction. A leftover per-drop dir
+    already covered by the marker (a crash between the marker flip and
+    the delete phase) is deliberately ignored — union semantics would
+    tolerate the duplicate hashes, but ignoring it keeps the view
+    minimal and lets the next compaction clean it up.
+    """
+    hist_root = os.path.join(out_dir, "_history")
+    marker = os.path.join(hist_root, "_compact.json")
+    covered: set[str] = set()
+    dirs: list[str] = []
+    if os.path.exists(marker):
+        with open(marker) as f:
+            m = json.load(f)
+        # covers ⊆ done always: compaction folds done drops only and
+        # done never shrinks
+        covered = set(m["covers"])
+        dirs.append(os.path.join(hist_root, f"compact={m['id']}"))
+    dirs += [os.path.join(hist_root, f"drop={d}")
+             for d in sorted(done - covered)]
+    return [d for d in dirs if os.path.isdir(d)]
+
+
+def compact_history(spark: SparkSession, out_dir: str) -> dict:
+    """Fold the per-drop fingerprint dirs (one per committed drop — a
+    log-structured layout that grows into thousands of directories on a
+    daily cadence) into ONE distinct compact table.
+
+    Crash-safe ordering, same discipline as the ingest protocol:
+      1. write ``compact=<id+1>`` from the current view (old compact +
+         uncompacted done drops) — a crash here leaves an orphan dir the
+         marker never references;
+      2. flip ``_compact.json`` atomically (temp + rename) — the view
+         switches to the new compact dir in one step;
+      3. delete the folded inputs — a crash here leaves redundant dirs
+         that ``_history_view_dirs`` ignores and the next compaction
+         removes.
+    The view is IDENTICAL before and after (same distinct hash set for
+    the same done set), so in-flight and future drops dedup against
+    exactly the same history. Cost: one shuffle of 8-byte hashes —
+    schedule it like any table-maintenance job.
+
+    Single-writer like the ingest loop itself: run it between drops (or
+    from the loop via ``run_ingest_job(compact_history_every=...)``),
+    never concurrently with one.
+    """
+    import shutil
+
+    manifest = DropManifest(os.path.join(out_dir, "_checkpoints"))
+    done = manifest.done_drops()
+    hist_root = os.path.join(out_dir, "_history")
+    marker_path = os.path.join(hist_root, "_compact.json")
+    old = None
+    if os.path.exists(marker_path):
+        with open(marker_path) as f:
+            old = json.load(f)
+    covered = set(old["covers"]) if old else set()
+    pending = sorted(done - covered)
+    if not pending:
+        return {"compacted_drops": 0, "covers": sorted(covered)}
+    srcs = _history_view_dirs(out_dir, done)
+    new_id = (old["id"] + 1) if old else 1
+    dest = os.path.join(hist_root, f"compact={new_id}")
+    n_parts = max(1, len(srcs) // 8)  # ~8 input dirs per output split
+    (spark.read.parquet(*srcs).select("_h").distinct()
+     .repartition(n_parts)
+     .write.mode("overwrite").parquet(dest))
+    tmp = marker_path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump({"id": new_id, "covers": sorted(done)}, f)
+    os.replace(tmp, marker_path)
+    for d in srcs:
+        shutil.rmtree(d, ignore_errors=True)
+    for d in covered:  # leftovers from a previously-crashed delete phase
+        shutil.rmtree(os.path.join(hist_root, f"drop={d}"),
+                      ignore_errors=True)
+    return {"compacted_drops": len(pending), "covers": sorted(done),
+            "compact_id": new_id}
+
+
 def _content_key():
     """The dedup identity of a page: md5long of its raw bytes (the CC
     content-digest convention — same bytes, same page, whatever the
@@ -133,6 +217,8 @@ def run_ingest_job(
     bloom_bits: int = 1 << 20,
     fail_after_drops: int | None = None,
     fail_point: str = "drop_start",
+    compact_history_every: int | None = None,
+    keep_staged: bool = False,
 ) -> dict:
     """Process every pending drop under ``warc_dir`` (see module
     docstring for the protocol). Returns a status dict. Read results
@@ -179,8 +265,7 @@ def run_ingest_job(
         # history = fingerprints of DONE drops ONLY (never disk state):
         # a replayed drop must dedup against exactly what the crashed
         # attempt did, or resume diverges (module docstring)
-        hist_dirs = [os.path.join(hist_root, f"drop={d}")
-                     for d in sorted(manifest.done_drops())]
+        hist_dirs = _history_view_dirs(out_dir, manifest.done_drops())
         if hist_dirs:
             hist_h = spark.read.parquet(*hist_dirs).select("_h")
             new_pages = dedup_incremental_vs_hashes(
@@ -217,6 +302,17 @@ def run_ingest_job(
                     sorted(manifest.done_drops()), "run_id": run_id}
         manifest.mark_done(drop, {"run_id": run_id, "snapshot_id": sid})
         n_done += 1
+        if not keep_staged:
+            # the staged table served this drop only; a replay re-stages
+            # from the WARC source, so post-marker deletion is safe and
+            # keeps disk bounded by the in-flight drop
+            import shutil
+            shutil.rmtree(staged, ignore_errors=True)
+        if (compact_history_every is not None
+                and len(_history_view_dirs(
+                    out_dir, manifest.done_drops()))
+                >= compact_history_every):
+            compact_history(spark, out_dir)
 
     return {"completed": True,
             "drops_done": sorted(manifest.done_drops()),

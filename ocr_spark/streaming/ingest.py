@@ -44,7 +44,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ocr_spark.plans.extract_job import extract_pages, lineage_of, metrics_of
-from ocr_spark.plans.ingest_job import DropManifest, _content_key
+from ocr_spark.plans.ingest_job import (
+    DropManifest, _content_key, _history_view_dirs)
 from ocr_spark.sources.io import TableIO, VersionedTable
 
 
@@ -89,8 +90,8 @@ def run_streaming_ingest(
         attempt = manifest.attempt_of(drop)
         pages = batch_df.persist()
         try:
-            hist_dirs = [os.path.join(hist_root, f"drop={d}")
-                         for d in sorted(manifest.done_drops())]
+            hist_dirs = _history_view_dirs(out_dir,
+                                           manifest.done_drops())
             if hist_dirs:
                 hist_h = spark.read.parquet(*hist_dirs).select("_h")
                 new_pages = dedup_incremental_vs_hashes(

@@ -126,3 +126,91 @@ def test_ingest_single_drop_one_new_doc(spark, tmp_path):
     assert [r["url"] for r in new_rows] == ["https://w.example.com/new"]
     assert "upload" in new_rows[0]["extracted_text"]
     assert len(_latest(spark, out)) == 2
+
+
+def test_history_compaction_preserves_exactly_once(spark, tmp_path):
+    """compact_history folds the per-drop fingerprint dirs into one
+    distinct table without changing the history VIEW: dups whose
+    fingerprints moved into the compact dir still dedup, drops folded
+    since still dedup, and a leftover per-drop dir already covered by
+    the marker (the crash-between-flip-and-delete window) is ignored —
+    even when poisoned with a hash that would wrongly swallow a new
+    page. Staged drop tables are cleaned up after their done marker."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_spark.plans.ingest_job import (
+        _history_view_dirs, compact_history)
+
+    drops = str(tmp_path / "drops")
+    dup1 = ("https://w.example.com/u1", "2026-01-01T00:00:00Z",
+            _page("one"))
+    dup2 = ("https://w.example.com/u2", "2026-01-02T00:00:00Z",
+            _page("two"))
+    _write_drop(drops, "day1", [dup1])
+    _write_drop(drops, "day2", [dup2])
+    out = str(tmp_path / "o")
+    st = run_ingest_job(spark, drops, out, n_buckets=4,
+                        compact_history_every=2)
+    assert st["drops_run"] == 2
+    hist = os.path.join(out, "_history")
+    assert os.path.exists(os.path.join(hist, "_compact.json"))
+    assert os.path.isdir(os.path.join(hist, "compact=1"))
+    assert not os.path.isdir(os.path.join(hist, "drop=day1"))
+    assert not os.path.isdir(os.path.join(hist, "drop=day2"))
+    # staged tables cleaned up post-marker
+    staged_root = os.path.join(out, "_staged")
+    assert not any(n.startswith("drop=") for n in
+                   os.listdir(staged_root)) if os.path.isdir(
+                       staged_root) else True
+
+    # day3: one dup now living ONLY in the compact dir + one new page
+    _write_drop(drops, "day3", [
+        dup1, ("https://w.example.com/u6", "2026-01-03T00:00:00Z",
+               _page("six"))])
+    run_ingest_job(spark, drops, out, n_buckets=4)  # no auto-compact
+    vt = VersionedTable(spark, out + "/results")
+    assert [r["url"] for r in vt.read(partitions=["day3"]).collect()] \
+        == ["https://w.example.com/u6"]
+
+    # day4: dup vs the UNCOMPACTED day3 dir + dup vs compact + new page
+    _write_drop(drops, "day4", [
+        dup2,
+        ("https://w.example.com/u6b", "2026-01-04T00:00:00Z",
+         _page("six")),  # same bytes as u6 -> content-dup vs day3
+        ("https://w.example.com/u7", "2026-01-04T00:00:00Z",
+         _page("seven"))])
+    run_ingest_job(spark, drops, out, n_buckets=4)
+    assert [r["url"] for r in vt.read(partitions=["day4"]).collect()] \
+        == ["https://w.example.com/u7"]
+
+    # poison a leftover covered dir: if the view wrongly read it, the
+    # next drop's genuinely-new page would be deduped away and LOST
+    from ocr_spark.operators.hashing import md5long
+    from pyspark.sql import functions as F
+    poison_page = _page("eight")
+    poison_h = (spark.range(1)
+                .select(md5long(F.lit(poison_page)).alias("_h"))
+                .first()["_h"])
+    leftover = os.path.join(hist, "drop=day1")
+    os.makedirs(leftover, exist_ok=True)
+    pq.write_table(
+        pa.table({"_h": pa.array([poison_h], type=pa.int64())}),
+        os.path.join(leftover, "part-0.parquet"))
+    from ocr_spark.plans.ingest_job import DropManifest
+    done = DropManifest(os.path.join(out, "_checkpoints")).done_drops()
+    assert leftover not in _history_view_dirs(out, done)
+    _write_drop(drops, "day5", [
+        ("https://w.example.com/u8", "2026-01-05T00:00:00Z",
+         poison_page)])
+    run_ingest_job(spark, drops, out, n_buckets=4)
+    assert [r["url"] for r in vt.read(partitions=["day5"]).collect()] \
+        == ["https://w.example.com/u8"]
+
+    # second compaction folds day3..day5 and removes the poisoned leftover
+    res = compact_history(spark, out)
+    assert res["compacted_drops"] == 3 and res["compact_id"] == 2
+    assert not os.path.isdir(os.path.join(hist, "compact=1"))
+    assert not os.path.isdir(leftover)
+    # idempotent when nothing is pending
+    assert compact_history(spark, out)["compacted_drops"] == 0
