@@ -182,9 +182,14 @@ def compact_history(spark: SparkSession, out_dir: str) -> dict:
     srcs = _history_view_dirs(out_dir, done)
     new_id = (old["id"] + 1) if old else 1
     dest = os.path.join(hist_root, f"compact={new_id}")
-    n_parts = max(1, len(srcs) // 8)  # ~8 input dirs per output split
+    # size the output by DATA volume (~128 MB splits), never by input
+    # dir count — two huge dirs must not collapse into one partition
+    in_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for d in srcs for r, _, fs in os.walk(d) for f in fs)
+    n_parts = max(1, in_bytes // (128 << 20) + 1)
     (spark.read.parquet(*srcs).select("_h").distinct()
-     .repartition(n_parts)
+     .repartition(int(n_parts))
      .write.mode("overwrite").parquet(dest))
     tmp = marker_path + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
