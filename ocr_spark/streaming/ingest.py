@@ -64,6 +64,7 @@ def run_streaming_ingest(
     bloom_bits: int = 1 << 20,
     max_files_per_trigger: int = 1,
     fail_once_pre_mark_at: int | None = None,
+    compact_history_every: int | None = None,
 ) -> dict:
     """Drain every unprocessed page file under ``pages_dir`` into the
     versioned results table at ``out_dir`` (see module docstring for the
@@ -122,8 +123,21 @@ def run_streaming_ingest(
             raise InjectedCrash(f"pre-mark crash in batch {batch_id}")
         manifest.mark_done(drop, {"snapshot_id": sid})
         ran.append(drop)
+        if (compact_history_every is not None
+                and len(_history_view_dirs(out_dir,
+                                            manifest.done_drops()))
+                >= compact_history_every):
+            from ocr_spark.plans.ingest_job import compact_history
+            compact_history(spark, out_dir)
 
-    schema = spark.read.parquet(pages_dir).schema
+    try:
+        schema = spark.read.parquet(pages_dir).schema
+    except Exception:
+        # empty landing directory at stream start: fall back to the
+        # canonical pages schema (sources/warc.py) so the query can be
+        # started BEFORE the first file arrives
+        from ocr_spark.sources.warc import PAGES_SCHEMA
+        schema = PAGES_SCHEMA
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", max_files_per_trigger)
               .parquet(pages_dir))

@@ -129,11 +129,16 @@ def test_streaming_ingest_late_arrival_one_new_row(spark, tmp_path):
     stream = _seed_stream(tmp_path)
     out = str(tmp_path / "o")
     ck = str(tmp_path / "ck")
-    run_streaming_ingest(spark, stream, out, ck, n_buckets=4)
+    run_streaming_ingest(spark, stream, out, ck, n_buckets=4,
+                         compact_history_every=2)
     before = _latest(spark, out)
+    # the two batches' fingerprint dirs folded into one compact table
+    assert os.path.exists(os.path.join(out, "_history", "_compact.json"))
+    assert not os.path.isdir(
+        os.path.join(out, "_history", "drop=batch-000000"))
 
     _write_file(stream, "f3.parquet", [
-        DUP,
+        DUP,  # dedups via the COMPACT dir now
         _row("https://s.example.com/new", "upload"),
     ], mtime=1_700_000_200)
     st = run_streaming_ingest(spark, stream, out, ck, n_buckets=4)
