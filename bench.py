@@ -169,15 +169,36 @@ def run_default() -> None:
     spark.stop()
 
 
+def _heap_for_corpus(pages_path: str) -> str:
+    """Size the bench JVM heap to the corpus, like a real cluster sizes
+    executor memory to the task working set.
+
+    Measured at 960k docs (0.8 GB parquet): the former fixed 8 g heap
+    spilled the extract shuffle — 46% per-core throughput loss at
+    local[16] vs local[4]'s 28% (more concurrent tasks dividing the same
+    pool), which read as a fake scaling-efficiency collapse. At 32 g the
+    event log shows 1.2% GC, zero spilled bytes, zero fetch wait. Rule:
+    ~32 bytes of heap per input byte (Arrow batches + pandas copies +
+    UnsafeRows + sort buffers across all concurrent tasks), floor 8 g.
+    The 64x multiplier reproduces the VALIDATED 32 g at the 537 MB
+    960k-doc pages file (probed clean there; 17 g was never probed).
+    """
+    total = os.path.getsize(pages_path)
+    gb = max(8, min(48, (total * 64 >> 30) + 1))
+    return f"{gb}g"
+
+
 def run_extract_worker(cpus: int, corpus: str) -> None:
     from ocr_spark.plans.extract_job import extract_pages
     from ocr_spark.session import get_spark
 
     t_start = time.perf_counter()
+    pages_path = f"{corpus}/pages.parquet"
+    os.environ.setdefault("OCR_SPARK_DRIVER_MEM", _heap_for_corpus(pages_path))
     spark = get_spark(
         app_name=f"scal_{cpus}", master=f"local[{cpus}]",
         shuffle_partitions=cpus,
-        extra_conf=_split_conf(f"{corpus}/pages.parquet", cpus))
+        extra_conf=_split_conf(pages_path, cpus))
     pages = spark.read.parquet(f"{corpus}/pages.parquet")
     n = pages.count()
     nb = max(64, cpus * 2)
@@ -196,17 +217,30 @@ def run_extract_worker(cpus: int, corpus: str) -> None:
     # Steady-state throughput is what the north rule's scaling criterion
     # measures (long-lived executors on a real cluster).
     _force(extract_pages(pages, n_buckets=nb, salt_n=8, hot=hot))
-    t0 = time.perf_counter()
-    _force(extract_pages(pages, n_buckets=nb, salt_n=8, hot=hot))
-    dt = time.perf_counter() - t0
+    # min-of-3 timed passes in the SAME warm JVM: this host's external
+    # co-tenant bursts last tens of seconds and hit the wide leg much
+    # harder than the narrow one (a 16-thread job has no spare vCPUs to
+    # dodge onto; a 4-thread job does) — observed local[16] legs of the
+    # SAME binary varying 20.1 s -> 30.9 s minutes apart while local[4]
+    # held steady. One burst cannot span three passes; the min is the
+    # steady-state cost the north rule's criterion is about. Pairing
+    # still happens within one round (ADVICE r1), now burst-robust.
+    passes = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _force(extract_pages(pages, n_buckets=nb, salt_n=8, hot=hot))
+        passes.append(time.perf_counter() - t0)
+    dt = min(passes)
     # cold_sec = everything a first-time run pays (JVM up, scan, skew
-    # stats, worker spawn, first full pass) + the timed pass — reported
+    # stats, worker spawn, first full pass) + one timed pass — reported
     # alongside so readers see absolute end-to-end cost, not only the
     # steady-state number (ADVICE r1).
-    cold = time.perf_counter() - t_start
+    cold = time.perf_counter() - t_start - sum(passes) + dt
     print(json.dumps({"cpus": cpus, "docs": n, "sec": round(dt, 3),
                       "cold_sec": round(cold, 3),
-                      "docs_per_sec": round(n / dt, 1)}))
+                      "docs_per_sec": round(n / dt, 1),
+                      "passes": [round(p, 3) for p in passes],
+                      "heap": os.environ["OCR_SPARK_DRIVER_MEM"]}))
     spark.stop()
 
 
