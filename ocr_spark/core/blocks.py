@@ -122,10 +122,13 @@ def segment_blocks(root: Node) -> list[Block]:
             if text:
                 tag, depth, boiler = ctx[-1]
                 n_words = _words(text)
-                # most blocks carry no anchors — skip the second
-                # normalize+split entirely for them
-                a_words = (min(_words(normalize_ws("".join(anchor_frags))),
-                               n_words) if anchor_frags else 0)
+                # most blocks carry no anchors — skip the second split
+                # entirely for them. For the rest, len(raw.split()) ==
+                # _words(normalize_ws(raw)): translate/collapse/strip maps
+                # ws to ws and never merges or splits a maximal non-ws
+                # run, and .split() already splits on every Unicode ws.
+                a_words = (min(len("".join(anchor_frags).split()), n_words)
+                           if anchor_frags else 0)
                 blocks.append(Block(
                     block_id=len(blocks),
                     tag=tag,
@@ -226,8 +229,10 @@ def segment_blocks_stream(tokens: list[tuple]) -> list[Block]:
         if text:
             tag, depth, boiler = ctx[-1]
             n_words = _words(text)
-            a_words = (min(_words(normalize_ws("".join(anchor_frags))),
-                           n_words) if anchor_frags else 0)
+            # len(raw.split()) == _words(normalize_ws(raw)) — see the
+            # reference spelling's flush for the invariance argument.
+            a_words = (min(len("".join(anchor_frags).split()), n_words)
+                       if anchor_frags else 0)
             blocks.append(Block(
                 block_id=len(blocks),
                 tag=tag,
@@ -325,8 +330,11 @@ def segment_blocks_stream(tokens: list[tuple]) -> list[Block]:
             tag = tok[1]
             if tag in VOID_TAGS:
                 continue
+            if stack and stack[-1][0] == tag:   # well-nested close: the
+                pop_to(len(stack) - 1)          # overwhelmingly common case
+                continue
             idx = None
-            for k in range(len(stack) - 1, -1, -1):
+            for k in range(len(stack) - 2, -1, -1):
                 if stack[k][0] == tag:
                     idx = k
                     break

@@ -93,8 +93,142 @@ def _parse_attrs(attr_src: str) -> list[tuple[str, str]]:
     return attrs
 
 
+# One alternation, tried in order at each '<'. Branch payload groups:
+#   1       end-tag name                  (same pattern as _END_TAG_RE)
+#   2,3,4   start-tag name / soup / slash (same pattern as _START_TAG_RE)
+#   5       comment open  '!--'
+#   6       CDATA open    '![CDATA['
+#   7       doctype / bogus markup decl   '[!?]'
+#   8       bogus end tag '/'  (reached only when branch 1 failed)
+#   9       empty — literal '<' or a tag-shaped prefix unterminated at EOF
+# Branch order encodes the reference dispatch: '!--' before '![CDATA['
+# before '[!?]' (longest first), '/' after the end-tag branch, the empty
+# branch last so every '<' matches SOMETHING and the scan never skips a
+# construct the reference loop would have handled.
+_MASTER_RE = re.compile(
+    "<(?:"
+    r"/\s*([a-zA-Z][a-zA-Z0-9:_\-]*)[^>]*>"
+    "|"
+    r"""([a-zA-Z][a-zA-Z0-9:_\-]*)((?:"[^"]*"|'[^']*'|[^>"'])*?)\s*(/?)>"""
+    "|(!--)"
+    r"|(!\[CDATA\[)"
+    "|([!?])"
+    "|(/)"
+    "|()"
+    ")"
+)
+
+
 def tokenize(html: str) -> TokenStream:
-    """One forward pass over the document; returns TokenStream. Total."""
+    """One forward pass over the document; returns TokenStream. Total.
+
+    Master-regex spelling: a single compiled alternation does scan +
+    dispatch + tag parse in ONE C call per construct (the reference loop
+    below pays a find, a char dispatch, and a branch-specific regex per
+    tag at Python level). Token-for-token identical to
+    :func:`tokenize_reference` — each branch reuses the reference's exact
+    sub-pattern, so a construct matches here iff the reference branch
+    matched, with the same groups and resume index; pinned by
+    `test_tokenize_master_matches_reference` over templates, corpus and
+    hypothesis soup.
+    """
+    tokens: list[tuple] = []
+    recoveries = 0
+    n = len(html)
+    i = 0
+    find = html.find
+    append = tokens.append
+    search = _MASTER_RE.search
+
+    while True:
+        m = search(html, i)
+        if m is None:
+            if i < n:
+                append(("text", html[i:]))
+            break
+        lt = m.start()
+        if lt > i:
+            append(("text", html[i:lt]))
+        g = m.lastindex
+
+        if g == 4:  # start tag (groups 2=name, 3=soup, 4=slash)
+            tag, attr_src, slash = m.group(2, 3, 4)
+            tag = tag.lower()
+            self_closing = slash == "/"
+            append(("start", tag, attr_src, self_closing))
+            i = m.end()
+            if tag in RAWTEXT_TAGS and not self_closing:
+                cm = _RAWTEXT_CLOSE_RE[tag].search(html, i)
+                close = cm.start() if cm else -1
+                if close < 0:
+                    recoveries += 1
+                    append(("text", html[i:]))
+                    append(("end", tag))
+                    break
+                append(("text", html[i:close]))
+                gt = find(">", close)
+                append(("end", tag))
+                i = (gt + 1) if gt >= 0 else n
+            continue
+
+        if g == 1:  # end tag
+            append(("end", m.group(1).lower()))
+            i = m.end()
+            continue
+
+        if g == 5:  # comment: m.end() == lt + 4
+            end = find("-->", m.end())
+            if end < 0:
+                recoveries += 1
+                break
+            append(("comment", html[m.end() : end]))
+            i = end + 3
+            continue
+
+        if g == 6:  # CDATA (emitted as text): m.end() == lt + 9
+            end = find("]]>", m.end())
+            if end < 0:
+                recoveries += 1
+                break
+            append(("text", html[m.end() : end]))
+            i = end + 3
+            continue
+
+        if g == 7:  # doctype / bogus markup decl: m.end() == lt + 2
+            end = find(">", m.end())
+            if end < 0:
+                recoveries += 1
+                break
+            append(("doctype", html[m.end() : end]))
+            i = end + 1
+            continue
+
+        if g == 8:  # "</" + non-name: bogus comment, consume to '>'
+            end = find(">", m.end())
+            recoveries += 1
+            if end < 0:
+                break
+            i = end + 1
+            continue
+
+        # g == 9: nothing tag-shaped completed at this '<'.
+        nxt = html[lt + 1 : lt + 2]
+        if nxt and _TAG_NAME_RE.match(nxt):
+            # Looks like a tag but unterminated at EOF: drop remainder.
+            recoveries += 1
+            break
+        append(("text", "<"))
+        i = lt + 1
+
+    return TokenStream(tokens, recoveries)
+
+
+def tokenize_reference(html: str) -> TokenStream:
+    """The independently-readable reference spelling of :func:`tokenize`:
+    explicit find / char-dispatch / per-branch regex, one decision at a
+    time. Kept verbatim as the equality oracle for the master-regex hot
+    path (same discipline as ``segment_blocks`` vs
+    ``segment_blocks_stream``)."""
     tokens: list[tuple] = []
     recoveries = 0
     n = len(html)

@@ -189,3 +189,62 @@ def test_segment_blocks_stream_matches_on_synth_corpus():
         _blocks_equal(tokenize(decoded).tokens)
         n += 1
     assert n > 300
+
+
+# --- master-regex tokenizer vs dispatch-loop reference spelling ---
+
+def _tokens_equal(html: str):
+    from ocr_spark.core.tokenizer import tokenize, tokenize_reference
+    ref = tokenize_reference(html)
+    fast = tokenize(html)
+    assert fast.tokens == ref.tokens
+    assert fast.recoveries == ref.recoveries
+
+
+@given(html_soup)
+@settings(max_examples=400, deadline=None)
+def test_tokenize_master_matches_reference(soup):
+    """The master-regex tokenizer (one alternation per construct) must be
+    TOKEN-IDENTICAL — including recovery counts — to the dispatch-loop
+    reference spelling on adversarial soup."""
+    _tokens_equal(soup)
+
+
+def test_tokenize_master_matches_on_targeted_edges():
+    """Closed-form nasty cases for the alternation-order simulation:
+    every branch boundary, every EOF truncation, bogus constructs."""
+    cases = [
+        "<div class='a>b'>quoted gt</div>",      # '>' inside quotes
+        "<img src=x/>", "<br/>", "<p/>tail",     # self-closing
+        "</ div >ws end", "</3>bogus", "</",     # end-tag variants + EOF
+        "<!-- unterminated", "<![CDATA[ unterminated", "<! unterminated",
+        "<!-- c --><p>x</p><!doctype html><?pi?>",
+        "<![CDATA[ <p>raw</p> ]]>after",
+        "a < b > c", "x<", "<  ", "<3 not a tag",
+        "<div", "<div class=",                   # unterminated start @ EOF
+        "<script>var a='</scr'+'ipt>';</script>ok",
+        "<SCRIPT>S</SCRIPT>t", "<style>p{}</style>",
+        "<textarea>&amp;</textarea>", "<title>t",
+        "<p hidden>valueless</p>", "<p a = 'x' b=\"y\" c=z>m</p>",
+        "<my-tag>x</my-tag>", "<a:b>x</a:b>", "<T_1>x</T_1>",
+        "<p\nclass='x'>nl soup</p>", "</p attr=1>end soup",
+        "﻿<p>bom</p>", "İ<script>s</script>tail",  # NFKC-length trap
+        "",
+    ]
+    for html in cases:
+        _tokens_equal(html)
+
+
+def test_tokenize_master_matches_on_synth_corpus():
+    """Corpus-level pin: every synthetic page tokenizes identically."""
+    from ocr_spark.core.encoding import decode_bytes
+    from ocr_spark.synth import make_pages
+    n = 0
+    for p in make_pages(400, seed=4321):
+        html = p["html"]
+        if html is None or html[:5] == b"%PDF-":
+            continue
+        decoded, _ = decode_bytes(bytes(html))
+        _tokens_equal(decoded)
+        n += 1
+    assert n > 300
