@@ -265,7 +265,8 @@ class VersionedTable:
         os.replace(tmp, self._manifest_path)
 
     def commit(self, df: DataFrame, partition_col: str | None = None,
-               note: str = "", replace_all: bool = False) -> int:
+               note: str = "", replace_all: bool = False,
+               drop_partitions: list | None = None) -> int:
         """Write ``df`` as a new snapshot. With ``partition_col``,
         default semantics are Iceberg DYNAMIC overwrite: partitions
         PRESENT in ``df`` are replaced, absent ones carry over from the
@@ -275,7 +276,16 @@ class VersionedTable:
         replaces it. The partition scheme is fixed by the FIRST commit
         — a mismatched ``partition_col`` raises (mixing unpartitioned
         and partitioned commits would double-read carried-over
-        partitions). Returns the new snapshot id (1-based, monotone)."""
+        partitions). Returns the new snapshot id (1-based, monotone).
+
+        ``drop_partitions`` (dynamic-partitioned tables only) records the
+        named partition VALUES as tombstones in this snapshot: they stop
+        carrying over into the live view from this id on, while every
+        earlier snapshot still reads them (copy-on-write — the data
+        directories are untouched until ``expire_snapshots`` GCs them).
+        A value that matches no live partition is skipped (idempotent
+        re-runs must not fail); a value also present in ``df`` raises —
+        one snapshot must not both rewrite and drop a partition."""
         snaps = self.snapshots()
         if snaps and snaps[0]["partition_col"] != partition_col:
             raise ValueError(
@@ -321,6 +331,8 @@ class VersionedTable:
                 df.limit(0).write.mode("errorifexists").parquet(
                     os.path.join(out, "_schema"))
                 schema_dir = os.path.join(rel, "_schema")
+        if drop_partitions and partition_col is None:
+            raise ValueError("drop_partitions requires a partitioned table")
         # manifest CAS: re-read + re-validate + append under the lock so
         # two concurrent commits serialize instead of one losing its
         # whole-manifest os.replace (VERDICT r3 #6)
@@ -331,6 +343,30 @@ class VersionedTable:
                     f"table at {self.root} is partitioned by "
                     f"{snaps[0]['partition_col']!r}; commit asked for "
                     f"{partition_col!r}")
+            if drop_partitions:
+                # tombstone the LIVE key each requested value shadows,
+                # matching through the same casting/escaping rule reads
+                # use (_norm_pv + percent-unescape); resolving under the
+                # lock keeps the live view consistent with the append
+                from urllib.parse import unquote
+                live = {}
+                for s in snaps:
+                    if s["partition_col"] is None or s.get("replace_all"):
+                        live = {k: v for k, v in s["parts"].items()
+                                if v is not None}
+                    else:
+                        live.update(s["parts"])
+                live = {k: v for k, v in live.items() if v is not None}
+                for val in drop_partitions:
+                    want = _norm_pv(val)
+                    hits = [k for k in live
+                            if k == want or unquote(k) == want]
+                    for k in hits:
+                        if k in parts and parts[k] is not None:
+                            raise ValueError(
+                                f"partition {k!r} is both rewritten and "
+                                f"dropped in one commit")
+                        parts[k] = None
             sid = (snaps[-1]["id"] + 1) if snaps else 1
             entry = {"id": sid, "ts": time.time(), "note": note,
                      "partition_col": partition_col,
@@ -340,6 +376,86 @@ class VersionedTable:
             snaps.append(entry)
             self._write_manifest(snaps)
         return sid
+
+    def delete_where(self, condition, note: str = "") -> tuple[int | None,
+                                                               dict]:
+        """Copy-on-write row-level DELETE (Iceberg ``DELETE FROM …
+        WHERE``): commit a new snapshot from which rows matching
+        ``condition`` (a Column or SQL string) are gone, rewriting ONLY
+        the partitions that contain matches — untouched partitions carry
+        over by manifest reference (their files are not read or
+        rewritten), a partition whose every row matches becomes a
+        tombstone, and every EARLIER snapshot still reads the deleted
+        rows (time travel is the contract). Physical removal is a
+        separate, explicit step: ``expire_snapshots`` GCs the old files
+        once no surviving snapshot references them — a takedown pipeline
+        is ``delete_where(cond)`` then ``expire_snapshots(keep_last=1)``.
+
+        SQL DELETE null semantics: a row where the condition evaluates
+        NULL is KEPT (only condition-is-TRUE rows are deleted).
+
+        The affected-partition probe collects one row per matching
+        partition VALUE — bounded by the partition count, never by rows
+        (partition keys here are coarse operator-chosen values such as
+        drop ids). Like commit, this is a read-modify-write for ONE
+        logical writer; the manifest lock prevents lost manifest
+        appends, not write-write conflicts on the same partition.
+
+        Returns ``(snapshot_id, stats)``; ``snapshot_id`` is None when
+        nothing matched — no empty snapshot is committed, so re-running
+        the same takedown is a no-op."""
+        from pyspark.sql import functions as F
+
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        snaps = self.snapshots()
+        if not snaps:
+            raise ValueError(
+                f"VersionedTable at {self.root} has no snapshots")
+        pcol = snaps[0]["partition_col"]
+        keep = ~cond.eqNullSafe(F.lit(True))   # NULL-condition rows stay
+        stats = {"rows_deleted": 0, "partitions_rewritten": 0,
+                 "partitions_dropped": 0}
+
+        if pcol is None:
+            cur = self.read().persist()
+            try:
+                total = cur.count()
+                remaining = cur.where(keep).persist()
+                kept_n = remaining.count()
+                if kept_n == total:
+                    return None, stats
+                sid = self.commit(remaining, None,
+                                  note=note or "delete_where")
+            finally:
+                cur.unpersist()
+            remaining.unpersist()
+            stats["rows_deleted"] = total - kept_n
+            stats["partitions_rewritten"] = 1
+            return sid, stats
+
+        affected = sorted(
+            r[0] for r in self.read().where(cond)
+            .select(pcol).distinct().collect())
+        if not affected:
+            return None, stats
+        sub = self.read(partitions=affected).persist()
+        try:
+            total = sub.count()
+            remaining = sub.where(keep).persist()
+            kept_n = remaining.count()
+            kept_parts = {r[0] for r in
+                          remaining.select(pcol).distinct().collect()}
+            dropped = [v for v in affected if v not in kept_parts]
+            sid = self.commit(remaining, pcol,
+                              note=note or "delete_where",
+                              drop_partitions=dropped)
+            remaining.unpersist()
+        finally:
+            sub.unpersist()
+        stats["rows_deleted"] = total - kept_n
+        stats["partitions_rewritten"] = len(affected) - len(dropped)
+        stats["partitions_dropped"] = len(dropped)
+        return sid, stats
 
     def _resolve(self, snapshot_id: int | None,
                  partitions: list | None) -> tuple[dict, dict]:
@@ -364,6 +480,9 @@ class VersionedTable:
                 live = dict(s["parts"])
             else:
                 live.update(s["parts"])
+        # drop tombstoned partitions (value None: recorded by
+        # commit(drop_partitions=...) / delete_where) from the view
+        live = {k: v for k, v in live.items() if v is not None}
         if partitions is not None:
             # match the on-disk spelling AND its percent-unescaped form
             # (Spark Hive-escapes special chars in partition dirs), with
@@ -419,19 +538,41 @@ class VersionedTable:
             snaps = new_snaps
         # the sweep ALWAYS runs (even when nothing was truncated) so a
         # crash between a previous manifest write and its rmtree loop is
-        # self-healing: orphans are reclaimed on the next expiry call
-        referenced = {rel.split(os.sep)[0]
-                      for s in snaps for rel in s["parts"].values()}
-        referenced |= {s["schema_dir"].split(os.sep)[0]
-                       for s in snaps if s.get("schema_dir")}
+        # self-healing: orphans are reclaimed on the next expiry call.
+        # GC is PARTITION-grain, not snapshot-dir-grain: a surviving
+        # snapshot that carries over only partition 7 of an old commit
+        # must not pin that commit's OTHER partitions on disk — after a
+        # delete_where takedown the deleted rows' files have to be
+        # physically gone once no surviving snapshot references them.
+        referenced_rel = {rel for s in snaps
+                          for rel in s["parts"].values() if rel is not None}
+        referenced_rel |= {s["schema_dir"]
+                           for s in snaps if s.get("schema_dir")}
+        top_referenced = {r.split(os.sep)[0] for r in referenced_rel}
         deleted = []
         data = os.path.join(self.root, "data")
         if os.path.isdir(data):
             for name in sorted(os.listdir(data)):
-                if name.startswith("snap-") and name not in referenced:
+                if not name.startswith("snap-"):
+                    continue
+                if name not in top_referenced:
                     shutil.rmtree(os.path.join(data, name),
                                   ignore_errors=True)
                     deleted.append(name)
+                    continue
+                if name in referenced_rel:
+                    continue  # table-grain (unpartitioned) reference
+                d = os.path.join(data, name)
+                for child in sorted(os.listdir(d)):
+                    # only manifest-shaped children are candidates;
+                    # _SUCCESS markers etc. stay with the directory
+                    if not (child.startswith("_pv=") or child == "_schema"):
+                        continue
+                    rel = os.path.join(name, child)
+                    if rel not in referenced_rel:
+                        shutil.rmtree(os.path.join(d, child),
+                                      ignore_errors=True)
+                        deleted.append(rel)
         return deleted
 
     def read(self, snapshot_id: int | None = None,

@@ -279,8 +279,12 @@ def test_versioned_table_expire_snapshots(spark, tmp_path):
 
     before3, before4 = rows(snapshot_id=3), rows()
     # keep_last=2: snap 2's dir is STILL referenced (surviving snapshot
-    # 3 reads bucket 1 = 'b1' from it via carryover) — nothing deletable
-    assert vt.expire_snapshots(keep_last=2) == []
+    # 3 reads bucket 1 = 'b1' from it via carryover). GC is
+    # PARTITION-grain: snap 1's superseded buckets 1/2 are physically
+    # removed, its still-referenced bucket 0 stays.
+    deleted2 = vt.expire_snapshots(keep_last=2)
+    assert sorted(d.split("/_pv=")[1] for d in deleted2) == ["1", "2"]
+    assert all(d.startswith("snap-000001") for d in deleted2)
     assert rows(snapshot_id=3) == before3 == {(0, "a0"), (1, "b1"),
                                               (2, "c2")}
     assert rows() == before4 == {(0, "a0"), (1, "b3"), (2, "c2")}
