@@ -7,3 +7,30 @@ the Spark pandas-UDF pipeline both call :func:`ocr_spark.core.extract.extract`
 """
 
 from ocr_spark.core.extract import ExtractResult, extract  # noqa: F401
+
+_FP: str | None = None
+
+
+def core_fingerprint() -> str:
+    """12-hex content fingerprint of the extraction core: md5 over every
+    ``.py`` file in this package, name-sorted. Any core change — however
+    small — yields a new value; ``run_extract_job(reextract_stale=True)``
+    compares it against the fingerprint stored in each bucket's done
+    marker to decide which buckets an upgraded extractor must redo.
+    Conservative by design: a comment-only edit re-extracts too — output
+    byte-identity is the only safe equivalence, and that cannot be known
+    without running. Computed once per process (the files are the ones
+    already imported; they cannot change underneath a running job)."""
+    global _FP
+    if _FP is None:
+        import hashlib
+        import os
+        h = hashlib.md5()
+        d = os.path.dirname(__file__)
+        for name in sorted(os.listdir(d)):
+            if name.endswith(".py"):
+                h.update(name.encode())
+                with open(os.path.join(d, name), "rb") as f:
+                    h.update(f.read())
+        _FP = h.hexdigest()[:12]
+    return _FP

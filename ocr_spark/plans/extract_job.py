@@ -35,6 +35,7 @@ from pyspark.sql.types import (
     StructField, StructType,
 )
 
+from ocr_spark.core import core_fingerprint
 from ocr_spark.core.extract import extract
 from ocr_spark.functions.bucketing import (
     DEFAULT_SALT_N, SKEW_FACTOR, host_of, hot_hosts, salted_partition_key,
@@ -244,8 +245,21 @@ def run_extract_job(
     fail_after_groups: int | None = None,
     fail_point: str = "group_start",
     versioned: bool = False,
+    reextract_stale: bool = False,
 ) -> dict:
     """Resumable driver loop: process pending buckets in groups.
+
+    ``reextract_stale=True`` turns the run into an in-place BACKFILL
+    after an extractor upgrade: every done marker stores the core's
+    content fingerprint (``ocr_spark.core.core_fingerprint``), and with
+    the flag set, buckets whose marker carries an older fingerprint (or
+    none) are treated as pending and re-extracted — the backfill is
+    resumable mid-way exactly like a first run, because each redone
+    bucket re-marks with the new fingerprint as it lands. With the
+    versioned sink this is the corpus-upgrade story: the latest view
+    flips to the new extraction bucket by bucket while every snapshot
+    pinned before the backfill still reads the OLD bytes. Default False:
+    a plain resume never re-does work just because the code changed.
 
     ``versioned=True`` writes results through VersionedTable instead of
     dynamic partition overwrite: each group becomes one snapshot commit
@@ -345,7 +359,9 @@ def run_extract_job(
     hot = hot_hosts(pages, SKEW_FACTOR).cache()
     hot.count()
 
-    done = manifest.done_buckets()
+    fp = core_fingerprint()
+    done = manifest.done_buckets(core_version=fp if reextract_stale
+                                 else None)
     pending = [b for b in range(n_buckets) if b not in done]
     groups = [pending[i:i + group_size]
               for i in range(0, len(pending), group_size)]
@@ -382,7 +398,8 @@ def run_extract_job(
             return {"completed": False, "buckets_done": sorted(
                 manifest.done_buckets()), "snapshot_id": snapshot_id}
         for b in group:
-            manifest.mark_done(b, {"snapshot_id": snapshot_id})
+            manifest.mark_done(b, {"snapshot_id": snapshot_id,
+                                   "core_version": fp})
         n_done += len(group)
 
     hot.unpersist()

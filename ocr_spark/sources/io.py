@@ -109,10 +109,25 @@ class CheckpointManifest:
         self.root = root
         os.makedirs(root, exist_ok=True)
 
-    def done_buckets(self) -> set[int]:
+    def done_buckets(self, core_version: str | None = None) -> set[int]:
+        """Buckets with a done marker. With ``core_version``, only the
+        buckets whose marker records that exact extractor fingerprint —
+        markers from an older core (or with no/unreadable fingerprint)
+        count as NOT done, so an upgraded job re-extracts them
+        (run_extract_job(reextract_stale=True)); the backfill is itself
+        resumable because each redone bucket re-marks with the new
+        fingerprint as it lands."""
         out: set[int] = set()
         for name in os.listdir(self.root):
             if name.startswith("bucket-") and name.endswith(".done"):
+                if core_version is not None:
+                    try:
+                        with open(os.path.join(self.root, name)) as f:
+                            info = json.load(f)
+                    except (OSError, ValueError):
+                        continue  # unreadable marker -> treat as stale
+                    if info.get("core_version") != core_version:
+                        continue
                 out.add(int(name[len("bucket-"):-len(".done")]))
         return out
 

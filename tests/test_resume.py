@@ -501,3 +501,67 @@ def test_versioned_table_concurrent_commits_lose_nothing(spark, tmp_path):
         pass  # acquired despite the corpse
     vt.commit(spark.createDataFrame([(7, "post")], ["pt", "v"]), "pt")
     assert vt.snapshots()[-1]["id"] == 2 * PER + 1
+
+
+def test_reextract_stale_backfills_after_core_upgrade(spark, corpus,
+                                                      tmp_path, monkeypatch):
+    """Extractor-upgrade backfill: done markers carry the core content
+    fingerprint; reextract_stale=True treats older-fingerprint buckets
+    as pending (a resumable in-place backfill), while the default resume
+    still skips everything. With the versioned sink, snapshots pinned
+    BEFORE the backfill keep reading the old bytes."""
+    import ocr_spark.plans.extract_job as ej
+    from ocr_spark.sources.io import VersionedTable
+
+    out = str(tmp_path / "bf")
+    st = run_extract_job(spark, corpus, out, n_buckets=N_BUCKETS,
+                         group_size=4, versioned=True)
+    assert st["completed"]
+    vt = VersionedTable(spark, f"{out}/results")
+    pinned_id = vt.snapshots()[-1]["id"]
+    before = {r["url"]: r["extracted_text"] for r in
+              vt.read().select("url", "extracted_text").collect()}
+
+    # same core: both plain resume AND reextract_stale are no-ops
+    assert run_extract_job(spark, corpus, out, n_buckets=N_BUCKETS,
+                           group_size=4, versioned=True)["groups_run"] == 0
+    assert run_extract_job(spark, corpus, out, n_buckets=N_BUCKETS,
+                           group_size=4, versioned=True,
+                           reextract_stale=True)["groups_run"] == 0
+
+    # "upgrade" the core: new fingerprint, same behavior
+    monkeypatch.setattr(ej, "core_fingerprint", lambda: "upgraded-fp-1")
+
+    # default resume still skips (code change alone must not redo work)
+    assert run_extract_job(spark, corpus, out, n_buckets=N_BUCKETS,
+                           group_size=4, versioned=True)["groups_run"] == 0
+
+    # backfill, crashed mid-way, then resumed: completes the rest only
+    st1 = run_extract_job(spark, corpus, out, n_buckets=N_BUCKETS,
+                          group_size=2, versioned=True,
+                          reextract_stale=True, fail_after_groups=2)
+    assert not st1["completed"]
+    st2 = run_extract_job(spark, corpus, out, n_buckets=N_BUCKETS,
+                          group_size=2, versioned=True,
+                          reextract_stale=True)
+    assert st2["completed"] and st2["groups_run"] == 2 * 2
+
+    # all markers now carry the new fingerprint; a further backfill no-ops
+    mani = ej.CheckpointManifest(f"{out}/_checkpoints")
+    assert mani.done_buckets(core_version="upgraded-fp-1") == set(range(
+        N_BUCKETS))
+    assert run_extract_job(spark, corpus, out, n_buckets=N_BUCKETS,
+                           group_size=2, versioned=True,
+                           reextract_stale=True)["groups_run"] == 0
+
+    # latest view byte-identical (same core behavior), pinned snapshot
+    # from before the backfill byte-stable
+    after = {r["url"]: r["extracted_text"] for r in
+             vt.read().select("url", "extracted_text").collect()}
+    assert after == before
+    old = {r["url"]: r["extracted_text"] for r in
+           vt.read(snapshot_id=pinned_id)
+           .select("url", "extracted_text").collect()}
+    assert old == before
+    # and the backfill really did commit new snapshots
+    assert vt.snapshots()[-1]["id"] > pinned_id
