@@ -24,13 +24,16 @@ def core_fingerprint() -> str:
     global _FP
     if _FP is None:
         import hashlib
-        import os
+        from importlib import resources
         h = hashlib.md5()
-        d = os.path.dirname(__file__)
-        for name in sorted(os.listdir(d)):
-            if name.endswith(".py"):
-                h.update(name.encode())
-                with open(os.path.join(d, name), "rb") as f:
-                    h.update(f.read())
+        # importlib.resources traverses the package whether it lives in
+        # a directory OR inside a --py-files zip (zipimport) — a plain
+        # os.listdir(dirname(__file__)) breaks under the production
+        # spark-submit deployment (pinned by test_submit)
+        pkg = resources.files("ocr_spark.core")
+        for entry in sorted(pkg.iterdir(), key=lambda e: e.name):
+            if entry.name.endswith(".py"):
+                h.update(entry.name.encode())
+                h.update(entry.read_bytes())
         _FP = h.hexdigest()[:12]
     return _FP

@@ -18,6 +18,8 @@ import re
 from dataclasses import dataclass
 
 from ocr_spark.core.dom import _IMPLICIT_CLOSE, _SCOPE_TAGS, VOID_TAGS, Node
+from ocr_spark.core.tokenizer import (
+    _MASTER_RE, _RAWTEXT_CLOSE_RE, _TAG_NAME_RE)
 
 # Elements whose subtree contributes no visible text.
 SKIP_TAGS = frozenset({
@@ -346,6 +348,264 @@ def segment_blocks_stream(tokens: list[tuple]) -> list[Block]:
     if frags:
         flush()
     return blocks
+
+
+def segment_html(html: str) -> tuple[list[Block], int]:
+    """Fused tokenize + segment: one pass from the decoded document
+    straight to blocks, byte-identical to
+    ``segment_blocks_stream(tokenize(html).tokens)`` (and therefore to
+    the DOM reference spelling) by construction — without materializing
+    the token list.
+
+    Hot-path pass #5: the master-regex tokenizer built ~75 token tuples
+    per kB only for :func:`segment_blocks_stream` to unpack them again
+    (``tok[0]``/``tok[1]`` per token, one list append + one tuple
+    allocation each). This spelling feeds each master-regex match
+    directly into the segmentation state machine: the tokenizer's
+    dispatch (branch order, recovery counting, rawtext mode, EOF
+    truncation — tokenizer.py master-loop semantics) is interleaved with
+    the segmenter's open-stack simulation (implicit closes, skip
+    subtrees, anchor depth — :func:`segment_blocks_stream` semantics),
+    both copied construct-for-construct from their pinned spellings.
+    Returns ``(blocks, recoveries)``; blocks are unclassified (callers
+    run :func:`classify_blocks`).
+
+    ``tokenize`` + ``segment_blocks_stream`` stay as the equality
+    oracle; `test_segment_html_matches_stream_reference` pins
+    field-identity + recovery-count identity over hypothesis soup, the
+    targeted edge lists of BOTH ancestors, and the synthetic corpus.
+    """
+    blocks: list[Block] = []
+    frags: list[str] = []
+    anchor_frags: list[str] = []
+    ctx: list[tuple[str, int, bool]] = [("body", 0, False)]
+    stack: list[tuple[str, bool, int, bool]] = []
+    skip_from: int | None = None
+    anchor = 0
+    recoveries = 0
+    n = len(html)
+    i = 0
+    find = html.find
+    search = _MASTER_RE.search
+    unescape = _htmlmod.unescape
+
+    def flush() -> None:
+        nonlocal frags, anchor_frags
+        raw = "".join(frags)
+        text = normalize_ws(raw)
+        if text:
+            tag, depth, boiler = ctx[-1]
+            n_words = _words(text)
+            a_words = (min(len("".join(anchor_frags).split()), n_words)
+                       if anchor_frags else 0)
+            blocks.append(Block(
+                block_id=len(blocks),
+                tag=tag,
+                depth=depth,
+                text=text,
+                n_chars=len(text),
+                n_words=n_words,
+                anchor_words=a_words,
+                link_density=(a_words / n_words) if n_words else 0.0,
+                in_boiler_container=boiler,
+            ))
+        frags = []
+        anchor_frags = []
+
+    def pop_to(idx: int) -> None:
+        nonlocal skip_from, anchor
+        if idx == len(stack) - 1:
+            _t, pushed, a_inc, _b = stack.pop()
+            anchor -= a_inc
+            if pushed:
+                if frags:
+                    flush()
+                ctx.pop()
+        else:
+            for _t, pushed, a_inc, _b in reversed(stack[idx:]):
+                anchor -= a_inc
+                if pushed:
+                    if frags:
+                        flush()
+                    ctx.pop()
+            del stack[idx:]
+        if skip_from is not None and len(stack) <= skip_from:
+            skip_from = None
+
+    def on_end(tag: str) -> None:
+        """The stream segmenter's "end" branch (void filter at call
+        sites where statically known); the well-nested close — the
+        overwhelmingly common case — pops inline instead of delegating
+        to pop_to (same body as pop_to's single-entry fast path)."""
+        nonlocal skip_from, anchor
+        if stack and stack[-1][0] == tag:
+            _t, pushed, a_inc, _b = stack.pop()
+            anchor -= a_inc
+            if pushed:
+                if frags:
+                    flush()
+                ctx.pop()
+            if skip_from is not None and len(stack) <= skip_from:
+                skip_from = None
+            return
+        for k in range(len(stack) - 2, -1, -1):
+            if stack[k][0] == tag:
+                pop_to(k)
+                return
+
+    while True:
+        m = search(html, i)
+        if m is None:
+            if i < n and skip_from is None:
+                data = unescape(html[i:])
+                if data:
+                    frags.append(data)
+                    if anchor > 0:
+                        anchor_frags.append(data)
+            break
+        lt = m.start()
+        if lt > i and skip_from is None:
+            data = unescape(html[i:lt])
+            if data:
+                frags.append(data)
+                if anchor > 0:
+                    anchor_frags.append(data)
+        g = m.lastindex
+
+        if g == 4:  # start tag (groups 2=name, 3=soup, 4=slash)
+            tag, slash = m.group(2, 4)
+            tag = tag.lower()
+            self_closing = slash == "/"
+            i = m.end()
+
+            # --- segmentation "start" transitions (stream spelling) ---
+            closes = _IMPLICIT_CLOSE.get(tag)
+            if closes is not None:
+                idx = None
+                for k in range(len(stack) - 1, -1, -1):
+                    t = stack[k][0]
+                    if t in closes:
+                        idx = k
+                        break
+                    if t in _SCOPE_TAGS:
+                        break
+                if idx is not None:
+                    pop_to(idx)
+            real = tag not in VOID_TAGS and not self_closing
+            if skip_from is not None:
+                if real:
+                    stack.append((tag, False, 0, False))
+            elif tag in SKIP_TAGS:
+                if real:
+                    stack.append((tag, False, 0,
+                                  stack[-1][3] if stack else False))
+                    skip_from = len(stack) - 1
+            elif tag == "br" or tag == "hr":
+                if frags:
+                    flush()
+            else:
+                boiler = stack[-1][3] if stack else False
+                child_boiler = boiler or (tag in BOILER_CONTAINERS)
+                pushed = False
+                if tag in BLOCK_TAGS:
+                    if frags:
+                        flush()
+                    ctx.append((tag, len(stack) + 1, child_boiler))
+                    pushed = True
+                if real:
+                    a_inc = 1 if tag == "a" else 0
+                    anchor += a_inc
+                    stack.append((tag, pushed, a_inc, child_boiler))
+                elif pushed:
+                    if frags:
+                        flush()
+                    ctx.pop()
+
+            # --- rawtext mode (tokenizer spelling, fed straight in) ---
+            if tag in _RAWTEXT_CLOSE_RE and not self_closing:
+                cm = _RAWTEXT_CLOSE_RE[tag].search(html, i)
+                close = cm.start() if cm else -1
+                if close < 0:
+                    recoveries += 1
+                    if skip_from is None:
+                        data = unescape(html[i:])
+                        if data:
+                            frags.append(data)
+                            if anchor > 0:
+                                anchor_frags.append(data)
+                    on_end(tag)  # rawtext tags are never void
+                    break
+                if skip_from is None:
+                    data = unescape(html[i:close])
+                    if data:
+                        frags.append(data)
+                        if anchor > 0:
+                            anchor_frags.append(data)
+                gt = find(">", close)
+                on_end(tag)
+                i = (gt + 1) if gt >= 0 else n
+            continue
+
+        if g == 1:  # end tag
+            tag = m.group(1).lower()
+            i = m.end()
+            if tag not in VOID_TAGS:
+                on_end(tag)
+            continue
+
+        if g == 5:  # comment — contributes nothing
+            end = find("-->", m.end())
+            if end < 0:
+                recoveries += 1
+                break
+            i = end + 3
+            continue
+
+        if g == 6:  # CDATA: emitted as text
+            end = find("]]>", m.end())
+            if end < 0:
+                recoveries += 1
+                break
+            if skip_from is None:
+                data = unescape(html[m.end():end])
+                if data:
+                    frags.append(data)
+                    if anchor > 0:
+                        anchor_frags.append(data)
+            i = end + 3
+            continue
+
+        if g == 7:  # doctype / bogus markup decl — contributes nothing
+            end = find(">", m.end())
+            if end < 0:
+                recoveries += 1
+                break
+            i = end + 1
+            continue
+
+        if g == 8:  # bogus end tag: consume to '>'
+            end = find(">", m.end())
+            recoveries += 1
+            if end < 0:
+                break
+            i = end + 1
+            continue
+
+        # g == 9: nothing tag-shaped completed at this '<'.
+        nxt = html[lt + 1: lt + 2]
+        if nxt and _TAG_NAME_RE.match(nxt):
+            recoveries += 1
+            break
+        if skip_from is None:
+            frags.append("<")
+            if anchor > 0:
+                anchor_frags.append("<")
+        i = lt + 1
+
+    pop_to(0)
+    if frags:
+        flush()
+    return blocks, recoveries
 
 
 def classify_blocks(blocks: list[Block]) -> list[Block]:

@@ -17,10 +17,8 @@ from dataclasses import dataclass, field
 
 from ocr_spark.core import pdf as _pdf
 from ocr_spark.core.assemble import assemble
-from ocr_spark.core.blocks import (
-    Block, classify_blocks, segment_blocks_stream)
+from ocr_spark.core.blocks import Block, classify_blocks, segment_html
 from ocr_spark.core.encoding import decode_bytes
-from ocr_spark.core.tokenizer import tokenize
 
 KIND_HTML = "html"
 KIND_PDF = "pdf"
@@ -81,11 +79,11 @@ def extract(data: bytes | None, lang: str | None = None,
     if not decoded.strip():
         return ExtractResult(encoding=enc)
 
-    stream = tokenize(decoded)
-    # single-pass segmentation off the token stream — byte-identical to
-    # segment_blocks(build_dom(tokens)), the pinned reference spelling
-    # (blocks.py segment_blocks_stream docstring)
-    blocks = classify_blocks(segment_blocks_stream(stream.tokens))
+    # fused tokenize+segment in ONE pass — byte-identical to
+    # segment_blocks_stream(tokenize(decoded).tokens), itself pinned to
+    # segment_blocks(build_dom(tokens)) (blocks.py segment_html docstring)
+    raw_blocks, recoveries = segment_html(decoded)
+    blocks = classify_blocks(raw_blocks)
     text = assemble(blocks)
 
     total_words = sum(b.n_words for b in blocks)
@@ -96,7 +94,7 @@ def extract(data: bytes | None, lang: str | None = None,
         encoding=enc,
         n_blocks=len(blocks),
         n_content_blocks=sum(1 for b in blocks if b.is_content),
-        recoveries=stream.recoveries,
+        recoveries=recoveries,
         link_density=(anchor_words / total_words) if total_words else 0.0,
         blocks=blocks if keep_blocks else [],
     )

@@ -191,6 +191,93 @@ def test_segment_blocks_stream_matches_on_synth_corpus():
     assert n > 300
 
 
+# --- fused tokenize+segment vs the two-pass pinned spelling ---
+
+def _fused_equal(html: str):
+    from ocr_spark.core.blocks import segment_blocks_stream, segment_html
+    stream = tokenize(html)
+    ref = segment_blocks_stream(stream.tokens)
+    fast_blocks, fast_rec = segment_html(html)
+    assert fast_blocks == ref  # dataclass: full field-wise equality
+    assert fast_rec == stream.recoveries
+
+
+@given(html_soup)
+@settings(max_examples=400, deadline=None)
+def test_segment_html_matches_stream_reference(soup):
+    """The fused one-pass segmenter (no token list materialized) must be
+    FIELD-IDENTICAL — including recovery counts — to
+    segment_blocks_stream(tokenize(html).tokens) on adversarial soup."""
+    _fused_equal(soup)
+
+
+def test_segment_html_matches_on_targeted_edges():
+    """The fused loop interleaves BOTH state machines, so it must clear
+    BOTH ancestors' closed-form edge lists, plus fusion-specific edges
+    (rawtext inside a skip subtree, xmp — rawtext but NOT a skip tag —,
+    unterminated rawtext closing mid-stack, CDATA text inside anchors)."""
+    cases = [
+        # segmenter edges
+        "<div><p>a<p>b</div>c", "<ul><li>x<li>y</ul>",
+        "<table><tr><td>1<td>2<tr><td>3</table>",
+        "<div><p>out<div><p>in</div>more</div>",
+        "<p>text<select><p>inner</select>tail",
+        "<p>pre<select><div>s</div></p>post",
+        "<div/>x<p/>y", "<p>a</br>b</p>", "</p>stray<p>ok</q></p>",
+        "<a href=x>l1<a>l2</a>l3</a>tail",
+        "<nav><p>boiler</p></nav><p>body text</p>",
+        "<script>var a='<p>x</p>';</script><p>real</p>",
+        "<title>t</title><p>kept</p>",
+        "<h1>head<article><p>deep</p></article>",
+        "<p>&amp;\tx  y&#10;</p>",
+        "<div>" * 60 + "deep" + "</div>" * 60,
+        "text only, no tags at all",
+        "<body><header>h</header><p>" + "w " * 20 + "</p></body>",
+        # tokenizer edges
+        "<div class='a>b'>quoted gt</div>", "<img src=x/>", "<br/>",
+        "<p/>tail", "</ div >ws end", "</3>bogus", "</",
+        "<!-- unterminated", "<![CDATA[ unterminated", "<! unterminated",
+        "<!-- c --><p>x</p><!doctype html><?pi?>",
+        "<![CDATA[ <p>raw</p> ]]>after", "a < b > c", "x<", "<  ",
+        "<3 not a tag", "<div", "<div class=",
+        "<script>var a='</scr'+'ipt>';</script>ok",
+        "<SCRIPT>S</SCRIPT>t", "<style>p{}</style>",
+        "<textarea>&amp;</textarea>", "<title>t",
+        "<p hidden>valueless</p>", "<p a = 'x' b=\"y\" c=z>m</p>",
+        "<my-tag>x</my-tag>", "<a:b>x</a:b>", "<T_1>x</T_1>",
+        "<p\nclass='x'>nl soup</p>", "</p attr=1>end soup",
+        "﻿<p>bom</p>", "İ<script>s</script>tail", "",
+        # fusion-specific edges
+        "<select><script>skip me</script></select><p>after</p>",
+        "<xmp>&amp; <p>literal</p></xmp><p>tail</p>",
+        "<xmp>unterminated rawtext, not a skip tag",
+        "<a><script>s</a>crippled",      # unterminated rawtext in anchor
+        "<p>x<script>never closed",      # unterminated rawtext mid-block
+        "<a>l<![CDATA[ c ]]>t</a>",      # CDATA text inside an anchor
+        "<select><![CDATA[ hidden ]]></select>done",
+        "<p><script/>self-closing rawtext</p>",
+        "<li>a<script>x</script><li>b",  # implicit close after rawtext
+    ]
+    for html in cases:
+        _fused_equal(html)
+
+
+def test_segment_html_matches_on_synth_corpus():
+    """Corpus-level pin: every synthetic page (all templates) segments
+    identically fused and two-pass."""
+    from ocr_spark.core.encoding import decode_bytes
+    from ocr_spark.synth import make_pages
+    n = 0
+    for p in make_pages(400, seed=777):
+        html = p["html"]
+        if html is None or html[:5] == b"%PDF-":
+            continue
+        decoded, _ = decode_bytes(bytes(html))
+        _fused_equal(decoded)
+        n += 1
+    assert n > 300
+
+
 # --- master-regex tokenizer vs dispatch-loop reference spelling ---
 
 def _tokens_equal(html: str):
