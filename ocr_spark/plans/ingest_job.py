@@ -224,6 +224,7 @@ def run_ingest_job(
     fail_point: str = "drop_start",
     compact_history_every: int | None = None,
     keep_staged: bool = False,
+    recrawl: str = "append",
 ) -> dict:
     """Process every pending drop under ``warc_dir`` (see module
     docstring for the protocol). Returns a status dict. Read results
@@ -235,10 +236,36 @@ def run_ingest_job(
     ``drop_start`` stops cleanly before the (N+1)-th drop;
     ``pre_mark`` stops INSIDE the N-th drop after the snapshot commit
     and the fingerprint write but before the done marker — the
-    worst-case window the exactly-once protocol exists for."""
+    worst-case window the exactly-once protocol exists for.
+
+    ``recrawl`` picks the results-table policy for re-captured URLs:
+
+    * ``"append"`` (default): every content-distinct capture is a row —
+      the table is the full capture HISTORY, and per-URL keep-latest is
+      a downstream view (``urls.dedup_latest_capture``).
+    * ``"merge_latest"``: the table holds ONE row per URL, the latest
+      content-distinct capture — each drop after the first lands via
+      ``VersionedTable.merge_into`` keyed on url, so a changed
+      recapture REPLACES the old row (moving it into the new drop's
+      partition, copy-on-write — pre-drop snapshot pins still read the
+      old row), while a byte-identical recrawl never reaches the merge
+      at all (content dedup drops it upstream) and the existing row
+      simply survives. Within a drop, the newest capture per url wins
+      (warc_ts, content-hash tiebreak — deterministic under replay).
+      Crash/replay safety is unchanged: a replayed drop re-merges the
+      same source rows against keys its crashed attempt wrote, which
+      replaces them with identical values — the latest view is
+      byte-identical to an uninterrupted run's, with the replayed
+      commit shadowing the crashed one. A drop whose every page was
+      already seen commits nothing in this mode (there is no history
+      row to pin), so "one snapshot per drop" holds for drops that
+      carry any new content."""
     from ocr_spark.operators.dedup import dedup_incremental_vs_hashes
     from ocr_spark.sources.warc import read_warc
 
+    if recrawl not in ("append", "merge_latest"):
+        raise ValueError(
+            f"recrawl must be 'append' or 'merge_latest', got {recrawl!r}")
     io = TableIO(spark, out_dir)
     vt = VersionedTable(spark, os.path.join(out_dir, "results"))
     manifest = DropManifest(os.path.join(out_dir, "_checkpoints"))
@@ -287,8 +314,26 @@ def run_ingest_job(
                                 hot=hot_hosts(pages, SKEW_FACTOR)).cache()
         out_cols = (results.drop("extract_us", "input_bytes", "salt")
                     .withColumn("drop_id", F.lit(drop)))
-        sid = vt.commit(out_cols, "drop_id",
-                        note=f"ingest {run_id} drop {drop}")
+        if recrawl == "merge_latest" and vt.snapshots():
+            # one winner per url WITHIN the drop (merge cardinality):
+            # newest warc_ts, content-hash tiebreak so ties are
+            # deterministic under replay. Window over the drop only —
+            # bounded by the drop, never the corpus.
+            from pyspark.sql.window import Window
+            w = Window.partitionBy("url").orderBy(
+                F.col("warc_ts").desc(),
+                F.md5("extracted_text").desc())
+            latest = (out_cols
+                      .withColumn("_rn", F.row_number().over(w))
+                      .where(F.col("_rn") == 1).drop("_rn"))
+            sid, _ = vt.merge_into(
+                latest, ["url"],
+                note=f"ingest {run_id} drop {drop} (merge_latest)")
+            if sid is None:   # nothing new in the drop: no snapshot
+                sid = vt.snapshots()[-1]["id"]
+        else:
+            sid = vt.commit(out_cols, "drop_id",
+                            note=f"ingest {run_id} drop {drop}")
         attempt = manifest.attempt_of(drop)
         io.append(lineage_of(results, attempt, f"{run_id}:{sid}"),
                   "lineage")

@@ -281,7 +281,8 @@ class VersionedTable:
 
     def commit(self, df: DataFrame, partition_col: str | None = None,
                note: str = "", replace_all: bool = False,
-               drop_partitions: list | None = None) -> int:
+               drop_partitions: list | None = None,
+               operation: str = "write") -> int:
         """Write ``df`` as a new snapshot. With ``partition_col``,
         default semantics are Iceberg DYNAMIC overwrite: partitions
         PRESENT in ``df`` are replaced, absent ones carry over from the
@@ -300,7 +301,13 @@ class VersionedTable:
         directories are untouched until ``expire_snapshots`` GCs them).
         A value that matches no live partition is skipped (idempotent
         re-runs must not fail); a value also present in ``df`` raises —
-        one snapshot must not both rewrite and drop a partition."""
+        one snapshot must not both rewrite and drop a partition.
+
+        ``operation`` tags the manifest entry (Iceberg snapshot
+        ``operation``): "write" (data), "delete"/"merge" (set by
+        delete_where/merge_into), or "rewrite" — a LAYOUT-ONLY commit
+        (rewrite_files) whose dir changes ``changed_partitions`` /
+        ``read_incremental`` must NOT report as data rewrites."""
         snaps = self.snapshots()
         if snaps and snaps[0]["partition_col"] != partition_col:
             raise ValueError(
@@ -384,6 +391,7 @@ class VersionedTable:
                         parts[k] = None
             sid = (snaps[-1]["id"] + 1) if snaps else 1
             entry = {"id": sid, "ts": time.time(), "note": note,
+                     "operation": operation,
                      "partition_col": partition_col,
                      "replace_all": bool(replace_all), "parts": parts}
             if schema_dir is not None:
@@ -440,7 +448,8 @@ class VersionedTable:
                 if kept_n == total:
                     return None, stats
                 sid = self.commit(remaining, None,
-                                  note=note or "delete_where")
+                                  note=note or "delete_where",
+                                  operation="delete")
             finally:
                 cur.unpersist()
             remaining.unpersist()
@@ -463,7 +472,8 @@ class VersionedTable:
             dropped = [v for v in affected if v not in kept_parts]
             sid = self.commit(remaining, pcol,
                               note=note or "delete_where",
-                              drop_partitions=dropped)
+                              drop_partitions=dropped,
+                              operation="delete")
             remaining.unpersist()
         finally:
             sub.unpersist()
@@ -472,8 +482,321 @@ class VersionedTable:
         stats["partitions_dropped"] = len(dropped)
         return sid, stats
 
+    def changed_partitions(self, from_snapshot: int,
+                           to_snapshot: int | None = None) -> dict:
+        """Partition-grain diff between two snapshots: which partition
+        values were appended / rewritten / dropped in the range
+        ``(from_snapshot, to_snapshot]`` (``from_snapshot`` EXCLUSIVE,
+        0 = before the first commit; ``to_snapshot`` default latest).
+
+        Driver-side over the manifest — no data files are listed or
+        read, so the cost is independent of table size (the property
+        that makes a per-drop incremental consumer free at 100 TB).
+        Keys are returned in the on-disk partition-dir spelling, which
+        ``read(partitions=...)`` accepts verbatim."""
+        snaps = self.snapshots()
+        if not snaps:
+            raise ValueError(
+                f"VersionedTable at {self.root} has no snapshots")
+        if snaps[0]["partition_col"] is None:
+            raise ValueError(
+                "changed_partitions requires a partitioned table "
+                f"({self.root} is unpartitioned: every commit replaces "
+                "the whole table, so there is no append grain)")
+        last = snaps[-1]["id"]
+        to = last if to_snapshot is None else to_snapshot
+        if not 0 <= from_snapshot <= to <= last:
+            raise ValueError(
+                f"invalid snapshot range ({from_snapshot}, {to}] "
+                f"(latest is {last})")
+        if to == 0:   # the empty range before any commit
+            return {"appended": [], "rewritten": [], "dropped": []}
+        # diff the LOGICAL views (layout-only rewrite_files commits not
+        # applied): a compaction changes partition dirs without touching
+        # rows, and must not read as a data rewrite to consumers
+        l0 = ({} if from_snapshot == 0
+              else self._resolve(from_snapshot, None,
+                                 skip_rewrites=True)[0])
+        l1, _ = self._resolve(to, None, skip_rewrites=True)
+        return {
+            "appended": sorted(k for k in l1 if k not in l0),
+            "rewritten": sorted(k for k in l1
+                                if k in l0 and l1[k] != l0[k]),
+            "dropped": sorted(k for k in l0 if k not in l1),
+        }
+
+    def read_incremental(self, from_snapshot: int,
+                         to_snapshot: int | None = None,
+                         on_nonappend: str = "raise") -> DataFrame:
+        """Incremental APPEND scan (Iceberg's ``start-snapshot-id`` /
+        ``end-snapshot-id`` incremental read): the rows of partitions
+        that first appeared after ``from_snapshot``, as of
+        ``to_snapshot`` (default latest). This is the downstream
+        consumer's contract — a tokenization/packing job that processed
+        the corpus at snapshot k asks for exactly the drops ingested
+        since, never rescanning the corpus.
+
+        Like Iceberg's append scan, a range containing NON-append
+        changes (a rewritten or dropped partition — a recrawl
+        overwrite, a takedown) raises by default: silently returning
+        only the appends would hide that previously-consumed rows
+        changed underneath. ``on_nonappend="skip"`` opts into exactly
+        that (returns appended partitions only) for consumers that
+        reconcile rewrites elsewhere. A partition appended and then
+        rewritten INSIDE the range counts as appended and reads its
+        content as of ``to_snapshot``."""
+        from pyspark.sql import functions as F
+
+        if on_nonappend not in ("raise", "skip"):
+            raise ValueError(
+                f"on_nonappend must be 'raise' or 'skip', "
+                f"got {on_nonappend!r}")
+        ch = self.changed_partitions(from_snapshot, to_snapshot)
+        if on_nonappend == "raise" and (ch["rewritten"] or ch["dropped"]):
+            raise ValueError(
+                f"non-append changes in snapshot range "
+                f"({from_snapshot}, {to_snapshot or 'latest'}]: "
+                f"rewritten={ch['rewritten']}, dropped={ch['dropped']} "
+                f"— pass on_nonappend='skip' to read appended "
+                f"partitions only")
+        if not ch["appended"]:
+            # to_snapshot=0 (the pre-commit empty range) has no view of
+            # its own — borrow the latest schema for the typed empty
+            return (self.read(snapshot_id=to_snapshot or None)
+                    .where(F.lit(False)))
+        return self.read(snapshot_id=to_snapshot,
+                         partitions=ch["appended"])
+
+    def merge_into(self, source: DataFrame, key_cols: list[str],
+                   note: str = "") -> tuple[int | None, dict]:
+        """Keyed UPSERT (Iceberg ``MERGE INTO … WHEN MATCHED THEN
+        UPDATE WHEN NOT MATCHED THEN INSERT``, replace semantics): rows
+        of ``source`` replace table rows sharing their ``key_cols``;
+        unmatched source rows are appended. The recrawl primitive — a
+        re-captured url lands in the new drop's partition and the stale
+        capture leaves the old one.
+
+        Partition-grain copy-on-write, same shape as delete_where: only
+        partitions that contain matched keys or receive source rows are
+        rewritten; everything else carries over by manifest reference;
+        a matched partition left empty becomes a tombstone; earlier
+        snapshots still read the pre-merge rows (time travel).
+
+        MERGE cardinality: duplicate keys WITHIN source are ambiguous
+        ("which row wins?") and raise, mirroring Iceberg's cardinality
+        check. The match probe is a key semi-join against the live
+        view — keys only (no payload) cross the shuffle, and Spark/AQE
+        picks a broadcast when the source is small (no hard hint: a
+        giant recrawl must degrade to a shuffle join, not OOM the
+        driver). Single logical writer, like commit.
+
+        Returns ``(snapshot_id, stats)``; ``snapshot_id`` is None when
+        ``source`` is empty."""
+        from pyspark.sql import functions as F
+
+        snaps = self.snapshots()
+        if not snaps:
+            raise ValueError(
+                f"VersionedTable at {self.root} has no snapshots; "
+                "use commit() for the first write")
+        pcol = snaps[0]["partition_col"]
+        if pcol is not None and pcol not in source.columns:
+            raise ValueError(
+                f"source must carry the partition column {pcol!r}")
+        stats = {"rows_replaced": 0, "rows_written": 0,
+                 "partitions_rewritten": 0, "partitions_dropped": 0}
+        src = source.persist()
+        try:
+            src_n = src.count()
+            if src_n == 0:
+                return None, stats
+            dup = (src.groupBy(*key_cols).count()
+                   .where(F.col("count") > 1).limit(1).collect())
+            if dup:
+                raise ValueError(
+                    f"merge_into source has duplicate keys on "
+                    f"{key_cols} (e.g. {tuple(dup[0])[:-1]}): dedup the "
+                    "source first (one winner per key)")
+            keys = src.select(*key_cols).distinct()
+            if pcol is None:
+                cur = self.read().persist()
+                try:
+                    total = cur.count()
+                    survivors = cur.join(keys, key_cols, "left_anti")
+                    merged = survivors.unionByName(src).persist()
+                    kept = merged.count() - src_n
+                    sid = self.commit(merged, None,
+                                      note=note or "merge_into",
+                                      operation="merge")
+                    merged.unpersist()
+                finally:
+                    cur.unpersist()
+                stats.update(rows_replaced=total - kept,
+                             rows_written=src_n, partitions_rewritten=1)
+                return sid, stats
+            from urllib.parse import unquote
+            matched_parts = sorted(
+                {r[0] for r in self.read().join(keys, key_cols, "semi")
+                 .select(pcol).distinct().collect()}, key=_norm_pv)
+            src_parts = sorted(
+                {r[0] for r in src.select(pcol).distinct().collect()},
+                key=_norm_pv)
+            live = self._resolve(None, None)[0]
+            live_norm = set(live) | {unquote(k) for k in live}
+            # partitions to rewrite: every one holding a matched key,
+            # plus every ALREADY-LIVE one receiving source rows (a
+            # brand-new source partition needs no read of old data)
+            read_parts = sorted(
+                set(matched_parts)
+                | {v for v in src_parts if _norm_pv(v) in live_norm},
+                key=_norm_pv)
+            if read_parts:
+                existing = self.read(partitions=read_parts).persist()
+                total = existing.count()
+                survivors = (existing.join(keys, key_cols, "left_anti")
+                             .persist())
+                kept = survivors.count()
+            else:
+                existing = None
+                total = kept = 0
+                survivors = src.limit(0)
+            merged = survivors.unionByName(src)
+            present = {_norm_pv(r[0]) for r in
+                       merged.select(pcol).distinct().collect()}
+            dropped = [v for v in read_parts
+                       if _norm_pv(v) not in present]
+            sid = self.commit(merged, pcol, note=note or "merge_into",
+                              drop_partitions=dropped,
+                              operation="merge")
+            if existing is not None:
+                survivors.unpersist()
+                existing.unpersist()
+            stats.update(rows_replaced=total - kept, rows_written=src_n,
+                         partitions_rewritten=len(present),
+                         partitions_dropped=len(dropped))
+            return sid, stats
+        finally:
+            src.unpersist()
+
+    def rewrite_files(self, target_bytes: int = 128 << 20,
+                      note: str = "") -> tuple[int | None, dict]:
+        """Small-file compaction as a logical no-op snapshot (Iceberg
+        ``rewrite_data_files``): every live partition holding more
+        parquet files than ``target_bytes`` warrants is rewritten into
+        that many files; rows are untouched, partitions already at
+        their target carry over by manifest reference, and earlier
+        snapshots keep reading the old layout (copy-on-write — the old
+        files go away at expire_snapshots, like any superseded commit).
+
+        Why a log-structured ingest table needs it: a year of daily
+        drops appends 365 partitions whose file counts mirror each
+        drop's transient parallelism, and scan efficiency decays with
+        per-file overhead. The file-count probe is a driver-side
+        listing of LIVE partition dirs only (bounded by partition
+        count); each selected partition is shuffled once into its
+        target file count. Schedule like any maintenance job — between
+        ingest runs, optionally in partition batches."""
+        import math
+        from functools import reduce
+
+        snaps = self.snapshots()
+        if not snaps:
+            raise ValueError(
+                f"VersionedTable at {self.root} has no snapshots")
+        pcol = snaps[0]["partition_col"]
+        live, _ = self._resolve(None, None)
+        plan: dict[str, int] = {}
+        files_before = 0
+        for k, rel in sorted(live.items()):
+            d = os.path.join(self.root, "data", rel)
+            files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+            sz = sum(os.path.getsize(os.path.join(d, f)) for f in files)
+            want = max(1, math.ceil(sz / target_bytes))
+            if len(files) > want:
+                plan[k] = want
+                files_before += len(files)
+        stats = {"partitions_rewritten": len(plan),
+                 "files_before": files_before, "files_after": 0}
+        if not plan:
+            return None, stats
+        if pcol is None:
+            df = self.read().repartition(plan["__table__"])
+            sid = self.commit(df, None, note=note or "rewrite_files",
+                              operation="rewrite")
+        else:
+            # one repartition(target) branch per selected partition,
+            # unioned: each branch's tasks hold only that partition's
+            # rows, so each output dir gets exactly its target count
+            branches = [self.read(partitions=[k]).repartition(w)
+                        for k, w in sorted(plan.items())]
+            df = reduce(lambda a, b: a.unionByName(b), branches)
+            sid = self.commit(df, pcol, note=note or "rewrite_files",
+                              operation="rewrite")
+        new_parts = self.snapshots()[-1]["parts"]
+        stats["files_after"] = sum(
+            len([f for f in os.listdir(
+                os.path.join(self.root, "data", rel))
+                if f.endswith(".parquet")])
+            for rel in new_parts.values() if rel is not None)
+        return sid, stats
+
+    def history(self) -> DataFrame:
+        """Snapshot metadata as a DataFrame (Iceberg's ``.history`` /
+        ``.snapshots`` metadata tables): one row per commit with the
+        partition-grain change counts. Driver-side over the manifest —
+        cost independent of data volume."""
+        import datetime
+
+        rows = []
+        prev: dict[str, str] = {}
+        for s in self.snapshots():
+            if s["partition_col"] is None or s.get("replace_all"):
+                cur = {k: v for k, v in s["parts"].items()
+                       if v is not None}
+                appended = [k for k in cur if k not in prev]
+                rewritten = [k for k in cur
+                             if k in prev and cur[k] != prev[k]]
+                dropped = [k for k in prev if k not in cur]
+            else:
+                cur = dict(prev)
+                appended, rewritten, dropped = [], [], []
+                for k, v in s["parts"].items():
+                    if v is None:
+                        if k in cur:
+                            dropped.append(k)
+                            cur.pop(k)
+                    elif k not in cur:
+                        appended.append(k)
+                        cur[k] = v
+                    else:
+                        rewritten.append(k)
+                        cur[k] = v
+            rows.append((
+                s["id"],
+                datetime.datetime.fromtimestamp(s["ts"]),
+                s.get("note", ""),
+                s.get("operation", "write"),
+                bool(s["partition_col"] is None or s.get("replace_all")),
+                len(appended), len(rewritten), len(dropped), len(cur)))
+            prev = cur
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id INT, committed_at TIMESTAMP, note STRING, "
+            "operation STRING, replaces_all BOOLEAN, "
+            "partitions_appended INT, partitions_rewritten INT, "
+            "partitions_dropped INT, partitions_live INT")
+
     def _resolve(self, snapshot_id: int | None,
-                 partitions: list | None) -> tuple[dict, dict]:
+                 partitions: list | None,
+                 skip_rewrites: bool = False) -> tuple[dict, dict]:
+        """``skip_rewrites=True`` resolves the LOGICAL view: layout-only
+        commits (operation="rewrite") are not applied, so each partition
+        maps to the dir of its last DATA commit — the spelling
+        changed_partitions diffs, making compaction invisible to
+        incremental consumers. (An expiry-compacted base entry carries
+        no operation tag and is always applied — correct: it IS the
+        resolved state at that id, and both sides of any valid diff
+        start at or after it.)"""
         snaps = self.snapshots()
         if snapshot_id is not None:
             if snaps and snapshot_id > snaps[-1]["id"]:
@@ -491,6 +814,8 @@ class VersionedTable:
         live: dict[str, str] = {}
         meta = snaps[-1]
         for s in snaps:   # later commits shadow earlier per partition
+            if skip_rewrites and s.get("operation") == "rewrite":
+                continue
             if s["partition_col"] is None or s.get("replace_all"):
                 live = dict(s["parts"])
             else:

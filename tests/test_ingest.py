@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from ocr_spark.plans.ingest_job import run_ingest_job
@@ -77,6 +78,11 @@ def test_ingest_two_drops_crash_resume_byte_identical(spark, tmp_path):
     assert {u for u, _, _ in _latest(spark, out_a, snapshot_id=1)} == {
         "https://w.example.com/u1", "https://w.example.com/u2",
         "https://w.example.com/u3"}
+    # downstream incremental consumer (tokenize/pack since snapshot 1):
+    # exactly the day2 partition, discovered from the manifest alone
+    assert vt_a.changed_partitions(1) == {
+        "appended": ["day2"], "rewritten": [], "dropped": []}
+    assert {r["url"] for r in vt_a.read_incremental(1).collect()} == day2
 
     # --- crashed run + resume ---
     out_b = str(tmp_path / "b")
@@ -126,6 +132,63 @@ def test_ingest_single_drop_one_new_doc(spark, tmp_path):
     assert [r["url"] for r in new_rows] == ["https://w.example.com/new"]
     assert "upload" in new_rows[0]["extracted_text"]
     assert len(_latest(spark, out)) == 2
+
+
+def test_ingest_merge_latest_recrawl(spark, tmp_path):
+    """recrawl="merge_latest": the results table holds ONE row per url
+    (latest content-distinct capture). Pins: a changed recapture
+    replaces the old row and MOVES it to the new drop's partition
+    (copy-on-write — the pre-recrawl snapshot still reads the old
+    capture); a byte-identical recrawl leaves the existing row alone;
+    within a drop the newest capture wins; incremental consumers see
+    the rewritten partition (read_incremental raises by default);
+    crash in the worst-case window + resume is byte-identical."""
+    drops = str(tmp_path / "drops")
+    u1, u2, u3 = (f"https://w.example.com/u{i}" for i in (1, 2, 3))
+    dup = (u2, "2026-01-01T00:00:00Z", _page("two"))
+    _write_drop(drops, "day1", [
+        (u1, "2026-01-01T00:00:00Z", _page("one")), dup])
+    _write_drop(drops, "day2", [
+        dup,                                        # byte-identical
+        (u1, "2026-01-02T00:00:00Z", _page("one-v2a")),
+        (u1, "2026-01-02T12:00:00Z", _page("one-v2b")),  # drop winner
+        (u3, "2026-01-02T00:00:00Z", _page("three"))])
+
+    out_a = str(tmp_path / "a")
+    st = run_ingest_job(spark, drops, out_a, n_buckets=8,
+                        recrawl="merge_latest")
+    assert st["completed"] and st["drops_done"] == ["day1", "day2"]
+    vt = VersionedTable(spark, os.path.join(out_a, "results"))
+    rows = {(r["url"], r["drop_id"]): r["extracted_text"]
+            for r in vt.read().collect()}
+    assert set(rows) == {(u1, "day2"), (u2, "day1"), (u3, "day2")}
+    assert "essay one-v2b " in rows[(u1, "day2")]
+    # day1's partition physically lost the moved url...
+    day1 = {r["url"] for r in vt.read(partitions=["day1"]).collect()}
+    assert day1 == {u2}
+    # ...but the pre-recrawl snapshot pin still reads the old capture
+    old = {r["url"]: r["extracted_text"]
+           for r in vt.read(snapshot_id=1).collect()}
+    assert set(old) == {u1, u2} and "essay one " in old[u1]
+    # incremental consumers are TOLD day1 changed underneath them
+    assert vt.changed_partitions(1) == {
+        "appended": ["day2"], "rewritten": ["day1"], "dropped": []}
+    with pytest.raises(ValueError, match="non-append"):
+        vt.read_incremental(1)
+    inc = {r["url"] for r in
+           vt.read_incremental(1, on_nonappend="skip").collect()}
+    assert inc == {u1, u3}
+
+    # crash in the worst-case window (post-merge, pre-marker) + resume
+    out_b = str(tmp_path / "b")
+    st1 = run_ingest_job(spark, drops, out_b, n_buckets=8,
+                         recrawl="merge_latest",
+                         fail_after_drops=2, fail_point="pre_mark")
+    assert st1["completed"] is False
+    st2 = run_ingest_job(spark, drops, out_b, n_buckets=8,
+                         recrawl="merge_latest")
+    assert st2["completed"]
+    assert _latest(spark, out_b) == _latest(spark, out_a)
 
 
 def test_history_compaction_preserves_exactly_once(spark, tmp_path):

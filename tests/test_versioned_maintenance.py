@@ -1,0 +1,229 @@
+"""VersionedTable maintenance & consumption surface: incremental
+append scan (read_incremental / changed_partitions), keyed MERGE
+upsert (merge_into), small-file compaction (rewrite_files), and the
+snapshot metadata table (history()).
+
+Contract under test (io.py):
+  * read_incremental((k, latest]) returns EXACTLY the partitions
+    appended after k, raises on non-append changes in range by default
+    (Iceberg incremental append scan), and reads appended-then-
+    rewritten partitions as of the range end;
+  * merge_into replaces matched keys and appends the rest at partition
+    grain — untouched partitions carry over BY REFERENCE, a matched
+    partition left empty becomes a tombstone, earlier snapshots still
+    read pre-merge rows, duplicate source keys raise;
+  * rewrite_files is a logical no-op (row multiset unchanged) that
+    only re-lays-out over-fragmented LIVE partitions; re-running is a
+    no-op;
+  * history() is driver-side manifest metadata, one row per commit.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.sources.io import VersionedTable
+
+
+def _mk(spark, rows, cols=("drop_id", "url", "score")):
+    return spark.createDataFrame(rows, list(cols))
+
+
+def _rows(df):
+    return sorted((r.drop_id, r.url, r.score) for r in df.collect())
+
+
+# ---------------------------------------------------------------- incremental
+
+
+def test_changed_partitions_and_read_incremental(spark, tmp_path):
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.commit(_mk(spark, [(1, "a", 1), (2, "b", 2)]), "drop_id")   # id 1
+    vt.commit(_mk(spark, [(3, "c", 3)]), "drop_id")                # id 2
+    vt.commit(_mk(spark, [(2, "b2", 9)]), "drop_id")               # id 3 (rw)
+
+    assert vt.changed_partitions(0, 2) == {
+        "appended": ["1", "2", "3"], "rewritten": [], "dropped": []}
+    assert vt.changed_partitions(1) == {
+        "appended": ["3"], "rewritten": ["2"], "dropped": []}
+    assert vt.changed_partitions(2, 3) == {
+        "appended": [], "rewritten": ["2"], "dropped": []}
+
+    # clean append range: exactly the new drop
+    assert _rows(vt.read_incremental(1, 2)) == [(3, "c", 3)]
+    # rewrite inside the range: raise by default, appends-only on skip
+    with pytest.raises(ValueError, match="non-append"):
+        vt.read_incremental(1)
+    assert _rows(vt.read_incremental(1, on_nonappend="skip")) == [
+        (3, "c", 3)]
+    # bootstrap from 0: everything counts as appended, rewritten
+    # partitions read as of the range END
+    assert _rows(vt.read_incremental(0)) == [
+        (1, "a", 1), (2, "b2", 9), (3, "c", 3)]
+    # empty range: typed empty DataFrame, no warning path
+    inc = vt.read_incremental(3, 3)
+    assert inc.count() == 0 and set(inc.columns) == {
+        "drop_id", "url", "score"}
+    # range validation + unpartitioned rejection
+    with pytest.raises(ValueError, match="invalid snapshot range"):
+        vt.changed_partitions(2, 1)
+    flat = VersionedTable(spark, str(tmp_path / "flat"))
+    flat.commit(_mk(spark, [(1, "a", 1)]), None)
+    with pytest.raises(ValueError, match="unpartitioned"):
+        flat.changed_partitions(0)
+
+
+def test_read_incremental_sees_drops(spark, tmp_path):
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.commit(_mk(spark, [(1, "a", 1), (2, "b", 2)]), "drop_id")   # id 1
+    vt.commit(_mk(spark, [(3, "c", 3)]), "drop_id")                # id 2
+    vt.delete_where(F.col("drop_id") == 1)                         # id 3
+    with pytest.raises(ValueError, match="dropped=\\['1'\\]"):
+        vt.read_incremental(1)
+    assert _rows(vt.read_incremental(1, on_nonappend="skip")) == [
+        (3, "c", 3)]
+
+
+# --------------------------------------------------------------------- merge
+
+
+def test_merge_into_partitioned_cow(spark, tmp_path):
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    v1 = vt.commit(_mk(spark, [
+        (1, "u1", 10), (1, "u2", 11), (2, "u3", 20), (9, "u9", 90),
+    ]), "drop_id", note="initial")
+    before = {k: v for s in vt.snapshots() for k, v in s["parts"].items()}
+
+    # recrawl: u1 moves to drop 3, u3 updates in place, u4 is new
+    sid, stats = vt.merge_into(_mk(spark, [
+        (3, "u1", 100), (2, "u3", 200), (3, "u4", 300),
+    ]), ["url"])
+    assert sid == v1 + 1
+    assert stats == {"rows_replaced": 2, "rows_written": 3,
+                     "partitions_rewritten": 3, "partitions_dropped": 0}
+    assert _rows(vt.read()) == [
+        (1, "u2", 11), (2, "u3", 200), (3, "u1", 100), (3, "u4", 300),
+        (9, "u9", 90)]
+    # untouched partition 9 carried over BY REFERENCE (same dir)
+    snaps = vt.snapshots()
+    assert "9" not in snaps[-1]["parts"]
+    live = vt._resolve(None, None)[0]
+    assert live["9"] == before["9"]
+    # time travel: pre-merge snapshot unchanged
+    assert _rows(vt.read(snapshot_id=v1)) == [
+        (1, "u1", 10), (1, "u2", 11), (2, "u3", 20), (9, "u9", 90)]
+
+
+def test_merge_into_empties_partition_tombstone(spark, tmp_path):
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.commit(_mk(spark, [(1, "u1", 10), (2, "u2", 20)]), "drop_id")
+    sid, stats = vt.merge_into(_mk(spark, [(5, "u1", 50)]), ["url"])
+    assert stats["partitions_dropped"] == 1
+    assert vt.snapshots()[-1]["parts"]["1"] is None
+    assert _rows(vt.read()) == [(2, "u2", 20), (5, "u1", 50)]
+    assert _rows(vt.read(snapshot_id=sid - 1)) == [
+        (1, "u1", 10), (2, "u2", 20)]
+
+
+def test_merge_into_guards(spark, tmp_path):
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.commit(_mk(spark, [(1, "u1", 10)]), "drop_id")
+    with pytest.raises(ValueError, match="duplicate keys"):
+        vt.merge_into(_mk(spark, [(2, "u1", 1), (3, "u1", 2)]), ["url"])
+    with pytest.raises(ValueError, match="partition column"):
+        vt.merge_into(
+            spark.createDataFrame([("u1", 5)], ["url", "score"]), ["url"])
+    # empty source: no snapshot committed
+    empty = spark.createDataFrame(
+        [], "drop_id BIGINT, url STRING, score BIGINT")
+    sid, stats = vt.merge_into(empty, ["url"])
+    assert sid is None and stats["rows_written"] == 0
+    assert [s["id"] for s in vt.snapshots()] == [1]
+
+
+def test_merge_into_unpartitioned(spark, tmp_path):
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.commit(_mk(spark, [(1, "u1", 10), (1, "u2", 11)]), None)
+    sid, stats = vt.merge_into(_mk(spark, [(9, "u1", 99), (9, "u3", 93)]),
+                               ["url"])
+    assert stats["rows_replaced"] == 1 and stats["rows_written"] == 2
+    assert _rows(vt.read()) == [(1, "u2", 11), (9, "u1", 99), (9, "u3", 93)]
+    assert _rows(vt.read(snapshot_id=sid - 1)) == [
+        (1, "u1", 10), (1, "u2", 11)]
+
+
+# ------------------------------------------------------------------- rewrite
+
+
+def _n_files(root: str, rel: str) -> int:
+    d = os.path.join(root, "data", rel)
+    return len([f for f in os.listdir(d) if f.endswith(".parquet")])
+
+
+def test_rewrite_files_logical_noop(spark, tmp_path):
+    root = str(tmp_path / "t")
+    vt = VersionedTable(spark, root)
+    # 8-way repartition fragments each partition dir into many tiny files
+    df = _mk(spark, [(p, f"u{p}-{i}", i) for p in (1, 2)
+                     for i in range(16)]).repartition(8)
+    vt.commit(df, "drop_id")                                      # id 1
+    vt.commit(_mk(spark, [(3, "u3", 1)]).coalesce(1), "drop_id")  # id 2
+    live0 = vt._resolve(None, None)[0]
+    assert _n_files(root, live0["1"]) > 1
+    before = _rows(vt.read())
+
+    sid, stats = vt.rewrite_files()
+    assert sid == 3
+    assert stats["partitions_rewritten"] == 2
+    assert stats["files_after"] == 2        # 1 file per rewritten part
+    assert stats["files_before"] > stats["files_after"]
+    assert _rows(vt.read()) == before       # logical no-op
+    live1 = vt._resolve(None, None)[0]
+    assert _n_files(root, live1["1"]) == 1
+    assert live1["3"] == live0["3"]         # already-compact: by reference
+    # old snapshot still reads the old layout
+    assert _rows(vt.read(snapshot_id=2)) == before
+    assert _n_files(root, live0["1"]) > 1
+    # idempotent: nothing left to compact
+    sid2, stats2 = vt.rewrite_files()
+    assert sid2 is None and stats2["partitions_rewritten"] == 0
+    # compaction is INVISIBLE to incremental consumers: a layout-only
+    # commit must not read as a data rewrite (Iceberg append scans
+    # skip replace snapshots)
+    assert vt.changed_partitions(2) == {
+        "appended": [], "rewritten": [], "dropped": []}
+    assert vt.read_incremental(2).count() == 0
+    assert vt.changed_partitions(1) == {
+        "appended": ["3"], "rewritten": [], "dropped": []}
+    assert _rows(vt.read_incremental(1)) == [(3, "u3", 1)]
+    ops = {r.snapshot_id: r.operation for r in vt.history().collect()}
+    assert ops == {1: "write", 2: "write", 3: "rewrite"}
+
+
+# ------------------------------------------------------------------- history
+
+
+def test_history_metadata_table(spark, tmp_path):
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.commit(_mk(spark, [(1, "a", 1), (2, "b", 2)]), "drop_id",
+              note="day1")                                        # id 1
+    vt.commit(_mk(spark, [(3, "c", 3)]), "drop_id", note="day2")  # id 2
+    vt.delete_where(F.col("drop_id") == 3)                        # id 3
+    vt.merge_into(_mk(spark, [(2, "a", 9)]), ["url"])             # id 4
+
+    h = {r.snapshot_id: r for r in vt.history().collect()}
+    assert sorted(h) == [1, 2, 3, 4]
+    assert (h[1].partitions_appended, h[1].partitions_live) == (2, 2)
+    assert h[1].note == "day1" and not h[1].replaces_all
+    assert (h[2].partitions_appended, h[2].partitions_live) == (1, 3)
+    assert (h[3].partitions_dropped, h[3].partitions_live) == (1, 2)
+    # the merge moved key "a" out of partition 1 (emptied -> dropped)
+    # and rewrote partition 2 (which received it)
+    assert (h[4].partitions_rewritten, h[4].partitions_dropped,
+            h[4].partitions_live) == (1, 1, 1)
+    assert h[4].committed_at is not None
+    assert [h[i].operation for i in (1, 2, 3, 4)] == [
+        "write", "write", "delete", "merge"]
