@@ -204,6 +204,28 @@ def compact_history(spark: SparkSession, out_dir: str) -> dict:
             "compact_id": new_id}
 
 
+def commit_drop_results(vt: VersionedTable, out_cols: DataFrame,
+                        recrawl: str, note: str) -> int:
+    """One results commit per drop under either recrawl policy — the
+    shared unit of the batch and streaming ingest jobs (semantics in
+    run_ingest_job's docstring). "append": one dynamic-overwrite commit
+    at the drop's partition. "merge_latest": newest capture per url
+    WITHIN the drop (warc_ts, content-hash tiebreak — deterministic
+    under replay; window over the drop only, never the corpus), merged
+    by url; a drop with nothing new commits no snapshot and the pin
+    stays the previous id."""
+    if recrawl == "merge_latest" and vt.snapshots():
+        from pyspark.sql.window import Window
+        w = Window.partitionBy("url").orderBy(
+            F.col("warc_ts").desc(), F.md5("extracted_text").desc())
+        latest = (out_cols.withColumn("_rn", F.row_number().over(w))
+                  .where(F.col("_rn") == 1).drop("_rn"))
+        sid, _ = vt.merge_into(latest, ["url"],
+                               note=note + " (merge_latest)")
+        return sid if sid is not None else vt.snapshots()[-1]["id"]
+    return vt.commit(out_cols, "drop_id", note=note)
+
+
 def _content_key():
     """The dedup identity of a page: md5long of its raw bytes (the CC
     content-digest convention — same bytes, same page, whatever the
@@ -314,26 +336,8 @@ def run_ingest_job(
                                 hot=hot_hosts(pages, SKEW_FACTOR)).cache()
         out_cols = (results.drop("extract_us", "input_bytes", "salt")
                     .withColumn("drop_id", F.lit(drop)))
-        if recrawl == "merge_latest" and vt.snapshots():
-            # one winner per url WITHIN the drop (merge cardinality):
-            # newest warc_ts, content-hash tiebreak so ties are
-            # deterministic under replay. Window over the drop only —
-            # bounded by the drop, never the corpus.
-            from pyspark.sql.window import Window
-            w = Window.partitionBy("url").orderBy(
-                F.col("warc_ts").desc(),
-                F.md5("extracted_text").desc())
-            latest = (out_cols
-                      .withColumn("_rn", F.row_number().over(w))
-                      .where(F.col("_rn") == 1).drop("_rn"))
-            sid, _ = vt.merge_into(
-                latest, ["url"],
-                note=f"ingest {run_id} drop {drop} (merge_latest)")
-            if sid is None:   # nothing new in the drop: no snapshot
-                sid = vt.snapshots()[-1]["id"]
-        else:
-            sid = vt.commit(out_cols, "drop_id",
-                            note=f"ingest {run_id} drop {drop}")
+        sid = commit_drop_results(vt, out_cols, recrawl,
+                                  f"ingest {run_id} drop {drop}")
         attempt = manifest.attempt_of(drop)
         io.append(lineage_of(results, attempt, f"{run_id}:{sid}"),
                   "lineage")

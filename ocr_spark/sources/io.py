@@ -844,10 +844,16 @@ class VersionedTable:
                     f"string-cast spelling)", stacklevel=3)
         return live, meta
 
-    def expire_snapshots(self, keep_last: int) -> list[str]:
+    def expire_snapshots(self, keep_last: int,
+                         older_than: float | None = None) -> list[str]:
         """Iceberg-style snapshot expiry: keep the newest ``keep_last``
         snapshots readable and delete the data directories nothing
-        surviving references. The oldest surviving snapshot is
+        surviving references. With ``older_than`` (a unix timestamp —
+        Iceberg's ``olderThan`` + ``retainLast`` combination), every
+        snapshot committed AT OR AFTER it survives too: a retention
+        policy like "90 days of history, but never fewer than 2
+        snapshots" is ``expire_snapshots(2, time.time() - 90*86400)``.
+        The oldest surviving snapshot is
         COMPACTED in place — its manifest entry becomes the fully
         resolved live view at that id (replace_all), so history
         truncation never changes what any surviving id reads. Crash
@@ -860,10 +866,18 @@ class VersionedTable:
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         with _ManifestLock(self.root):
-            return self._expire_locked(keep_last, shutil)
+            return self._expire_locked(keep_last, shutil,
+                                       older_than=older_than)
 
-    def _expire_locked(self, keep_last: int, shutil) -> list[str]:
+    def _expire_locked(self, keep_last: int, shutil,
+                       older_than: float | None = None) -> list[str]:
         snaps = self.snapshots()
+        if older_than is not None:
+            # commit timestamps are nondecreasing (commits serialize
+            # under the manifest lock), so "ts >= older_than" is a tail;
+            # widen keep_last to cover it
+            recent = sum(1 for s in snaps if s["ts"] >= older_than)
+            keep_last = max(keep_last, recent)
         if len(snaps) > keep_last:
             surviving = snaps[-keep_last:]
             base = surviving[0]

@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 
 from ocr_spark.plans.extract_job import extract_pages, lineage_of, metrics_of
 from ocr_spark.plans.ingest_job import (
-    DropManifest, _content_key, _history_view_dirs)
+    DropManifest, _content_key, _history_view_dirs, commit_drop_results)
 from ocr_spark.sources.io import TableIO, VersionedTable
 
 
@@ -65,6 +65,7 @@ def run_streaming_ingest(
     max_files_per_trigger: int = 1,
     fail_once_pre_mark_at: int | None = None,
     compact_history_every: int | None = None,
+    recrawl: str = "append",
 ) -> dict:
     """Drain every unprocessed page file under ``pages_dir`` into the
     versioned results table at ``out_dir`` (see module docstring for the
@@ -74,10 +75,19 @@ def run_streaming_ingest(
     ``fail_once_pre_mark_at=k`` raises on the FIRST attempt of batch k
     inside the worst-case crash window; the restarted query replays the
     batch (same id, same files) and must converge byte-identically.
+
+    ``recrawl`` mirrors ``run_ingest_job``: "append" keeps every
+    content-distinct capture; "merge_latest" keeps ONE row per url via
+    ``VersionedTable.merge_into`` (a replayed batch re-merges the same
+    source rows onto keys its crashed attempt wrote — identical values,
+    so the at-least-once replay still converges byte-identically).
     """
     from ocr_spark.functions.bucketing import SKEW_FACTOR, hot_hosts
     from ocr_spark.operators.dedup import dedup_incremental_vs_hashes
 
+    if recrawl not in ("append", "merge_latest"):
+        raise ValueError(
+            f"recrawl must be 'append' or 'merge_latest', got {recrawl!r}")
     io = TableIO(spark, out_dir)
     vt = VersionedTable(spark, os.path.join(out_dir, "results"))
     manifest = DropManifest(os.path.join(out_dir, "_checkpoints"))
@@ -107,8 +117,8 @@ def run_streaming_ingest(
                                     ).cache()
             out_cols = (results.drop("extract_us", "input_bytes", "salt")
                         .withColumn("drop_id", F.lit(drop)))
-            sid = vt.commit(out_cols, "drop_id",
-                            note=f"stream batch {batch_id}")
+            sid = commit_drop_results(vt, out_cols, recrawl,
+                                      f"stream batch {batch_id}")
             io.append(lineage_of(results, attempt, f"stream:{sid}"),
                       "lineage")
             io.append(metrics_of(results, attempt, f"stream:{sid}"),

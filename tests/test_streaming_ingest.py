@@ -149,3 +149,44 @@ def test_streaming_ingest_late_arrival_one_new_row(spark, tmp_path):
     assert "upload" in new_rows[0]["extracted_text"]
     after = _latest(spark, out)
     assert len(after) == 6 and set(before) < set(after)
+
+
+def test_streaming_ingest_merge_latest_replay_converges(spark, tmp_path):
+    """recrawl="merge_latest" on the streaming twin: one row per url,
+    a changed recapture in a later micro-batch REPLACES the old row —
+    and the at-least-once replay of the merge batch (crash in the
+    worst-case window, restart from the same checkpoint) converges to
+    the same one-row-per-url view, with the pre-recrawl snapshot pin
+    still reading the original capture."""
+    stream = str(tmp_path / "stream")
+    u1 = "https://s.example.com/u1"
+    _write_file(stream, "f1.parquet", [_row(u1, "one"), DUP],
+                mtime=1_700_000_000)
+    recap = _row(u1, "one-v2")
+    recap["warc_ts"] = datetime.datetime(2026, 1, 2)
+    _write_file(stream, "f2.parquet", [
+        DUP,                      # byte-identical: stays upstream
+        recap,                    # changed recapture: must replace
+        _row("https://s.example.com/u6", "six"),
+    ], mtime=1_700_000_100)
+
+    out = str(tmp_path / "o")
+    ck = str(tmp_path / "ck")
+    with pytest.raises(Exception, match="pre-mark crash in batch 1"):
+        run_streaming_ingest(spark, stream, out, ck, n_buckets=4,
+                             recrawl="merge_latest",
+                             fail_once_pre_mark_at=1)
+    st = run_streaming_ingest(spark, stream, out, ck, n_buckets=4,
+                              recrawl="merge_latest")
+    assert st["batches_run"] == ["batch-000001"]
+    vt = VersionedTable(spark, os.path.join(out, "results"))
+    rows = {(r["url"], r["drop_id"]): r["extracted_text"]
+            for r in vt.read().collect()}
+    assert set(rows) == {(u1, "batch-000001"),
+                         ("https://s.example.com/u2", "batch-000000"),
+                         ("https://s.example.com/u6", "batch-000001")}
+    assert "essay one-v2 " in rows[(u1, "batch-000001")]
+    # pre-recrawl pin unchanged (the crashed merge shadowed, not mutated)
+    old = {r["url"]: r["extracted_text"]
+           for r in vt.read(snapshot_id=1).collect()}
+    assert "essay one " in old[u1]

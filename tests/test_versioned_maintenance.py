@@ -203,6 +203,29 @@ def test_rewrite_files_logical_noop(spark, tmp_path):
     assert ops == {1: "write", 2: "write", 3: "rewrite"}
 
 
+def test_expire_snapshots_older_than(spark, tmp_path):
+    """Age-based retention (Iceberg olderThan + retainLast): snapshots
+    committed at or after the horizon survive even past keep_last; the
+    oldest survivor compacts in place so surviving ids read unchanged."""
+    import time
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.commit(_mk(spark, [(1, "a", 1)]), "drop_id")       # id 1
+    cut = time.time()
+    vt.commit(_mk(spark, [(2, "b", 2)]), "drop_id")       # id 2
+    vt.commit(_mk(spark, [(3, "c", 3)]), "drop_id")       # id 3
+
+    # keep_last=1 alone would truncate to id 3; older_than keeps id 2
+    vt.expire_snapshots(1, older_than=cut)
+    assert [s["id"] for s in vt.snapshots()] == [2, 3]
+    assert _rows(vt.read(snapshot_id=2)) == [(1, "a", 1), (2, "b", 2)]
+    with pytest.raises(ValueError, match="no snapshot"):
+        vt.read(snapshot_id=1)
+    # nothing older than the horizon left: re-run truncates nothing
+    vt.expire_snapshots(1, older_than=cut)
+    assert [s["id"] for s in vt.snapshots()] == [2, 3]
+
+
 # ------------------------------------------------------------------- history
 
 
