@@ -204,25 +204,40 @@ def compact_history(spark: SparkSession, out_dir: str) -> dict:
             "compact_id": new_id}
 
 
+def keep_latest_within_drop(pages: DataFrame) -> DataFrame:
+    """One capture per url within a drop: newest ``warc_ts``, raw
+    content hash as the tiebreak — a TOTAL order over content-distinct
+    captures, so the winner is deterministic under crash replay (ties
+    beyond it are byte-identical pages, which extract identically).
+    Runs BEFORE extraction in merge_latest mode: losers are never
+    extracted or fingerprint-merged. The window shuffles the drop's
+    blobs once — bounded by the drop, never the corpus, and merge
+    mode's partition rewrites move payloads regardless; append mode
+    keeps the narrow blob-free plan."""
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("url").orderBy(
+        F.col("warc_ts").desc(), _content_key().desc())
+    return (pages.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1).drop("_rn"))
+
+
 def commit_drop_results(vt: VersionedTable, out_cols: DataFrame,
-                        recrawl: str, note: str) -> int:
+                        recrawl: str, note: str) -> int | None:
     """One results commit per drop under either recrawl policy — the
     shared unit of the batch and streaming ingest jobs (semantics in
     run_ingest_job's docstring). "append": one dynamic-overwrite commit
-    at the drop's partition. "merge_latest": newest capture per url
-    WITHIN the drop (warc_ts, content-hash tiebreak — deterministic
-    under replay; window over the drop only, never the corpus), merged
-    by url; a drop with nothing new commits no snapshot and the pin
-    stays the previous id."""
+    at the drop's partition. "merge_latest": rows (already one per url
+    — keep_latest_within_drop ran before extraction) merge by url into
+    the table; the FIRST commit of the table has nothing to merge onto
+    and commits plainly, and a crash replay of it re-merges identical
+    rows onto the keys its crashed attempt wrote (byte-identical
+    either way). Returns None when a merge_latest drop carried nothing
+    new — no snapshot exists for it, and the marker must record that
+    rather than borrow an earlier drop's id."""
     if recrawl == "merge_latest" and vt.snapshots():
-        from pyspark.sql.window import Window
-        w = Window.partitionBy("url").orderBy(
-            F.col("warc_ts").desc(), F.md5("extracted_text").desc())
-        latest = (out_cols.withColumn("_rn", F.row_number().over(w))
-                  .where(F.col("_rn") == 1).drop("_rn"))
-        sid, _ = vt.merge_into(latest, ["url"],
+        sid, _ = vt.merge_into(out_cols, ["url"],
                                note=note + " (merge_latest)")
-        return sid if sid is not None else vt.snapshots()[-1]["id"]
+        return sid
     return vt.commit(out_cols, "drop_id", note=note)
 
 
@@ -265,23 +280,30 @@ def run_ingest_job(
     * ``"append"`` (default): every content-distinct capture is a row —
       the table is the full capture HISTORY, and per-URL keep-latest is
       a downstream view (``urls.dedup_latest_capture``).
-    * ``"merge_latest"``: the table holds ONE row per URL, the latest
-      content-distinct capture — each drop after the first lands via
-      ``VersionedTable.merge_into`` keyed on url, so a changed
-      recapture REPLACES the old row (moving it into the new drop's
-      partition, copy-on-write — pre-drop snapshot pins still read the
-      old row), while a byte-identical recrawl never reaches the merge
-      at all (content dedup drops it upstream) and the existing row
-      simply survives. Within a drop, the newest capture per url wins
-      (warc_ts, content-hash tiebreak — deterministic under replay).
-      Crash/replay safety is unchanged: a replayed drop re-merges the
-      same source rows against keys its crashed attempt wrote, which
-      replaces them with identical values — the latest view is
-      byte-identical to an uninterrupted run's, with the replayed
-      commit shadowing the crashed one. A drop whose every page was
-      already seen commits nothing in this mode (there is no history
-      row to pin), so "one snapshot per drop" holds for drops that
-      carry any new content."""
+    * ``"merge_latest"``: the table holds ONE row per URL — the latest
+      NOVEL-content capture. Precisely: content dedup still runs
+      against the whole fingerprint history first (the CC
+      content-digest convention), so a capture whose bytes were seen
+      in ANY earlier drop — including a site that REVERTS to an older
+      state — is treated as already-seen and does not move the row;
+      "latest" means the newest capture that carried content the
+      pipeline had never seen. Then ``keep_latest_within_drop`` keeps
+      one capture per url inside the drop (newest warc_ts, raw-hash
+      tiebreak — a total order, so replay picks the same winner;
+      losers are never extracted), and the winners merge by url via
+      ``VersionedTable.merge_into``: a changed recapture REPLACES the
+      old row (moving it into the new drop's partition, copy-on-write
+      — pre-drop snapshot pins still read the old row). Crash/replay
+      safety is unchanged: a replayed drop re-merges the same winners
+      onto keys its crashed attempt wrote — byte-identical either way.
+      A drop whose every page was already seen commits nothing (its
+      done marker records ``snapshot_id: None``), so "one snapshot per
+      drop" holds for drops that carry any new content. Scale note:
+      the merge's matched-partition probe semi-joins the drop's urls
+      against the live table's (url, drop_id) columns — one
+      column-pruned corpus scan per drop, the price Iceberg MERGE
+      pays too; at extreme drop cadence, batch drops or maintain a
+      url->partition side index."""
     from ocr_spark.operators.dedup import dedup_incremental_vs_hashes
     from ocr_spark.sources.warc import read_warc
 
@@ -326,6 +348,12 @@ def run_ingest_job(
                 pages, hist_h, _content_key(), n_bits=bloom_bits)
         else:
             new_pages = pages
+        if recrawl == "merge_latest":
+            # one capture per url BEFORE extraction (losers are never
+            # extracted), unconditionally — including the table's first
+            # drop, so the one-row-per-url contract holds from commit 1
+            # and a crash replay of any drop reproduces the same winners
+            new_pages = keep_latest_within_drop(new_pages)
         # skew stats from the STAGED table (url column only), not from
         # new_pages — letting extract_pages derive them internally would
         # re-run the whole Bloom+anti-join subtree just to count hosts

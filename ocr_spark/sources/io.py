@@ -210,6 +210,25 @@ class _ManifestLock:
             pass
 
 
+def _fold_live(snaps: list[dict], skip_rewrites: bool = False) -> dict:
+    """THE manifest fold (single source of truth — _resolve, commit's
+    tombstone resolution, and history()'s delta walk all follow these
+    rules): later commits shadow earlier ones per partition,
+    unpartitioned/replace_all entries reset the view, ``None`` values
+    are tombstones (absent from the result). ``skip_rewrites`` leaves
+    layout-only commits (operation="rewrite") unapplied — the LOGICAL
+    view that changed_partitions diffs."""
+    live: dict[str, str] = {}
+    for s in snaps:
+        if skip_rewrites and s.get("operation") == "rewrite":
+            continue
+        if s["partition_col"] is None or s.get("replace_all"):
+            live = dict(s["parts"])
+        else:
+            live.update(s["parts"])
+    return {k: v for k, v in live.items() if v is not None}
+
+
 def _norm_pv(v) -> str:
     """One casting rule for requested partition values: mirror Spark's
     string cast (the spelling the _pv= layout directories use), so
@@ -371,14 +390,7 @@ class VersionedTable:
                 # use (_norm_pv + percent-unescape); resolving under the
                 # lock keeps the live view consistent with the append
                 from urllib.parse import unquote
-                live = {}
-                for s in snaps:
-                    if s["partition_col"] is None or s.get("replace_all"):
-                        live = {k: v for k, v in s["parts"].items()
-                                if v is not None}
-                    else:
-                        live.update(s["parts"])
-                live = {k: v for k, v in live.items() if v is not None}
+                live = _fold_live(snaps)
                 for val in drop_partitions:
                     want = _norm_pv(val)
                     hits = [k for k in live
@@ -726,10 +738,15 @@ class VersionedTable:
         else:
             # one repartition(target) branch per selected partition,
             # unioned: each branch's tasks hold only that partition's
-            # rows, so each output dir gets exactly its target count
+            # rows, so each output dir gets exactly its target count.
+            # allowMissingColumns: partitions written by different
+            # commits may have evolved schemas (read()'s mergeSchema
+            # contract) — the union fills the gaps with NULL exactly as
+            # a merged read would show them
             branches = [self.read(partitions=[k]).repartition(w)
                         for k, w in sorted(plan.items())]
-            df = reduce(lambda a, b: a.unionByName(b), branches)
+            df = reduce(lambda a, b: a.unionByName(
+                b, allowMissingColumns=True), branches)
             sid = self.commit(df, pcol, note=note or "rewrite_files",
                               operation="rewrite")
         new_parts = self.snapshots()[-1]["parts"]
@@ -811,18 +828,8 @@ class VersionedTable:
         if not snaps:
             raise ValueError(
                 f"no snapshot <= {snapshot_id!r} in {self.root}")
-        live: dict[str, str] = {}
         meta = snaps[-1]
-        for s in snaps:   # later commits shadow earlier per partition
-            if skip_rewrites and s.get("operation") == "rewrite":
-                continue
-            if s["partition_col"] is None or s.get("replace_all"):
-                live = dict(s["parts"])
-            else:
-                live.update(s["parts"])
-        # drop tombstoned partitions (value None: recorded by
-        # commit(drop_partitions=...) / delete_where) from the view
-        live = {k: v for k, v in live.items() if v is not None}
+        live = _fold_live(snaps, skip_rewrites=skip_rewrites)
         if partitions is not None:
             # match the on-disk spelling AND its percent-unescaped form
             # (Spark Hive-escapes special chars in partition dirs), with

@@ -76,11 +76,13 @@ def run_streaming_ingest(
     inside the worst-case crash window; the restarted query replays the
     batch (same id, same files) and must converge byte-identically.
 
-    ``recrawl`` mirrors ``run_ingest_job``: "append" keeps every
-    content-distinct capture; "merge_latest" keeps ONE row per url via
+    ``recrawl`` mirrors ``run_ingest_job`` (see its docstring for the
+    exact latest-NOVEL-content semantics and scale notes): "append"
+    keeps every content-distinct capture; "merge_latest" keeps ONE row
+    per url — within-batch winners chosen pre-extraction, merged via
     ``VersionedTable.merge_into`` (a replayed batch re-merges the same
-    source rows onto keys its crashed attempt wrote — identical values,
-    so the at-least-once replay still converges byte-identically).
+    winners onto keys its crashed attempt wrote — identical values, so
+    the at-least-once replay still converges byte-identically).
     """
     from ocr_spark.functions.bucketing import SKEW_FACTOR, hot_hosts
     from ocr_spark.operators.dedup import dedup_incremental_vs_hashes
@@ -109,6 +111,12 @@ def run_streaming_ingest(
                     pages, hist_h, _content_key(), n_bits=bloom_bits)
             else:
                 new_pages = pages
+            if recrawl == "merge_latest":
+                # one capture per url BEFORE extraction, unconditionally
+                # (incl. batch 0) — same rationale as run_ingest_job
+                from ocr_spark.plans.ingest_job import (
+                    keep_latest_within_drop)
+                new_pages = keep_latest_within_drop(new_pages)
             # skew stats once, from the batch itself (url column only) —
             # same rationale as run_ingest_job: deriving them inside
             # extract_pages would re-run the dedup subtree

@@ -140,24 +140,33 @@ def test_ingest_merge_latest_recrawl(spark, tmp_path):
     replaces the old row and MOVES it to the new drop's partition
     (copy-on-write — the pre-recrawl snapshot still reads the old
     capture); a byte-identical recrawl leaves the existing row alone;
-    within a drop the newest capture wins; incremental consumers see
-    the rewritten partition (read_incremental raises by default);
-    crash in the worst-case window + resume is byte-identical."""
+    within a drop the newest capture wins — INCLUDING in the table's
+    first drop (the window runs pre-extraction, unconditionally);
+    incremental consumers see the rewritten partition
+    (read_incremental raises by default); a crash in the worst-case
+    window of EITHER drop + resume is byte-identical; an all-dup drop
+    commits nothing and its marker records snapshot_id None."""
+    import json
+
     drops = str(tmp_path / "drops")
     u1, u2, u3 = (f"https://w.example.com/u{i}" for i in (1, 2, 3))
     dup = (u2, "2026-01-01T00:00:00Z", _page("two"))
     _write_drop(drops, "day1", [
-        (u1, "2026-01-01T00:00:00Z", _page("one")), dup])
+        (u1, "2026-01-01T00:00:00Z", _page("one-old")),  # first-drop dup
+        (u1, "2026-01-01T12:00:00Z", _page("one")),      # day1 winner
+        dup])
     _write_drop(drops, "day2", [
         dup,                                        # byte-identical
         (u1, "2026-01-02T00:00:00Z", _page("one-v2a")),
         (u1, "2026-01-02T12:00:00Z", _page("one-v2b")),  # drop winner
         (u3, "2026-01-02T00:00:00Z", _page("three"))])
+    _write_drop(drops, "day3", [dup])               # all-dup drop
 
     out_a = str(tmp_path / "a")
     st = run_ingest_job(spark, drops, out_a, n_buckets=8,
                         recrawl="merge_latest")
-    assert st["completed"] and st["drops_done"] == ["day1", "day2"]
+    assert st["completed"] and st["drops_done"] == [
+        "day1", "day2", "day3"]
     vt = VersionedTable(spark, os.path.join(out_a, "results"))
     rows = {(r["url"], r["drop_id"]): r["extracted_text"]
             for r in vt.read().collect()}
@@ -178,8 +187,13 @@ def test_ingest_merge_latest_recrawl(spark, tmp_path):
     inc = {r["url"] for r in
            vt.read_incremental(1, on_nonappend="skip").collect()}
     assert inc == {u1, u3}
+    # the all-dup drop committed NO snapshot; its marker says so
+    assert [s["id"] for s in vt.snapshots()] == [1, 2]
+    with open(os.path.join(out_a, "_checkpoints", "drop-day3.done")) as f:
+        assert json.load(f)["snapshot_id"] is None
 
-    # crash in the worst-case window (post-merge, pre-marker) + resume
+    # crash in the worst-case window (post-merge, pre-marker) + resume,
+    # injected into the MERGE drop (day2)...
     out_b = str(tmp_path / "b")
     st1 = run_ingest_job(spark, drops, out_b, n_buckets=8,
                          recrawl="merge_latest",
@@ -189,6 +203,17 @@ def test_ingest_merge_latest_recrawl(spark, tmp_path):
                          recrawl="merge_latest")
     assert st2["completed"]
     assert _latest(spark, out_b) == _latest(spark, out_a)
+    # ...and into the FIRST drop (whose replay takes the merge branch
+    # against its own crashed commit — winners must be identical)
+    out_c = str(tmp_path / "c")
+    st3 = run_ingest_job(spark, drops, out_c, n_buckets=8,
+                         recrawl="merge_latest",
+                         fail_after_drops=1, fail_point="pre_mark")
+    assert st3["completed"] is False
+    st4 = run_ingest_job(spark, drops, out_c, n_buckets=8,
+                         recrawl="merge_latest")
+    assert st4["completed"]
+    assert _latest(spark, out_c) == _latest(spark, out_a)
 
 
 def test_history_compaction_preserves_exactly_once(spark, tmp_path):

@@ -203,6 +203,26 @@ def test_rewrite_files_logical_noop(spark, tmp_path):
     assert ops == {1: "write", 2: "write", 3: "rewrite"}
 
 
+def test_rewrite_files_across_schema_evolution(spark, tmp_path):
+    """Compaction must survive the table's own schema-evolution
+    contract: partitions written by commits with different schemas
+    union with NULL fill, exactly as a merged read shows them."""
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.commit(_mk(spark, [(1, f"u{i}", i) for i in range(8)])
+              .repartition(4), "drop_id")
+    wide = spark.createDataFrame(
+        [(2, "w0", 1, "en"), (2, "w1", 2, "de")],
+        ["drop_id", "url", "score", "lang"])
+    vt.commit(wide.repartition(4), "drop_id")
+    before = {(r.drop_id, r.url, r.score, r.lang)
+              for r in vt.read().collect()}
+    sid, stats = vt.rewrite_files()
+    assert sid == 3 and stats["partitions_rewritten"] == 2
+    after = {(r.drop_id, r.url, r.score, r.lang)
+             for r in vt.read().collect()}
+    assert after == before
+
+
 def test_expire_snapshots_older_than(spark, tmp_path):
     """Age-based retention (Iceberg olderThan + retainLast): snapshots
     committed at or after the horizon survive even past keep_last; the
