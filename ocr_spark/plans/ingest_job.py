@@ -205,19 +205,31 @@ def compact_history(spark: SparkSession, out_dir: str) -> dict:
 
 
 def keep_latest_within_drop(pages: DataFrame) -> DataFrame:
-    """One capture per url within a drop: newest ``warc_ts``, raw
-    content hash as the tiebreak — a TOTAL order over content-distinct
-    captures, so the winner is deterministic under crash replay (ties
-    beyond it are byte-identical pages, which extract identically).
-    Runs BEFORE extraction in merge_latest mode: losers are never
-    extracted or fingerprint-merged. The window shuffles the drop's
-    blobs once — bounded by the drop, never the corpus, and merge
-    mode's partition rewrites move payloads regardless; append mode
-    keeps the narrow blob-free plan."""
+    """One capture per url within a drop: newest ``warc_ts``, then raw
+    content hash, then the ``text``/``lang`` hint columns — a TOTAL
+    order over every PAGES_SCHEMA column that reaches extraction, so
+    the winner is deterministic under crash replay (rows tying on ALL
+    of it produce identical results whichever survives). Runs BEFORE
+    extraction in merge_latest mode: losers are never extracted or
+    fingerprint-merged.
+
+    Pages with a NULL url are DROPPED in this mode — per-url keep-
+    latest is keyed on url, and a capture with no url identity cannot
+    be merged (two NULL-url rows would collapse arbitrarily here and
+    accumulate as unmergeable duplicates downstream). Append mode
+    keeps them; WARC input never produces them (a record always
+    carries its target URI) — this guards arbitrary parquet fed to
+    the streaming twin.
+
+    The window shuffles the drop's blobs once — bounded by the drop,
+    never the corpus, and merge mode's partition rewrites move
+    payloads regardless; append mode keeps the narrow blob-free plan."""
     from pyspark.sql.window import Window
     w = Window.partitionBy("url").orderBy(
-        F.col("warc_ts").desc(), _content_key().desc())
-    return (pages.withColumn("_rn", F.row_number().over(w))
+        F.col("warc_ts").desc(), _content_key().desc(),
+        F.col("text").desc(), F.col("lang").desc())
+    return (pages.where(F.col("url").isNotNull())
+            .withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1).drop("_rn"))
 
 

@@ -210,22 +210,30 @@ class _ManifestLock:
             pass
 
 
+def _apply_entry(live: dict, s: dict) -> dict:
+    """Apply ONE manifest entry to a raw live view (tombstone ``None``
+    values retained): later commits shadow earlier ones per partition;
+    unpartitioned/replace_all entries reset the view. The single
+    source of truth for manifest semantics — _fold_live (hence
+    _resolve and commit's tombstone resolution) and history()'s delta
+    walk both step through it."""
+    if s["partition_col"] is None or s.get("replace_all"):
+        return dict(s["parts"])
+    out = dict(live)
+    out.update(s["parts"])
+    return out
+
+
 def _fold_live(snaps: list[dict], skip_rewrites: bool = False) -> dict:
-    """THE manifest fold (single source of truth — _resolve, commit's
-    tombstone resolution, and history()'s delta walk all follow these
-    rules): later commits shadow earlier ones per partition,
-    unpartitioned/replace_all entries reset the view, ``None`` values
-    are tombstones (absent from the result). ``skip_rewrites`` leaves
-    layout-only commits (operation="rewrite") unapplied — the LOGICAL
-    view that changed_partitions diffs."""
+    """Resolve a manifest prefix to its live view via _apply_entry,
+    dropping tombstones. ``skip_rewrites`` leaves layout-only commits
+    (operation="rewrite") unapplied — the LOGICAL view that
+    changed_partitions diffs."""
     live: dict[str, str] = {}
     for s in snaps:
         if skip_rewrites and s.get("operation") == "rewrite":
             continue
-        if s["partition_col"] is None or s.get("replace_all"):
-            live = dict(s["parts"])
-        else:
-            live.update(s["parts"])
+        live = _apply_entry(live, s)
     return {k: v for k, v in live.items() if v is not None}
 
 
@@ -765,29 +773,15 @@ class VersionedTable:
         import datetime
 
         rows = []
+        prev_raw: dict = {}
         prev: dict[str, str] = {}
         for s in self.snapshots():
-            if s["partition_col"] is None or s.get("replace_all"):
-                cur = {k: v for k, v in s["parts"].items()
-                       if v is not None}
-                appended = [k for k in cur if k not in prev]
-                rewritten = [k for k in cur
-                             if k in prev and cur[k] != prev[k]]
-                dropped = [k for k in prev if k not in cur]
-            else:
-                cur = dict(prev)
-                appended, rewritten, dropped = [], [], []
-                for k, v in s["parts"].items():
-                    if v is None:
-                        if k in cur:
-                            dropped.append(k)
-                            cur.pop(k)
-                    elif k not in cur:
-                        appended.append(k)
-                        cur[k] = v
-                    else:
-                        rewritten.append(k)
-                        cur[k] = v
+            # step the shared manifest fold and diff the filtered views
+            cur_raw = _apply_entry(prev_raw, s)
+            cur = {k: v for k, v in cur_raw.items() if v is not None}
+            appended = [k for k in cur if k not in prev]
+            rewritten = [k for k in cur if k in prev and cur[k] != prev[k]]
+            dropped = [k for k in prev if k not in cur]
             rows.append((
                 s["id"],
                 datetime.datetime.fromtimestamp(s["ts"]),
@@ -795,7 +789,7 @@ class VersionedTable:
                 s.get("operation", "write"),
                 bool(s["partition_col"] is None or s.get("replace_all")),
                 len(appended), len(rewritten), len(dropped), len(cur)))
-            prev = cur
+            prev_raw, prev = cur_raw, cur
         return self.spark.createDataFrame(
             rows,
             "snapshot_id INT, committed_at TIMESTAMP, note STRING, "

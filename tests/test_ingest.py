@@ -302,3 +302,28 @@ def test_history_compaction_preserves_exactly_once(spark, tmp_path):
     assert not os.path.isdir(leftover)
     # idempotent when nothing is pending
     assert compact_history(spark, out)["compacted_drops"] == 0
+
+
+def test_keep_latest_within_drop_total_order_and_null_urls(spark):
+    """The within-drop window's order is total over every PAGES_SCHEMA
+    column that reaches extraction — two captures tying on (url,
+    warc_ts, bytes) but differing in the lang hint must pick the SAME
+    winner on every (replayed) evaluation — and NULL-url pages are
+    dropped in merge mode (no url identity to merge on; append mode
+    keeps them)."""
+    import datetime
+
+    from ocr_spark.plans.ingest_job import keep_latest_within_drop
+
+    t = datetime.datetime(2026, 1, 1)
+    rows = [("u", t, b"<p>x</p>", None, "en"),
+            ("u", t, b"<p>x</p>", None, None),
+            (None, t, b"<p>a</p>", None, None),
+            (None, t, b"<p>b</p>", None, None)]
+    schema = ("url string, warc_ts timestamp, html binary, "
+              "text string, lang string")
+    for data in (rows, list(reversed(rows))):
+        df = spark.createDataFrame(data, schema)
+        out = [(r.url, r.lang)
+               for r in keep_latest_within_drop(df).collect()]
+        assert out == [("u", "en")]
