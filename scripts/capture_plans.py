@@ -29,6 +29,15 @@ CHECKS = {
     "j1_broadcast_dim_join": (
         "BroadcastHashJoin (dim side broadcast) — no shuffle of the fact "
         "side for a 32-row dimension."),
+    "merge_latest_probe": (
+        "The matched-partition probe of VersionedTable.merge_into (the "
+        "one corpus scan a recrawl merge pays per drop, stated at the "
+        "run_ingest_job(recrawl=) surface): ReadSchema on the live "
+        "partition dirs is pruned to url + drop_id ONLY — the payload "
+        "columns (extracted_text, blocks) never leave the parquet "
+        "footers — and the drop's key side joins semi with AQE free to "
+        "broadcast a small drop; the downstream rewrite then re-reads "
+        "just the matched partitions via the manifest-pruned dir list."),
     "j6_large_sortmerge_join": (
         "SortMergeJoin under AQE — the only correct strategy for two "
         "corpus-scale relations; skew handled by AQE skewJoin."),
@@ -293,6 +302,24 @@ def main() -> None:
                 SKEW_FACTOR, hot_hosts)
             df = extract_pages(new_pages, n_buckets=64, salt_n=8,
                                hot=hot_hosts(staged, SKEW_FACTOR))
+        elif name == "merge_latest_probe":
+            # the exact probe expression merge_into builds, over a real
+            # VersionedTable holding a payload column — pruning must
+            # keep the payload out of the probe's ReadSchema
+            from pyspark.sql import functions as F
+            from ocr_spark.sources.io import VersionedTable
+            vt = VersionedTable(spark,
+                                os.path.join(REPO, "BENCH", "_plans_vt"))
+            if not vt.snapshots():
+                base = (spark.read.parquet(f"{corpus}/pages.parquet")
+                        .select("url", F.col("html").alias("payload"))
+                        .limit(2000)
+                        .withColumn("drop_id", F.pmod(
+                            F.xxhash64("url"), F.lit(4)).cast("int")))
+                vt.commit(base, "drop_id")
+            keys = (vt.read().select("url").limit(50).distinct())
+            df = (vt.read().join(keys, ["url"], "semi")
+                  .select("drop_id").distinct())
         elif name == "dedup_components_star_round":
             # The registered dedup_cluster_components query is iterative
             # (eager checkpoints between rounds), so its final plan is a
