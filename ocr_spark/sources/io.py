@@ -250,6 +250,207 @@ def _norm_pv(v) -> str:
     return str(v)
 
 
+# --------------------------------------------------- file statistics (skip)
+#
+# Iceberg records per-data-file column bounds in its manifest files and
+# plans scans driver-side against them; that is the feature that turns
+# zorder_layout's range-disjoint files into real I/O elimination at
+# 100 TB. The analog here: every commit writes `_filestats.json` into
+# its snapshot directory — the per-snapshot FILE MANIFEST (file name,
+# row count, and min/max/null-count per configured stats column,
+# harvested from the parquet FOOTERS the write already produced — no
+# data is re-read). plan_files()/read(where=...) prune files against
+# those bounds before Spark ever lists a directory, then apply the
+# predicate as a normal Spark filter so results are EXACTLY
+# read().where(...) with the dead I/O removed. Pruning is conservative
+# by construction: a file is skipped only when its bounds PROVE no row
+# can match; missing stats, unknown null counts, or incomparable types
+# all keep the file.
+
+_STATS_FILE = "_filestats.json"
+# past this many files the footer harvest runs as a Spark job over the
+# file list (a 100 TB commit writes ~10^4-10^5 files; footers are KBs,
+# but 10^5 serial opens would stall the driver). Below it, driver-side
+# opens are faster than a job round-trip.
+_DIST_HARVEST_MIN_FILES = 64
+
+
+def _stats_encode(v):
+    """JSON-safe encoding for a footer min/max value; None = unusable
+    (pruning must treat the bound as absent)."""
+    import datetime
+    import math
+
+    if v is None or isinstance(v, bytes):
+        return None
+    if isinstance(v, bool) or isinstance(v, int) or isinstance(v, str):
+        return v
+    if isinstance(v, float):
+        return None if (math.isnan(v) or math.isinf(v)) else v
+    if isinstance(v, datetime.datetime):
+        return {"__ts__": v.isoformat()}
+    if isinstance(v, datetime.date):
+        return {"__dt__": v.isoformat()}
+    return None
+
+
+def _stats_decode(v):
+    import datetime
+
+    if isinstance(v, dict):
+        if "__ts__" in v:
+            return datetime.datetime.fromisoformat(v["__ts__"])
+        if "__dt__" in v:
+            return datetime.date.fromisoformat(v["__dt__"])
+        return None
+    return v
+
+
+def _footer_stats(path: str, cols: list[str]) -> dict:
+    """Min/max/null-count per requested column from ONE parquet file's
+    footer (row-group statistics folded across groups). A column whose
+    stats any row group omits (while holding non-null values) is left
+    out — absent means 'cannot prune on this column for this file'."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(path)
+    out: dict = {"rows": md.num_rows, "cols": {}}
+    want = set(cols)
+    acc: dict[str, dict] = {c: {"min": None, "max": None, "nulls": 0,
+                                "ok": True} for c in cols}
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        seen: set[str] = set()
+        for i in range(rg.num_columns):
+            cm = rg.column(i)
+            name = cm.path_in_schema
+            if name not in want:
+                continue
+            seen.add(name)
+            a = acc[name]
+            if not a["ok"]:
+                continue
+            st = cm.statistics
+            nulls = st.null_count if (st is not None
+                                      and st.has_null_count) else None
+            if st is None or nulls is None:
+                a["ok"] = False
+                continue
+            a["nulls"] += nulls
+            if st.num_values == 0:      # all-null group: no bounds needed
+                continue
+            if not st.has_min_max:
+                a["ok"] = False
+                continue
+            lo, hi = _stats_encode(st.min), _stats_encode(st.max)
+            if lo is None or hi is None:
+                a["ok"] = False
+                continue
+            try:
+                if a["min"] is None or _stats_decode(lo) < _stats_decode(
+                        a["min"]):
+                    a["min"] = lo
+                if a["max"] is None or _stats_decode(hi) > _stats_decode(
+                        a["max"]):
+                    a["max"] = hi
+            except TypeError:
+                a["ok"] = False
+        for name in want - seen:        # nested/missing column: no stats
+            acc[name]["ok"] = False
+    for c, a in acc.items():
+        if a["ok"]:
+            out["cols"][c] = {"min": a["min"], "max": a["max"],
+                              "nulls": a["nulls"]}
+    return out
+
+
+_SKIP_OPS = ("==", "!=", "<", "<=", ">", ">=", "between", "in")
+
+
+def _file_may_match(entry: dict, where: list[tuple]) -> bool:
+    """True unless this file's recorded bounds PROVE that no row can
+    satisfy the conjunction. Comparison predicates never match NULL
+    (SQL), so a file whose stats column is entirely null is skippable;
+    any TypeError (user value incomparable with the stored bound) keeps
+    the file."""
+    rows = entry.get("rows")
+    cols = entry.get("cols", {})
+    for col, op, val in where:
+        st = cols.get(col)
+        if st is None:
+            continue                       # no stats -> cannot prune
+        nulls = st.get("nulls")
+        if rows is not None and nulls is not None and nulls >= rows:
+            return False                   # all NULL: no predicate matches
+        lo, hi = _stats_decode(st.get("min")), _stats_decode(st.get("max"))
+        if lo is None or hi is None:
+            continue
+        try:
+            if op == "==" and (val < lo or val > hi):
+                return False
+            if op == "!=" and lo == hi == val:
+                return False
+            if op == "<" and lo >= val:
+                return False
+            if op == "<=" and lo > val:
+                return False
+            if op == ">" and hi <= val:
+                return False
+            if op == ">=" and hi < val:
+                return False
+            if op == "between":
+                a, b = val
+                if hi < a or lo > b:
+                    return False
+            if op == "in" and not any(lo <= v <= hi for v in val):
+                return False
+        except TypeError:
+            continue
+    return True
+
+
+def _where_to_column(where: list[tuple]):
+    """The same conjunction as a Spark Column — the residual filter that
+    makes read(where=...) EXACTLY read().where(...)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    def one(col, op, val):
+        c = F.col(col)
+        if op == "==":
+            return c == F.lit(val)
+        if op == "!=":
+            return c != F.lit(val)
+        if op == "<":
+            return c < F.lit(val)
+        if op == "<=":
+            return c <= F.lit(val)
+        if op == ">":
+            return c > F.lit(val)
+        if op == ">=":
+            return c >= F.lit(val)
+        if op == "between":
+            return c.between(F.lit(val[0]), F.lit(val[1]))
+        if op == "in":
+            return c.isin(list(val))
+        raise ValueError(f"unsupported where op {op!r} "
+                         f"(supported: {_SKIP_OPS})")
+
+    return reduce(lambda a, b: a & b, (one(*p) for p in where))
+
+
+def _validate_where(where: list[tuple]) -> list[tuple]:
+    for p in where:
+        if len(p) != 3 or p[1] not in _SKIP_OPS:
+            raise ValueError(
+                f"where predicates are (col, op, value) with op in "
+                f"{_SKIP_OPS}; got {p!r}")
+        if p[1] == "between" and len(p[2]) != 2:
+            raise ValueError(f"between takes (lo, hi): {p!r}")
+    return list(where)
+
+
 class VersionedTable:
     """Partition-grain copy-on-write table with snapshot time travel —
     the Iceberg feature set the parquet fallback was missing (snapshot
@@ -309,7 +510,8 @@ class VersionedTable:
     def commit(self, df: DataFrame, partition_col: str | None = None,
                note: str = "", replace_all: bool = False,
                drop_partitions: list | None = None,
-               operation: str = "write") -> int:
+               operation: str = "write",
+               stats_cols: list[str] | None = None) -> int:
         """Write ``df`` as a new snapshot. With ``partition_col``,
         default semantics are Iceberg DYNAMIC overwrite: partitions
         PRESENT in ``df`` are replaced, absent ones carry over from the
@@ -334,13 +536,40 @@ class VersionedTable:
         ``operation``): "write" (data), "delete"/"merge" (set by
         delete_where/merge_into), or "rewrite" — a LAYOUT-ONLY commit
         (rewrite_files) whose dir changes ``changed_partitions`` /
-        ``read_incremental`` must NOT report as data rewrites."""
+        ``read_incremental`` must NOT report as data rewrites.
+
+        ``stats_cols`` turns on file-level column statistics (Iceberg
+        manifest bounds): min/max/null-count per written file for the
+        named columns, harvested from the parquet footers the write
+        already produced and recorded in the snapshot's
+        ``_filestats.json`` — ``read(where=...)`` then skips files
+        whose bounds prove no match. The column set is a TABLE PROPERTY:
+        once set it is inherited by every later commit (including the
+        internal delete_where/merge_into/rewrite_files commits, so
+        maintenance never loses skipping); pass ``[]`` to switch the
+        property off from this snapshot on. A configured column absent
+        from one commit's ``df`` (schema evolution) is harvested where
+        present and simply unprunable for this snapshot's files."""
         snaps = self.snapshots()
         if snaps and snaps[0]["partition_col"] != partition_col:
             raise ValueError(
                 f"table at {self.root} is partitioned by "
                 f"{snaps[0]['partition_col']!r}; commit asked for "
                 f"{partition_col!r}")
+        # stats property: explicit param wins (validated — a typo must
+        # not silently disable skipping); None inherits the latest
+        # recorded set (single logical writer, like the rest of commit)
+        if stats_cols is not None:
+            missing = [c for c in stats_cols if c not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"stats_cols {missing} not in DataFrame columns "
+                    f"{df.columns}")
+            stats_prop: list[str] | None = list(stats_cols)
+        else:
+            stats_prop = next(
+                (s["stats_cols"] for s in reversed(snaps)
+                 if s.get("stats_cols") is not None), None)
         # PROVISIONAL id names the data dir (uuid suffix makes it
         # collision-free even when two writers race); the COMMITTED id
         # is assigned under the manifest lock below, so a concurrent
@@ -380,6 +609,23 @@ class VersionedTable:
                 df.limit(0).write.mode("errorifexists").parquet(
                     os.path.join(out, "_schema"))
                 schema_dir = os.path.join(rel, "_schema")
+        if stats_prop is not None:
+            files_by_key: dict[str, list[str]] = {}
+            if partition_col is None:
+                files_by_key["__table__"] = sorted(
+                    f for f in os.listdir(out) if f.endswith(".parquet"))
+            else:
+                for k, sub in parts.items():
+                    d = os.path.join(self.root, "data", sub)
+                    files_by_key[k] = sorted(
+                        f for f in os.listdir(d) if f.endswith(".parquet"))
+            harvest = [c for c in stats_prop if c in df.columns]
+            payload = self._harvest_filestats(out, parts, files_by_key,
+                                              harvest)
+            tmp = os.path.join(out, _STATS_FILE + ".tmp")
+            with open(tmp, "w") as f:
+                json.dump(payload, f)
+            os.replace(tmp, os.path.join(out, _STATS_FILE))
         if drop_partitions and partition_col is None:
             raise ValueError("drop_partitions requires a partitioned table")
         # manifest CAS: re-read + re-validate + append under the lock so
@@ -416,9 +662,43 @@ class VersionedTable:
                      "replace_all": bool(replace_all), "parts": parts}
             if schema_dir is not None:
                 entry["schema_dir"] = schema_dir
+            if stats_prop is not None:
+                entry["stats_cols"] = stats_prop
             snaps.append(entry)
             self._write_manifest(snaps)
         return sid
+
+    def _harvest_filestats(self, out: str, parts: dict,
+                           files_by_key: dict[str, list[str]],
+                           cols: list[str]) -> dict:
+        """Fold parquet FOOTER statistics for every file this commit
+        wrote into the snapshot's file manifest. Footers are KB-sized
+        and were just written, so the cost is bounded by THIS commit's
+        file count, never table size; past _DIST_HARVEST_MIN_FILES the
+        reads run as one Spark job over the path list (a large drop's
+        10^4-10^5 files must not serialize through the driver)."""
+        tasks: list[tuple[str, str, str]] = []   # (key, fname, abspath)
+        for k, files in files_by_key.items():
+            base = out if k == "__table__" else os.path.join(
+                self.root, "data", parts[k])
+            tasks.extend((k, f, os.path.join(base, f)) for f in files)
+        paths = [p for _, _, p in tasks]
+        if cols and len(paths) >= _DIST_HARVEST_MIN_FILES:
+            sc = self.spark.sparkContext
+            res = (sc.parallelize(paths,
+                                  min(len(paths), sc.defaultParallelism))
+                   .map(lambda p: (p, _footer_stats(p, cols)))
+                   .collectAsMap())
+        elif cols:
+            res = {p: _footer_stats(p, cols) for p in paths}
+        else:
+            import pyarrow.parquet as pq
+            res = {p: {"rows": pq.read_metadata(p).num_rows, "cols": {}}
+                   for p in paths}
+        files: dict[str, list[dict]] = {k: [] for k in files_by_key}
+        for k, f, p in tasks:
+            files[k].append({"f": f, **res[p]})
+        return {"stats_cols": cols, "files": files}
 
     def delete_where(self, condition, note: str = "") -> tuple[int | None,
                                                                dict]:
@@ -699,7 +979,9 @@ class VersionedTable:
             src.unpersist()
 
     def rewrite_files(self, target_bytes: int = 128 << 20,
-                      note: str = "") -> tuple[int | None, dict]:
+                      note: str = "",
+                      sort_by: list[str] | None = None
+                      ) -> tuple[int | None, dict]:
         """Small-file compaction as a logical no-op snapshot (Iceberg
         ``rewrite_data_files``): every live partition holding more
         parquet files than ``target_bytes`` warrants is rewritten into
@@ -715,7 +997,16 @@ class VersionedTable:
         listing of LIVE partition dirs only (bounded by partition
         count); each selected partition is shuffled once into its
         target file count. Schedule like any maintenance job — between
-        ingest runs, optionally in partition batches."""
+        ingest runs, optionally in partition batches.
+
+        ``sort_by`` (Iceberg ``rewrite_data_files`` sort strategy):
+        range-partition + sort each rewritten partition on the named
+        columns instead of a hash repartition. Without it, folding a
+        clustered partition into fewer files SPANS each file across the
+        whole value range and file-statistics skipping on it degrades
+        to nothing — compaction of a zorder_layout table should pass
+        its clustering columns here to keep ``read(where=...)``
+        pruning effective."""
         import math
         from functools import reduce
 
@@ -739,8 +1030,14 @@ class VersionedTable:
                  "files_before": files_before, "files_after": 0}
         if not plan:
             return None, stats
+        def _lay(df, want):
+            if sort_by:
+                return (df.repartitionByRange(want, *sort_by)
+                        .sortWithinPartitions(*sort_by))
+            return df.repartition(want)
+
         if pcol is None:
-            df = self.read().repartition(plan["__table__"])
+            df = _lay(self.read(), plan["__table__"])
             sid = self.commit(df, None, note=note or "rewrite_files",
                               operation="rewrite")
         else:
@@ -751,7 +1048,7 @@ class VersionedTable:
             # commits may have evolved schemas (read()'s mergeSchema
             # contract) — the union fills the gaps with NULL exactly as
             # a merged read would show them
-            branches = [self.read(partitions=[k]).repartition(w)
+            branches = [_lay(self.read(partitions=[k]), w)
                         for k, w in sorted(plan.items())]
             df = reduce(lambda a, b: a.unionByName(
                 b, allowMissingColumns=True), branches)
@@ -888,6 +1185,13 @@ class VersionedTable:
                                   + " (compacted by expire_snapshots)"),
                          "partition_col": base["partition_col"],
                          "replace_all": True, "parts": base_live}
+            # the stats property must survive history truncation: the
+            # compacted base inherits the newest set at or before it
+            prop = next((s["stats_cols"] for s in reversed(
+                snaps[:len(snaps) - keep_last + 1])
+                if s.get("stats_cols") is not None), None)
+            if prop is not None:
+                compacted["stats_cols"] = prop
             new_snaps = [compacted] + [dict(s) for s in surviving[1:]]
             self._write_manifest(new_snaps)
             snaps = new_snaps
@@ -930,8 +1234,57 @@ class VersionedTable:
                         deleted.append(rel)
         return deleted
 
+    def plan_files(self, snapshot_id: int | None = None,
+                   partitions: list | None = None,
+                   where: list[tuple] | None = None) -> dict:
+        """Driver-side scan plan with file-level skipping (Iceberg
+        ``planFiles``): resolve the live view, then drop every data
+        file whose recorded column bounds prove no row can satisfy
+        ``where`` (a conjunction of ``(col, op, value)`` predicates,
+        op in ``==  !=  <  <=  >  >=  between  in``). Pruning is
+        conservative — files without statistics (pre-property commits,
+        unconfigured columns, incomparable value types) are always
+        kept, so the plan is a superset of the matching rows by
+        construction. Cost is bounded by the live view's FILE COUNT
+        (the `_filestats.json` manifests are read, directories are
+        never listed when they exist — at Iceberg's scale this is the
+        manifest-file read that replaces object-store listing).
+
+        Returns ``{"files": [abs paths], "files_total": n,
+        "files_skipped": n, "partitions": [live keys]}``."""
+        where = _validate_where(where) if where else []
+        live, _ = self._resolve(snapshot_id, partitions)
+        cache: dict[str, dict | None] = {}
+        kept: list[str] = []
+        total = 0
+        for k, rel in sorted(live.items()):
+            top = rel.split(os.sep)[0]
+            if top not in cache:
+                p = os.path.join(self.root, "data", top, _STATS_FILE)
+                if os.path.exists(p):
+                    with open(p) as f:
+                        cache[top] = json.load(f)
+                else:
+                    cache[top] = None
+            man = cache[top]
+            entries = man["files"].get(k) if man is not None else None
+            if entries is None:
+                # pre-property snapshot dir: no manifest, list + keep all
+                d = os.path.join(self.root, "data", rel)
+                entries = [{"f": f} for f in sorted(os.listdir(d))
+                           if f.endswith(".parquet")]
+            for e in entries:
+                total += 1
+                if not where or _file_may_match(e, where):
+                    kept.append(os.path.join(self.root, "data", rel,
+                                             e["f"]))
+        return {"files": kept, "files_total": total,
+                "files_skipped": total - len(kept),
+                "partitions": sorted(live)}
+
     def read(self, snapshot_id: int | None = None,
-             partitions: list | None = None) -> DataFrame:
+             partitions: list | None = None,
+             where: list[tuple] | None = None) -> DataFrame:
         """The table AS OF ``snapshot_id`` (default: latest).
         ``partitions`` prunes driver-side to the named partition values
         (manifest resolution — no data-directory listing at all; values
@@ -940,9 +1293,26 @@ class VersionedTable:
         schema — consumers iterating partition values must not crash on
         a legitimately absent one. Snapshots may evolve schemas; reads
         spanning several commits merge them (mergeSchema), carried-over
-        partitions showing NULL for later-added columns."""
+        partitions showing NULL for later-added columns.
+
+        ``where`` (see :meth:`plan_files`) returns EXACTLY
+        ``read().where(<conjunction>)``: files whose recorded bounds
+        prove no match are skipped driver-side (never opened, never
+        listed), and the same predicates run as a normal Spark filter
+        over the survivors — file skipping is pure I/O elimination,
+        with zorder_layout/sorted writes deciding how much of the scan
+        it removes."""
         from pyspark.sql import functions as F
 
+        if where:
+            where = _validate_where(where)
+            plan = self.plan_files(snapshot_id, partitions, where)
+            cond = _where_to_column(where)
+            if not plan["files"]:
+                return (self.read(snapshot_id, partitions)
+                        .where(F.lit(False)))
+            return (self.spark.read.option("mergeSchema", "true")
+                    .parquet(*plan["files"]).where(cond))
         live, _ = self._resolve(snapshot_id, partitions)
         if not live:
             full, _ = self._resolve(snapshot_id, None)
