@@ -246,6 +246,7 @@ def run_extract_job(
     fail_point: str = "group_start",
     versioned: bool = False,
     reextract_stale: bool = False,
+    stats_cols: tuple[str, ...] | None = ("url",),
 ) -> dict:
     """Resumable driver loop: process pending buckets in groups.
 
@@ -269,7 +270,11 @@ def run_extract_job(
     its crashed predecessor), and any earlier snapshot id stays
     byte-stable for corpus pinning. Versioned results MUST be read
     through VersionedTable — a plain recursive parquet read of the root
-    would see every historical snapshot at once.
+    would see every historical snapshot at once. ``stats_cols``
+    (versioned sink only) sets the table's file-statistics property:
+    per-file min/max bounds on the named columns make
+    ``read(where=[("url", "==", u)])`` takedowns/point lookups skip
+    non-matching result files driver-side.
 
     Each group is one Spark job over a bucket-pruned scan; results are
     written with dynamic partition overwrite (idempotent), lineage/metrics
@@ -382,8 +387,13 @@ def run_extract_job(
         results = extract_pages(subset, n_buckets, salt_n, hot=hot).cache()
         out_cols = results.drop("extract_us", "input_bytes", "salt")
         if vt is not None:
+            # stats_cols: file-level min/max on url (versioned sink
+            # only) — a takedown/point lookup via read(where=[("url",
+            # "==", u)]) skips the result files whose bounds exclude it
             vt.commit(out_cols, "bucket",
-                      note=f"run {snapshot_id} buckets {group}")
+                      note=f"run {snapshot_id} buckets {group}",
+                      stats_cols=(list(stats_cols) if stats_cols
+                                  else None))
         else:
             io.overwrite_partitions(out_cols, "results", ["bucket"])
         attempt = max(manifest.attempt_of(b) for b in group)

@@ -234,7 +234,9 @@ def keep_latest_within_drop(pages: DataFrame) -> DataFrame:
 
 
 def commit_drop_results(vt: VersionedTable, out_cols: DataFrame,
-                        recrawl: str, note: str) -> int | None:
+                        recrawl: str, note: str,
+                        stats_cols: tuple[str, ...] | None = None
+                        ) -> int | None:
     """One results commit per drop under either recrawl policy — the
     shared unit of the batch and streaming ingest jobs (semantics in
     run_ingest_job's docstring). "append": one dynamic-overwrite commit
@@ -245,12 +247,20 @@ def commit_drop_results(vt: VersionedTable, out_cols: DataFrame,
     rows onto the keys its crashed attempt wrote (byte-identical
     either way). Returns None when a merge_latest drop carried nothing
     new — no snapshot exists for it, and the marker must record that
-    rather than borrow an earlier drop's id."""
+    rather than borrow an earlier drop's id.
+
+    ``stats_cols`` sets the table's file-statistics property on plain
+    commits (the merge path inherits it from the table's bootstrap
+    commit); it turns on file-level min/max statistics so a takedown
+    or point lookup
+    (``vt.read(where=[("url", "==", u)])``) skips the data files whose
+    url bounds prove no match instead of scanning the corpus."""
     if recrawl == "merge_latest" and vt.snapshots():
         sid, _ = vt.merge_into(out_cols, ["url"],
                                note=note + " (merge_latest)")
         return sid
-    return vt.commit(out_cols, "drop_id", note=note)
+    return vt.commit(out_cols, "drop_id", note=note,
+                     stats_cols=list(stats_cols) if stats_cols else None)
 
 
 def _content_key():
@@ -274,6 +284,7 @@ def run_ingest_job(
     compact_history_every: int | None = None,
     keep_staged: bool = False,
     recrawl: str = "append",
+    stats_cols: tuple[str, ...] | None = ("url",),
 ) -> dict:
     """Process every pending drop under ``warc_dir`` (see module
     docstring for the protocol). Returns a status dict. Read results
@@ -315,7 +326,14 @@ def run_ingest_job(
       against the live table's (url, drop_id) columns — one
       column-pruned corpus scan per drop, the price Iceberg MERGE
       pays too; at extreme drop cadence, batch drops or maintain a
-      url->partition side index."""
+      url->partition side index.
+
+    ``stats_cols`` (default ``("url",)``) sets the results table's
+    file-statistics property: per-file min/max bounds, harvested from
+    the parquet footers at commit, let
+    ``vt.read(where=[("url", "==", u)])`` takedowns and point lookups
+    skip the data files whose bounds prove no match instead of
+    scanning the corpus; ``None`` disables."""
     from ocr_spark.operators.dedup import dedup_incremental_vs_hashes
     from ocr_spark.sources.warc import read_warc
 
@@ -377,7 +395,8 @@ def run_ingest_job(
         out_cols = (results.drop("extract_us", "input_bytes", "salt")
                     .withColumn("drop_id", F.lit(drop)))
         sid = commit_drop_results(vt, out_cols, recrawl,
-                                  f"ingest {run_id} drop {drop}")
+                                  f"ingest {run_id} drop {drop}",
+                                  stats_cols=stats_cols)
         attempt = manifest.attempt_of(drop)
         io.append(lineage_of(results, attempt, f"{run_id}:{sid}"),
                   "lineage")

@@ -66,6 +66,7 @@ def run_streaming_ingest(
     fail_once_pre_mark_at: int | None = None,
     compact_history_every: int | None = None,
     recrawl: str = "append",
+    stats_cols: tuple[str, ...] | None = ("url",),
 ) -> dict:
     """Drain every unprocessed page file under ``pages_dir`` into the
     versioned results table at ``out_dir`` (see module docstring for the
@@ -126,7 +127,8 @@ def run_streaming_ingest(
             out_cols = (results.drop("extract_us", "input_bytes", "salt")
                         .withColumn("drop_id", F.lit(drop)))
             sid = commit_drop_results(vt, out_cols, recrawl,
-                                      f"stream batch {batch_id}")
+                                      f"stream batch {batch_id}",
+                                      stats_cols=stats_cols)
             io.append(lineage_of(results, attempt, f"stream:{sid}"),
                       "lineage")
             io.append(metrics_of(results, attempt, f"stream:{sid}"),

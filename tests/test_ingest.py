@@ -327,3 +327,43 @@ def test_keep_latest_within_drop_total_order_and_null_urls(spark):
         out = [(r.url, r.lang)
                for r in keep_latest_within_drop(df).collect()]
         assert out == [("u", "en")]
+
+
+def test_ingest_url_stats_power_point_lookup_and_takedown(spark, tmp_path):
+    """The ingest jobs set the results table's file-statistics property
+    on url by default (stats_cols=("url",), shared by the streaming
+    twin via commit_drop_results): with drops whose url ranges are
+    lexically disjoint, a point lookup / takedown via
+    read(where=[("url", "==", u)]) skips the other drops' files
+    driver-side instead of scanning the corpus — and the takedown
+    delete's own commit inherits the property, so the files it writes
+    stay skippable."""
+    drops = str(tmp_path / "drops")
+    _write_drop(drops, "day1", [
+        (f"https://a.example.com/u{i}", "2026-01-01T00:00:00Z",
+         _page(f"a{i}")) for i in range(4)])
+    _write_drop(drops, "day2", [
+        (f"https://z.example.com/u{i}", "2026-01-02T00:00:00Z",
+         _page(f"z{i}")) for i in range(4)])
+    out = str(tmp_path / "o")
+    st = run_ingest_job(spark, drops, out, n_buckets=8)
+    assert st["completed"]
+    vt = VersionedTable(spark, out + "/results")
+    assert all(s.get("stats_cols") == ["url"] for s in vt.snapshots())
+
+    target = "https://a.example.com/u2"
+    plan = vt.plan_files(where=[("url", "==", target)])
+    assert plan["files_skipped"] > 0          # day2's files pruned
+    rows = vt.read(where=[("url", "==", target)]).collect()
+    assert [r.url for r in rows] == [target]
+
+    sid_pre = vt.snapshots()[-1]["id"]
+    _, dstats = vt.delete_where(f"url = '{target}'")
+    assert dstats["rows_deleted"] == 1
+    assert vt.read(where=[("url", "==", target)]).count() == 0
+    # the pinned pre-takedown snapshot still reads (and prunes) the row
+    assert vt.read(snapshot_id=sid_pre,
+                   where=[("url", "==", target)]).count() == 1
+    # delete commit inherited the property: bounds still prune day2
+    plan2 = vt.plan_files(where=[("url", "==", "https://a.example.com/u0")])
+    assert plan2["files_skipped"] > 0
