@@ -717,6 +717,16 @@ class VersionedTable:
         SQL DELETE null semantics: a row where the condition evaluates
         NULL is KEPT (only condition-is-TRUE rows are deleted).
 
+        ``condition`` may also be a STRUCTURED predicate list —
+        ``[(col, op, value), ...]`` as in :meth:`read` — and then the
+        affected-partition probe runs through ``read(where=...)``: on a
+        table with file statistics the probe opens only the files whose
+        bounds might match, so a takedown
+        (``delete_where([("url", "==", u)])``) costs a bounded file
+        subset instead of a corpus scan. The rewrite itself still reads
+        the full affected partitions (it must — it rewrites them
+        keeping the non-matching rows).
+
         The affected-partition probe collects one row per matching
         partition VALUE — bounded by the partition count, never by rows
         (partition keys here are coarse operator-chosen values such as
@@ -729,7 +739,14 @@ class VersionedTable:
         the same takedown is a no-op."""
         from pyspark.sql import functions as F
 
-        cond = F.expr(condition) if isinstance(condition, str) else condition
+        probe_where: list[tuple] | None = None
+        if isinstance(condition, list):
+            probe_where = _validate_where(condition)
+            cond = _where_to_column(probe_where)
+        elif isinstance(condition, str):
+            cond = F.expr(condition)
+        else:
+            cond = condition
         snaps = self.snapshots()
         if not snaps:
             raise ValueError(
@@ -757,9 +774,12 @@ class VersionedTable:
             stats["partitions_rewritten"] = 1
             return sid, stats
 
+        # structured condition: the probe scan is file-skipped (the
+        # residual filter inside read(where=...) IS the condition)
+        probe = (self.read(where=probe_where) if probe_where
+                 else self.read().where(cond))
         affected = sorted(
-            r[0] for r in self.read().where(cond)
-            .select(pcol).distinct().collect())
+            r[0] for r in probe.select(pcol).distinct().collect())
         if not affected:
             return None, stats
         sub = self.read(partitions=affected).persist()
@@ -888,7 +908,10 @@ class VersionedTable:
         view — keys only (no payload) cross the shuffle, and Spark/AQE
         picks a broadcast when the source is small (no hard hint: a
         giant recrawl must degrade to a shuffle join, not OOM the
-        driver). Single logical writer, like commit.
+        driver); with a single key column the probe is additionally
+        bounded by the source's key range, so file statistics on the
+        key skip the corpus files that cannot hold a match. Single
+        logical writer, like commit.
 
         Returns ``(snapshot_id, stats)``; ``snapshot_id`` is None when
         ``source`` is empty."""
@@ -935,8 +958,32 @@ class VersionedTable:
                              rows_written=src_n, partitions_rewritten=1)
                 return sid, stats
             from urllib.parse import unquote
+            # single-key merge: bound the match probe by the source's
+            # key range — on a table with file statistics on the key
+            # column, files whose bounds lie outside [min(src key),
+            # max(src key)] are skipped driver-side (a recrawl touching
+            # a narrow url range never opens the rest of the corpus);
+            # rows outside the range cannot semi-match by construction,
+            # so the probe result is identical. Multi-key or
+            # non-orderable keys fall back to the full column-pruned
+            # scan, and a stats-less table prunes nothing (read(where)
+            # keeps every file) — never a semantics change.
+            import datetime
+            probe_src = None
+            if len(key_cols) == 1:
+                kc = key_cols[0]
+                b = src.agg(F.min(kc).alias("lo"),
+                            F.max(kc).alias("hi")).collect()[0]
+                ok_types = (int, float, str, bool,
+                            datetime.date, datetime.datetime)
+                if (isinstance(b["lo"], ok_types)
+                        and isinstance(b["hi"], ok_types)):
+                    probe_src = self.read(
+                        where=[(kc, "between", (b["lo"], b["hi"]))])
+            if probe_src is None:
+                probe_src = self.read()
             matched_parts = sorted(
-                {r[0] for r in self.read().join(keys, key_cols, "semi")
+                {r[0] for r in probe_src.join(keys, key_cols, "semi")
                  .select(pcol).distinct().collect()}, key=_norm_pv)
             src_parts = sorted(
                 {r[0] for r in src.select(pcol).distinct().collect()},

@@ -29,6 +29,17 @@ CHECKS = {
     "j1_broadcast_dim_join": (
         "BroadcastHashJoin (dim side broadcast) — no shuffle of the fact "
         "side for a 32-row dimension."),
+    "filestats_skipped_scan": (
+        "VersionedTable.read(where=[(\"seq\",\"between\",(lo,hi))]) on a "
+        "stats-carrying sorted-layout table: the FileScan's Location "
+        "holds ONLY the files whose footer bounds may match — file "
+        "skipping happened DRIVER-SIDE before Catalyst ever saw the "
+        "table (the path count in the scan is the evidence; compare "
+        "files_total in plan_files()), and the residual predicate "
+        "appears as a normal Filter + PushedFilters into the surviving "
+        "files' row groups. At 100 TB this is the Iceberg "
+        "manifest-pruned scan: a narrow range or point lookup opens a "
+        "bounded file subset, not the corpus."),
     "merge_latest_probe": (
         "The matched-partition probe of VersionedTable.merge_into (the "
         "one corpus scan a recrawl merge pays per drop, stated at the "
@@ -263,6 +274,7 @@ def main() -> None:
         # self-sufficient on a fresh clone (BENCH/corpus_* is gitignored)
         from ocr_spark.synth import write_corpus
         write_corpus(corpus, 5000, seed=42)
+    extra_note: dict[str, str] = {}
     for name, prop in CHECKS.items():
         if name == "extract_flagship":
             # Size scan splits >= slots (bench.py _split_conf discipline):
@@ -302,6 +314,29 @@ def main() -> None:
                 SKEW_FACTOR, hot_hosts)
             df = extract_pages(new_pages, n_buckets=64, salt_n=8,
                                hot=hot_hosts(staged, SKEW_FACTOR))
+        elif name == "filestats_skipped_scan":
+            from pyspark.sql import functions as F
+            from ocr_spark.sources.io import VersionedTable
+            vt = VersionedTable(spark,
+                                os.path.join(REPO, "BENCH",
+                                             "_plans_vtstats"))
+            if not vt.snapshots():
+                base = (spark.range(0, 20_000)
+                        .select(F.col("id").alias("seq"),
+                                (F.col("id") % 4).cast("int")
+                                .alias("drop_id"),
+                                F.md5(F.col("id").cast("string"))
+                                .alias("payload"))
+                        .repartitionByRange(8, "seq")
+                        .sortWithinPartitions("seq"))
+                vt.commit(base, "drop_id", stats_cols=["seq"])
+            skipped = vt.plan_files(
+                where=[("seq", "between", (1000, 1999))])
+            df = vt.read(where=[("seq", "between", (1000, 1999))])
+            extra_note[name] = (
+                f"plan_files: kept {len(skipped['files'])} of "
+                f"{skipped['files_total']} files "
+                f"({skipped['files_skipped']} skipped driver-side)")
         elif name == "merge_latest_probe":
             # the exact probe expression merge_into builds, over a real
             # VersionedTable holding a payload column — pruning must
@@ -344,8 +379,10 @@ def main() -> None:
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")
-        out += [f"## {name}", "", f"**Must hold at scale:** {prop}", "",
-                "```", buf.getvalue().rstrip(), "```", ""]
+        out += [f"## {name}", "", f"**Must hold at scale:** {prop}", ""]
+        if name in extra_note:
+            out += [f"**Measured:** {extra_note[name]}", ""]
+        out += ["```", buf.getvalue().rstrip(), "```", ""]
 
     path = os.path.join(REPO, "docs", "PLANS.md")
     os.makedirs(os.path.dirname(path), exist_ok=True)

@@ -3,7 +3,10 @@
 A pure-Python model (a row multiset + per-url replace rules) steps
 through a SEEDED random sequence of commit / delete_where / merge_into
 / rewrite_files / expire_snapshots, and after EVERY op the table's
-latest view must equal the model exactly. Alongside, one mid-walk
+latest view must equal the model exactly — including a seeded
+file-skipped read (read(where=...) on a stats-carrying table, the
+property enabled by the walk's first commit and inherited through
+every maintenance op) checked against the model filtered in Python. Alongside, one mid-walk
 snapshot is pinned and must read byte-stably until expiry truncates
 past it — the time-travel contract under arbitrary op interleavings.
 This is the cross-feature test the per-feature suites can't express:
@@ -51,12 +54,19 @@ def test_versioned_table_random_walk_matches_model(spark, tmp_path, seed):
         if op == "commit":
             rows = fresh_rows(rnd.randint(1, 5))
             sid = vt.commit(_df(spark, rows), "drop_id",
-                            note=f"step {step}")
+                            note=f"step {step}",
+                            stats_cols=(["score", "url"] if step == 0
+                                        else None))
             parts = {r[0] for r in rows}
             model = [r for r in model if r[0] not in parts] + rows
         elif op == "delete":
             cut = rnd.randint(0, 99)
-            sid, _ = vt.delete_where(F.col("score") < cut)
+            # alternate spellings: Column vs structured (the structured
+            # one routes the affected-partition probe through the
+            # file-skipped read path)
+            sid, _ = vt.delete_where(
+                F.col("score") < cut if step % 2
+                else [("score", "<", cut)])
             model = [r for r in model if not r[2] < cut]
         elif op == "merge":
             # unique urls in the source (MERGE cardinality contract)
@@ -79,6 +89,14 @@ def test_versioned_table_random_walk_matches_model(spark, tmp_path, seed):
             sid = None
 
         assert _read(vt) == sorted(model), f"seed {seed} step {step} {op}"
+        # seeded file-skipped read vs the model filtered in Python
+        lo = rnd.randint(0, 99)
+        hi = rnd.randint(lo, 99)
+        got = sorted((r.drop_id, r.url, r.score) for r in
+                     vt.read(where=[("score", "between", (lo, hi))])
+                     .collect())
+        assert got == sorted(r for r in model if lo <= r[2] <= hi), (
+            f"seed {seed} step {step} {op}: where-read diverged")
         # pin one committing step's view and check every surviving pin
         if sid is not None and len(pins) < 2:
             pins[sid] = _read(vt)

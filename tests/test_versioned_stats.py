@@ -255,3 +255,52 @@ def test_stats_manifest_shape(vt):
     # score carries real null counts (1 in 11 rows is NULL)
     assert sum(e["cols"]["score"]["nulls"]
                for fs in man["files"].values() for e in fs) > 0
+
+
+# ------------------------------------------- stats-consuming maintenance
+
+
+def _spy_plans(monkeypatch):
+    """Record every file-skipped plan the table builds (read(where=...)
+    funnels through plan_files)."""
+    plans = []
+    orig = VersionedTable.plan_files
+
+    def spy(self, snapshot_id=None, partitions=None, where=None):
+        out = orig(self, snapshot_id, partitions, where)
+        if where:
+            plans.append(out)
+        return out
+
+    monkeypatch.setattr(VersionedTable, "plan_files", spy)
+    return plans
+
+
+def test_structured_delete_condition_matches_sql_spelling(vt):
+    sid, st = vt.delete_where([("url", "==", "u00150")])
+    assert sid is not None and st["rows_deleted"] == 1
+    assert vt.read().where("url = 'u00150'").count() == 0
+    # no-match structured delete commits nothing
+    sid2, st2 = vt.delete_where([("score", "<", 0)])
+    assert sid2 is None and st2["rows_deleted"] == 0
+
+
+def test_structured_delete_probe_is_file_skipped(vt, monkeypatch):
+    plans = _spy_plans(monkeypatch)
+    sid, st = vt.delete_where([("seq", "between", (100, 149))])
+    assert st["rows_deleted"] == 50
+    assert plans and plans[0]["files_skipped"] > 0
+    assert vt.read().where("seq BETWEEN 100 AND 149").count() == 0
+
+
+def test_merge_probe_bounded_by_source_key_range(vt, spark, monkeypatch):
+    plans = _spy_plans(monkeypatch)
+    src = spark.createDataFrame(
+        [(9, 150, "u00150", 1)], ["drop_id", "seq", "url", "score"])
+    sid, st = vt.merge_into(src, ["url"])
+    assert st["rows_replaced"] == 1 and st["rows_written"] == 1
+    # the probe ran through read(where=[("url","between",(u,u))]) and
+    # the url bounds skipped the files that cannot hold the key
+    assert plans and plans[0]["files_skipped"] > 0
+    got = vt.read(where=[("url", "==", "u00150")]).collect()
+    assert [(r.drop_id, r.score) for r in got] == [(9, 1)]
