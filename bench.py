@@ -148,6 +148,38 @@ def run_default() -> None:
         spreads.append(max(runs) / min(runs))
     frozen["total"] = round(sum(frozen.values()), 3)
 
+    # File-statistics segment: the takedown/point-lookup I/O win,
+    # measured. One-time cached VersionedTable of the extraction
+    # results, RANGE-clustered on url (hash bucketing would spread
+    # every file across the full lexical range and defeat url bounds —
+    # the layout lesson zorder_layout teaches), stats on url; then the
+    # same point lookup with and without file skipping.
+    from pyspark.sql import functions as F
+
+    from ocr_spark.sources.io import VersionedTable
+    vt = VersionedTable(spark, corpus + "_vtstats")
+    if not vt.snapshots():
+        res = (extract_pages(pages, n_buckets=64, salt_n=8)
+               .drop("extract_us", "input_bytes", "salt", "blocks")
+               .repartitionByRange(32, "url").sortWithinPartitions("url"))
+        vt.commit(res, None, stats_cols=["url"])
+    target = vt.read().agg(F.min("url")).collect()[0][0]
+    lookup = [("url", "==", target)]
+    plan = vt.plan_files(where=lookup)
+    filestats: dict = {"files_total": plan["files_total"],
+                       "files_skipped": plan["files_skipped"]}
+    for key, fn in (("point_lookup_skip",
+                     lambda: vt.read(where=lookup)),
+                    ("point_lookup_full",
+                     lambda: vt.read().where(F.col("url") == target))):
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn().collect()
+            runs.append(time.perf_counter() - t0)
+        filestats[key] = round(min(runs), 3)
+        spreads.append(max(runs) / min(runs))
+
     total = round(sum(v for k, v in timings.items()
                       if k != "extract_docs_per_sec"), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -157,6 +189,7 @@ def run_default() -> None:
         "unit": "sec",
         "queries": timings,
         "frozen": frozen,
+        "filestats": filestats,
         # host-noise evidence: max/min ratio of the two timed runs per
         # query — median ~1 means a quiet round, a large max means some
         # query's min may still sit in a noise spike

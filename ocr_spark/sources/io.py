@@ -847,7 +847,8 @@ class VersionedTable:
 
     def read_incremental(self, from_snapshot: int,
                          to_snapshot: int | None = None,
-                         on_nonappend: str = "raise") -> DataFrame:
+                         on_nonappend: str = "raise",
+                         where: list[tuple] | None = None) -> DataFrame:
         """Incremental APPEND scan (Iceberg's ``start-snapshot-id`` /
         ``end-snapshot-id`` incremental read): the rows of partitions
         that first appeared after ``from_snapshot``, as of
@@ -864,7 +865,12 @@ class VersionedTable:
         that (returns appended partitions only) for consumers that
         reconcile rewrites elsewhere. A partition appended and then
         rewritten INSIDE the range counts as appended and reads its
-        content as of ``to_snapshot``."""
+        content as of ``to_snapshot``.
+
+        ``where`` (see :meth:`plan_files`) composes file-level
+        skipping with the incremental scan: "the drops since k, only
+        the docs matching the predicate" — partition pruning and file
+        bounds both apply before the scan."""
         from pyspark.sql import functions as F
 
         if on_nonappend not in ("raise", "skip"):
@@ -885,7 +891,7 @@ class VersionedTable:
             return (self.read(snapshot_id=to_snapshot or None)
                     .where(F.lit(False)))
         return self.read(snapshot_id=to_snapshot,
-                         partitions=ch["appended"])
+                         partitions=ch["appended"], where=where)
 
     def merge_into(self, source: DataFrame, key_cols: list[str],
                    note: str = "") -> tuple[int | None, dict]:

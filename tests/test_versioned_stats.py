@@ -304,3 +304,18 @@ def test_merge_probe_bounded_by_source_key_range(vt, spark, monkeypatch):
     assert plans and plans[0]["files_skipped"] > 0
     got = vt.read(where=[("url", "==", "u00150")]).collect()
     assert [(r.drop_id, r.score) for r in got] == [(9, 1)]
+
+
+def test_read_incremental_composes_with_where(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "inc"))
+    t.commit(_sorted_layout(_corpus(spark, 400), "seq", 4), "drop_id",
+             stats_cols=["seq"])
+    extra = spark.createDataFrame(
+        [(7, 10_000 + i, f"x{i}", i) for i in range(200)],
+        ["drop_id", "seq", "url", "score"])
+    t.commit(_sorted_layout(extra, "seq", 4), "drop_id")
+    inc = t.read_incremental(1, where=[("seq", "<", 10_050)])
+    assert _ids(inc) == list(range(10_000, 10_050))
+    # incremental partition pruning AND file bounds both applied
+    plan = t.plan_files(partitions=["7"], where=[("seq", "<", 10_050)])
+    assert plan["files_skipped"] > 0
