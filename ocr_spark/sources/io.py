@@ -495,11 +495,85 @@ class VersionedTable:
     def _manifest_path(self) -> str:
         return os.path.join(self.root, "_snapshots.json")
 
+    @property
+    def _refs_path(self) -> str:
+        return os.path.join(self.root, "_refs.json")
+
     def snapshots(self) -> list[dict]:
         if not os.path.exists(self._manifest_path):
             return []
         with open(self._manifest_path) as f:
             return json.load(f)
+
+    def refs(self) -> dict:
+        """Named snapshot references (Iceberg TAGS): ``{name:
+        {"snapshot_id": k, "ts": created}}``. A tag pins a snapshot by
+        NAME — "the corpus model v1 trained on" — and
+        ``expire_snapshots`` keeps every tagged snapshot readable, so
+        the pin survives retention policy instead of silently expiring
+        out from under the training run. Branches (writable refs with
+        their own commit line) are out of scope — one linear history,
+        stated."""
+        if not os.path.exists(self._refs_path):
+            return {}
+        with open(self._refs_path) as f:
+            return json.load(f)
+
+    def _write_refs(self, refs: dict) -> None:
+        tmp = self._refs_path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(refs, f, indent=1)
+        os.replace(tmp, self._refs_path)
+
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> int:
+        """Tag ``snapshot_id`` (default: latest) as ``name``. Re-tagging
+        the SAME id under the same name is a no-op (idempotent job
+        re-runs); the same name on a different id raises — a moved pin
+        is a changed training corpus and must be explicit (drop_tag
+        first). Returns the tagged id."""
+        with _ManifestLock(self.root):
+            snaps = self.snapshots()
+            if not snaps:
+                raise ValueError(f"cannot tag empty table at {self.root}")
+            sid = snapshot_id if snapshot_id is not None else snaps[-1]["id"]
+            # readable-id validation through the same resolution reads
+            # use (raises on future ids and on ids expired out of the
+            # manifest)
+            self._resolve(sid, None)
+            if sid < snaps[0]["id"]:
+                raise ValueError(
+                    f"snapshot {sid} is expired (oldest readable is "
+                    f"{snaps[0]['id']}) in {self.root}")
+            refs = self.refs()
+            if name in refs:
+                if refs[name]["snapshot_id"] == sid:
+                    return sid
+                raise ValueError(
+                    f"tag {name!r} already pins snapshot "
+                    f"{refs[name]['snapshot_id']} (asked for {sid}); "
+                    f"drop_tag first — a moved pin must be explicit")
+            refs[name] = {"snapshot_id": sid, "ts": time.time()}
+            self._write_refs(refs)
+        return sid
+
+    def drop_tag(self, name: str) -> bool:
+        """Remove tag ``name``; the pinned snapshot becomes expirable
+        again. Returns False when the tag did not exist (idempotent)."""
+        with _ManifestLock(self.root):
+            refs = self.refs()
+            if name not in refs:
+                return False
+            del refs[name]
+            self._write_refs(refs)
+        return True
+
+    def _ref_id(self, ref: str) -> int:
+        refs = self.refs()
+        if ref not in refs:
+            raise ValueError(
+                f"unknown ref {ref!r} in {self.root} "
+                f"(known: {sorted(refs) or 'none'})")
+        return refs[ref]["snapshot_id"]
 
     def _write_manifest(self, snaps: list[dict]) -> None:
         tmp = self._manifest_path + f".tmp-{uuid.uuid4().hex[:8]}"
@@ -1169,6 +1243,14 @@ class VersionedTable:
                     f"unknown snapshot {snapshot_id} (latest is "
                     f"{snaps[-1]['id']}) in {self.root}")
             snaps = [s for s in snaps if s["id"] <= snapshot_id]
+            if snaps and snaps[-1]["id"] != snapshot_id:
+                # tag-pinned expiry can leave HOLES in the id line
+                # (manifest [3, 5] after untagged 4 expired): a pin
+                # against a hole must fail like any expired id, not
+                # silently read the older neighbor's view
+                raise ValueError(
+                    f"snapshot {snapshot_id} is expired in {self.root} "
+                    f"(surviving ids <= it: up to {snaps[-1]['id']})")
         if not snaps:
             raise ValueError(
                 f"no snapshot <= {snapshot_id!r} in {self.root}")
@@ -1196,7 +1278,8 @@ class VersionedTable:
         return live, meta
 
     def expire_snapshots(self, keep_last: int,
-                         older_than: float | None = None) -> list[str]:
+                         older_than: float | None = None,
+                         orphan_grace_s: float = 86400.0) -> list[str]:
         """Iceberg-style snapshot expiry: keep the newest ``keep_last``
         snapshots readable and delete the data directories nothing
         surviving references. With ``older_than`` (a unix timestamp —
@@ -1204,63 +1287,107 @@ class VersionedTable:
         snapshot committed AT OR AFTER it survives too: a retention
         policy like "90 days of history, but never fewer than 2
         snapshots" is ``expire_snapshots(2, time.time() - 90*86400)``.
-        The oldest surviving snapshot is
-        COMPACTED in place — its manifest entry becomes the fully
+        Every TAGGED snapshot (see :meth:`create_tag`) survives as well
+        — retention policy cannot expire a named training-corpus pin;
+        drop the tag to release it.
+
+        Each surviving snapshot whose preceding history was truncated
+        is COMPACTED in place — its manifest entry becomes the fully
         resolved live view at that id (replace_all), so history
-        truncation never changes what any surviving id reads. Crash
-        safety preserves the design invariant: the new manifest is
-        written atomically FIRST, then unreferenced dirs are removed —
-        a crash in between leaves invisible orphans, never a dangling
-        reference. Returns the deleted relative dirs."""
+        truncation never changes what any surviving id reads (a tagged
+        mid-history snapshot becomes its own self-contained base).
+        Crash safety preserves the design invariant: the new manifest
+        is written atomically FIRST, then unreferenced dirs are removed
+        — a crash in between leaves invisible orphans, never a dangling
+        reference. Returns the deleted relative dirs.
+
+        ``orphan_grace_s`` protects IN-FLIGHT commits: a data dir the
+        manifest has never referenced may be a concurrent commit that
+        wrote its files but has not yet appended its manifest line
+        (commit writes data OUTSIDE the lock by design — uuid dirs
+        never collide), so never-referenced dirs are swept only once
+        older than the grace (Iceberg ``removeOrphanFiles`` olderThan;
+        see :meth:`remove_orphan_files`). Dirs the PRE-expiry manifest
+        referenced are provably committed garbage and are removed
+        immediately."""
         import shutil
 
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         with _ManifestLock(self.root):
             return self._expire_locked(keep_last, shutil,
-                                       older_than=older_than)
+                                       older_than=older_than,
+                                       orphan_grace_s=orphan_grace_s)
+
+    @staticmethod
+    def _referenced(snaps: list[dict]) -> set[str]:
+        rel = {r for s in snaps
+               for r in s["parts"].values() if r is not None}
+        rel |= {s["schema_dir"] for s in snaps if s.get("schema_dir")}
+        return rel
 
     def _expire_locked(self, keep_last: int, shutil,
-                       older_than: float | None = None) -> list[str]:
+                       older_than: float | None = None,
+                       orphan_grace_s: float = 86400.0) -> list[str]:
         snaps = self.snapshots()
+        pre_top_referenced = {r.split(os.sep)[0]
+                              for r in self._referenced(snaps)}
         if older_than is not None:
             # commit timestamps are nondecreasing (commits serialize
             # under the manifest lock), so "ts >= older_than" is a tail;
             # widen keep_last to cover it
             recent = sum(1 for s in snaps if s["ts"] >= older_than)
             keep_last = max(keep_last, recent)
-        if len(snaps) > keep_last:
-            surviving = snaps[-keep_last:]
-            base = surviving[0]
-            base_live, _ = self._resolve(base["id"], None)
-            compacted = {"id": base["id"], "ts": base["ts"],
-                         "note": (base.get("note", "")
-                                  + " (compacted by expire_snapshots)"),
-                         "partition_col": base["partition_col"],
-                         "replace_all": True, "parts": base_live}
-            # the stats property must survive history truncation: the
-            # compacted base inherits the newest set at or before it
-            prop = next((s["stats_cols"] for s in reversed(
-                snaps[:len(snaps) - keep_last + 1])
-                if s.get("stats_cols") is not None), None)
-            if prop is not None:
-                compacted["stats_cols"] = prop
-            new_snaps = [compacted] + [dict(s) for s in surviving[1:]]
+        keep_ids = {s["id"] for s in snaps[-keep_last:]}
+        keep_ids |= {r["snapshot_id"] for r in self.refs().values()}
+        if any(s["id"] not in keep_ids for s in snaps):
+            # general keep-set truncation: walk the old manifest in
+            # order; a kept snapshot straight after a dropped gap can no
+            # longer be folded from its predecessors, so it compacts to
+            # its resolved view (computed from the OLD manifest, before
+            # anything is written); kept snapshots with an intact prefix
+            # carry over verbatim, preserving their delta semantics
+            # (operation tags, changed_partitions diffs)
+            new_snaps: list[dict] = []
+            gap = False
+            for s in snaps:
+                if s["id"] not in keep_ids:
+                    gap = True
+                    continue
+                if not gap:
+                    new_snaps.append(dict(s))
+                    continue
+                live, _ = self._resolve(s["id"], None)
+                compacted = {"id": s["id"], "ts": s["ts"],
+                             "note": (s.get("note", "")
+                                      + " (compacted by expire_snapshots)"),
+                             "partition_col": s["partition_col"],
+                             "replace_all": True, "parts": live}
+                # the stats property must survive history truncation:
+                # each compacted entry inherits the newest set at or
+                # before its id
+                prop = next((p["stats_cols"] for p in reversed(snaps)
+                             if p["id"] <= s["id"]
+                             and p.get("stats_cols") is not None), None)
+                if prop is not None:
+                    compacted["stats_cols"] = prop
+                new_snaps.append(compacted)
+                gap = False
             self._write_manifest(new_snaps)
             snaps = new_snaps
         # the sweep ALWAYS runs (even when nothing was truncated) so a
         # crash between a previous manifest write and its rmtree loop is
-        # self-healing: orphans are reclaimed on the next expiry call.
-        # GC is PARTITION-grain, not snapshot-dir-grain: a surviving
-        # snapshot that carries over only partition 7 of an old commit
-        # must not pin that commit's OTHER partitions on disk — after a
-        # delete_where takedown the deleted rows' files have to be
-        # physically gone once no surviving snapshot references them.
-        referenced_rel = {rel for s in snaps
-                          for rel in s["parts"].values() if rel is not None}
-        referenced_rel |= {s["schema_dir"]
-                           for s in snaps if s.get("schema_dir")}
+        # self-healing: expired-then-leaked dirs are reclaimed on the
+        # next expiry call (via the orphan grace — after a crash the new
+        # manifest no longer proves them garbage). GC is PARTITION-
+        # grain, not snapshot-dir-grain: a surviving snapshot that
+        # carries over only partition 7 of an old commit must not pin
+        # that commit's OTHER partitions on disk — after a delete_where
+        # takedown the deleted rows' files have to be physically gone
+        # once no surviving snapshot references them.
+        referenced_rel = self._referenced(snaps)
         top_referenced = {r.split(os.sep)[0] for r in referenced_rel}
+        cutoff = time.time() - orphan_grace_s
         deleted = []
         data = os.path.join(self.root, "data")
         if os.path.isdir(data):
@@ -1268,6 +1395,16 @@ class VersionedTable:
                 if not name.startswith("snap-"):
                     continue
                 if name not in top_referenced:
+                    if name not in pre_top_referenced:
+                        # never referenced: possibly an IN-FLIGHT
+                        # commit's data (written outside the lock) —
+                        # only sweep past the grace age
+                        try:
+                            if os.path.getmtime(
+                                    os.path.join(data, name)) > cutoff:
+                                continue
+                        except OSError:
+                            continue
                     shutil.rmtree(os.path.join(data, name),
                                   ignore_errors=True)
                     deleted.append(name)
@@ -1287,9 +1424,45 @@ class VersionedTable:
                         deleted.append(rel)
         return deleted
 
+    def remove_orphan_files(self, older_than_s: float = 86400.0
+                            ) -> list[str]:
+        """Iceberg ``remove_orphan_files``: delete data directories the
+        manifest has NEVER referenced (crashed commits that wrote files
+        but died before their manifest append) once older than
+        ``older_than_s``. The age gate is the whole safety argument —
+        a younger unreferenced dir may be a commit in flight RIGHT NOW
+        (data is written outside the manifest lock), so the default
+        stays large and 0 is for tests/offline tables only. Referenced
+        history is untouched; this op never changes what any snapshot
+        reads. Returns the deleted relative dirs."""
+        import shutil
+
+        with _ManifestLock(self.root):
+            top_referenced = {r.split(os.sep)[0]
+                              for r in self._referenced(self.snapshots())}
+            cutoff = time.time() - older_than_s
+            deleted = []
+            data = os.path.join(self.root, "data")
+            if os.path.isdir(data):
+                for name in sorted(os.listdir(data)):
+                    if (not name.startswith("snap-")
+                            or name in top_referenced):
+                        continue
+                    try:
+                        if os.path.getmtime(
+                                os.path.join(data, name)) > cutoff:
+                            continue
+                    except OSError:
+                        continue
+                    shutil.rmtree(os.path.join(data, name),
+                                  ignore_errors=True)
+                    deleted.append(name)
+        return deleted
+
     def plan_files(self, snapshot_id: int | None = None,
                    partitions: list | None = None,
-                   where: list[tuple] | None = None) -> dict:
+                   where: list[tuple] | None = None,
+                   ref: str | None = None) -> dict:
         """Driver-side scan plan with file-level skipping (Iceberg
         ``planFiles``): resolve the live view, then drop every data
         file whose recorded column bounds prove no row can satisfy
@@ -1305,6 +1478,7 @@ class VersionedTable:
 
         Returns ``{"files": [abs paths], "files_total": n,
         "files_skipped": n, "partitions": [live keys]}``."""
+        snapshot_id = self._pin(snapshot_id, ref)
         where = _validate_where(where) if where else []
         live, _ = self._resolve(snapshot_id, partitions)
         cache: dict[str, dict | None] = {}
@@ -1335,10 +1509,20 @@ class VersionedTable:
                 "files_skipped": total - len(kept),
                 "partitions": sorted(live)}
 
+    def _pin(self, snapshot_id: int | None, ref: str | None) -> int | None:
+        if ref is None:
+            return snapshot_id
+        if snapshot_id is not None:
+            raise ValueError("pass snapshot_id OR ref, not both")
+        return self._ref_id(ref)
+
     def read(self, snapshot_id: int | None = None,
              partitions: list | None = None,
-             where: list[tuple] | None = None) -> DataFrame:
-        """The table AS OF ``snapshot_id`` (default: latest).
+             where: list[tuple] | None = None,
+             ref: str | None = None) -> DataFrame:
+        """The table AS OF ``snapshot_id`` (default: latest), or AS OF
+        the snapshot a named tag pins (``ref=`` — see
+        :meth:`create_tag`; mutually exclusive with ``snapshot_id``).
         ``partitions`` prunes driver-side to the named partition values
         (manifest resolution — no data-directory listing at all; values
         are str()-normalized, so natural ints work). A prune that
@@ -1357,6 +1541,7 @@ class VersionedTable:
         it removes."""
         from pyspark.sql import functions as F
 
+        snapshot_id = self._pin(snapshot_id, ref)
         if where:
             where = _validate_where(where)
             plan = self.plan_files(snapshot_id, partitions, where)

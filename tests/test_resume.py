@@ -379,6 +379,7 @@ def test_versioned_table_review_hardening(spark, tmp_path):
     merges (carried-over partitions read NULL for new columns); (e) a
     crashed expiry's orphan dirs are reclaimed by the next call."""
     import os
+    import time
 
     import pytest as _pytest
 
@@ -409,12 +410,18 @@ def test_versioned_table_review_hardening(spark, tmp_path):
     got = {r["bucket"]: (r["val"], r["score"])
            for r in vt.read().collect()}
     assert got == {0: ("a", None), 1: ("b2", 0.5)}
-    # (e) orphan sweep is self-healing: fake a crashed expiry by
-    # planting an unreferenced snap dir, then expire with nothing to
-    # truncate — the orphan is still reclaimed
+    # (e) orphan sweep is self-healing BUT age-gated: a never-
+    # referenced snap dir may be a concurrent commit that wrote its
+    # data outside the manifest lock and hasn't appended its line yet,
+    # so a FRESH one must survive the sweep; once past the grace age
+    # (a genuinely crashed commit/expiry leftover) it is reclaimed
     orphan = tmp_path / "t" / "data" / "snap-000077-feedface"
     os.makedirs(orphan)
     (orphan / "x").write_text("junk")
+    assert vt.expire_snapshots(keep_last=10) == []   # in-flight-safe
+    assert orphan.exists()
+    old = time.time() - 8 * 86400
+    os.utime(orphan, (old, old))
     deleted = vt.expire_snapshots(keep_last=10)
     assert deleted == ["snap-000077-feedface"]
     assert not orphan.exists()
