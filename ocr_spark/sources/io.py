@@ -274,6 +274,19 @@ _STATS_FILE = "_filestats.json"
 # opens are faster than a job round-trip.
 _DIST_HARVEST_MIN_FILES = 64
 
+# schema evolution: per-snapshot-dir column mapping {physical_name:
+# field_id} (Iceberg's name-mapping, travelling WITH the data so it
+# survives manifest truncation by expire_snapshots), plus the safe
+# type promotions reads may cast across (Iceberg's allowed evolutions:
+# widening only — a narrowing cast would corrupt values)
+_COLS_FILE = "_cols.json"
+_TYPE_PROMOTIONS = {
+    "tinyint": ("smallint", "int", "bigint"),
+    "smallint": ("int", "bigint"),
+    "int": ("bigint",),
+    "float": ("double",),
+}
+
 
 def _stats_encode(v):
     """JSON-safe encoding for a footer min/max value; None = unusable
@@ -581,6 +594,230 @@ class VersionedTable:
             json.dump(snaps, f, indent=1)
         os.replace(tmp, self._manifest_path)
 
+    # ---- schema evolution (Iceberg field-id column registry) ----
+    #
+    # Columns are resolved by FIELD ID, not name (Iceberg's core schema
+    # rule): rename/drop/add/widen are metadata-only — no data file is
+    # ever rewritten — and reads ALIGN each data file's physical columns
+    # to the current logical schema through the id. The two properties
+    # this buys that name-based resolution cannot:
+    #   * rename is free and old files keep reading under the new name;
+    #   * drop-then-re-add NEVER resurfaces old values (the re-added
+    #     column is a NEW id; old files' same-named physical column maps
+    #     to the dead id and is projected out).
+    # Like Iceberg, the schema is TABLE-level: time-travel and tagged
+    # reads show the CURRENT schema over old data (a pinned corpus's
+    # bytes are stable; its column names follow the table). Tables that
+    # never call an evolution op have no registry and keep the plain
+    # single-scan mergeSchema read path unchanged.
+
+    @property
+    def _columns_path(self) -> str:
+        return os.path.join(self.root, "_columns.json")
+
+    def registry(self) -> dict | None:
+        """The column registry, or None for tables that never called a
+        schema-evolution op. Shape: ``{"next_id": n, "cols": [{"id",
+        "name", "type", "dropped"}, ...], "init_names": {name: id}}`` —
+        ``cols`` in schema order; ``init_names`` records the physical
+        names at registry creation, which is what pre-registry data
+        directories (no ``_cols.json`` of their own) carry on disk."""
+        if not os.path.exists(self._columns_path):
+            return None
+        with open(self._columns_path) as f:
+            return json.load(f)
+
+    def _write_registry(self, reg: dict) -> None:
+        tmp = self._columns_path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(reg, f, indent=1)
+        os.replace(tmp, self._columns_path)
+
+    @staticmethod
+    def _live_cols(reg: dict) -> list[dict]:
+        return [c for c in reg["cols"] if not c["dropped"]]
+
+    def _registry_locked(self) -> dict:
+        """Load the registry, creating it from the current live schema
+        on first use (every live column gets a field id in schema
+        order). Caller holds the manifest lock."""
+        reg = self.registry()
+        if reg is not None:
+            return reg
+        schema = self.read().schema   # pre-registry: plain merged read
+        cols = [{"id": i + 1, "name": f.name,
+                 "type": f.dataType.simpleString(), "dropped": False}
+                for i, f in enumerate(schema.fields)]
+        reg = {"next_id": len(cols) + 1, "cols": cols,
+               "init_names": {c["name"]: c["id"] for c in cols}}
+        self._write_registry(reg)
+        return reg
+
+    def _evolve_guard(self, name: str, op: str) -> list[dict]:
+        snaps = self.snapshots()
+        if not snaps:
+            raise ValueError(
+                f"cannot {op} on empty table at {self.root}: commit "
+                "first (the registry initializes from the live schema)")
+        if snaps[0]["partition_col"] == name:
+            raise ValueError(
+                f"cannot {op} the partition column {name!r}: it is the "
+                "table's layout key (Iceberg partition-source fields "
+                "are likewise undroppable)")
+        return snaps
+
+    def add_column(self, name: str, dtype: str) -> int:
+        """Metadata-only ``ALTER TABLE ADD COLUMN``: no data rewrite;
+        existing rows read typed NULL until a commit provides the
+        column. ``dtype`` is a Spark DDL type string ("string",
+        "bigint", "array<double>", ...). Returns the new field id.
+        Re-adding a previously dropped name allocates a NEW id, so the
+        dropped column's old values never resurface."""
+        from pyspark.sql import types as T
+        T.StructType.fromDDL(f"`{name}` {dtype}")   # validate the type
+        with _ManifestLock(self.root):
+            if not self.snapshots():
+                raise ValueError(
+                    f"cannot add_column on empty table at {self.root}")
+            reg = self._registry_locked()
+            if any(c["name"] == name for c in self._live_cols(reg)):
+                raise ValueError(f"column {name!r} already exists")
+            fid = reg["next_id"]
+            reg["cols"].append({"id": fid, "name": name,
+                                "type": dtype, "dropped": False})
+            reg["next_id"] = fid + 1
+            self._write_registry(reg)
+        return fid
+
+    def rename_column(self, old: str, new: str) -> None:
+        """Metadata-only ``ALTER TABLE RENAME COLUMN``: resolved by
+        field id, so every data file written under the old name keeps
+        reading without a rewrite, and every snapshot — past, tagged,
+        future — shows the CURRENT name (Iceberg semantics: schema is
+        table-level). The partition column cannot be renamed."""
+        with _ManifestLock(self.root):
+            self._evolve_guard(old, "rename_column")
+            reg = self._registry_locked()
+            live = self._live_cols(reg)
+            tgt = [c for c in live if c["name"] == old]
+            if not tgt:
+                raise ValueError(
+                    f"unknown column {old!r} "
+                    f"(live: {[c['name'] for c in live]})")
+            if any(c["name"] == new for c in live):
+                raise ValueError(f"column {new!r} already exists")
+            tgt[0]["name"] = new
+            self._write_registry(reg)
+
+    def drop_column(self, name: str) -> None:
+        """Metadata-only ``ALTER TABLE DROP COLUMN``: the field id is
+        tombstoned and reads project the physical column out of every
+        epoch — no data rewrite (the bytes go away as their snapshots
+        expire, like any copy-on-write history). A later
+        :meth:`add_column` with the same name is a NEW id: old values
+        do not resurface (the Iceberg drop/re-add contract)."""
+        with _ManifestLock(self.root):
+            self._evolve_guard(name, "drop_column")
+            reg = self._registry_locked()
+            tgt = [c for c in self._live_cols(reg) if c["name"] == name]
+            if not tgt:
+                raise ValueError(f"unknown column {name!r}")
+            if len(self._live_cols(reg)) == 1:
+                raise ValueError("cannot drop the last column")
+            tgt[0]["dropped"] = True
+            self._write_registry(reg)
+
+    def update_column_type(self, name: str, new_type: str) -> None:
+        """Metadata-only type WIDENING (Iceberg's allowed promotions:
+        int→bigint, float→double, and the smaller integer chains): no
+        data rewrite — reads cast each epoch's physical values up to
+        the current type. Narrowing or cross-family changes raise."""
+        with _ManifestLock(self.root):
+            self._evolve_guard(name, "update_column_type")
+            reg = self._registry_locked()
+            tgt = [c for c in self._live_cols(reg) if c["name"] == name]
+            if not tgt:
+                raise ValueError(f"unknown column {name!r}")
+            cur = tgt[0]["type"]
+            if new_type == cur:
+                return
+            if new_type not in _TYPE_PROMOTIONS.get(cur, ()):
+                raise ValueError(
+                    f"unsafe type change {cur!r} -> {new_type!r} for "
+                    f"{name!r}: only widening promotions are allowed "
+                    f"({_TYPE_PROMOTIONS})")
+            tgt[0]["type"] = new_type
+            self._write_registry(reg)
+
+    def _epoch_cols(self, top: str, reg: dict, cache: dict) -> dict:
+        """``{physical_name: {"id": field_id, "type": t}}`` for the
+        files under ``data/<top>``. Post-registry commits wrote a
+        ``_cols.json`` beside their files (it survives manifest
+        truncation — the mapping travels WITH the data); pre-registry
+        dirs carry the registry's init-time names with type None (they
+        were all mutually mergeable under the old single-scan read, so
+        they group together)."""
+        if top not in cache:
+            p = os.path.join(self.root, "data", top, _COLS_FILE)
+            if os.path.exists(p):
+                with open(p) as f:
+                    cache[top] = json.load(f)
+            else:
+                cache[top] = {n: {"id": i, "type": None}
+                              for n, i in reg.get("init_names",
+                                                  {}).items()}
+        return cache[top]
+
+    def _typed_empty(self, reg: dict) -> DataFrame:
+        ddl = ", ".join(f"`{c['name']}` {c['type']}"
+                        for c in self._live_cols(reg))
+        return self.spark.createDataFrame([], ddl)
+
+    def _aligned_df(self, paths_by_top: dict[str, list[str]],
+                    reg: dict) -> DataFrame:
+        """Union of per-schema-epoch scans aligned to the CURRENT
+        logical schema by field id: an epoch that has a live column's
+        physical name selects + casts + renames it; an epoch that lacks
+        the id reads typed NULL; physical columns whose ids are dropped
+        are projected out (drop-then-re-add never resurfaces values).
+        Epochs sharing an identical alignment read as ONE scan, so the
+        scan count is bounded by the number of DISTINCT commit schemas
+        (a handful over a table's life), never by file or snapshot
+        count — at 100 TB this is the same physics as the plain read
+        plus a zero-cost union."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        live_cols = self._live_cols(reg)
+        cache: dict = {}
+        groups: dict[tuple, list[str]] = {}
+        for top, paths in paths_by_top.items():
+            em = self._epoch_cols(top, reg, cache)
+            phys_of = {v["id"]: (n, v["type"]) for n, v in em.items()}
+            key = tuple(phys_of.get(c["id"], (None, None))
+                        for c in live_cols)
+            groups.setdefault(key, []).extend(paths)
+        parts = []
+        for key in sorted(groups, key=str):
+            df = (self.spark.read.option("mergeSchema", "true")
+                  .parquet(*sorted(groups[key])))
+            sel = []
+            for (phys, _ptype), c in zip(key, live_cols):
+                # the df.columns guard matters for PRE-registry groups:
+                # init_names is the MERGED live schema at init, and an
+                # individual old dir may lack some of those columns
+                if phys is not None and phys in df.columns:
+                    sel.append(F.col(phys).cast(c["type"])
+                               .alias(c["name"]))
+                else:
+                    sel.append(F.lit(None).cast(c["type"])
+                               .alias(c["name"]))
+            parts.append(df.select(sel))
+        if not parts:
+            return self._typed_empty(reg)
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
     def commit(self, df: DataFrame, partition_col: str | None = None,
                note: str = "", replace_all: bool = False,
                drop_partitions: list | None = None,
@@ -641,9 +878,7 @@ class VersionedTable:
                     f"{df.columns}")
             stats_prop: list[str] | None = list(stats_cols)
         else:
-            stats_prop = next(
-                (s["stats_cols"] for s in reversed(snaps)
-                 if s.get("stats_cols") is not None), None)
+            stats_prop = self._inherited_stats_prop(snaps)
         # PROVISIONAL id names the data dir (uuid suffix makes it
         # collision-free even when two writers race); the COMMITTED id
         # is assigned under the manifest lock below, so a concurrent
@@ -712,6 +947,55 @@ class VersionedTable:
                     f"table at {self.root} is partitioned by "
                     f"{snaps[0]['partition_col']!r}; commit asked for "
                     f"{partition_col!r}")
+            # schema-evolution registry: map this commit's physical
+            # columns to field ids (new names register implicitly —
+            # the add-column path mergeSchema always allowed; same-id
+            # type drift must be a safe WIDENING, and auto-widens the
+            # registry so reads cast every epoch up), and write the
+            # mapping beside the data so it survives manifest
+            # truncation. Only tables that called an evolution op pay
+            # any of this.
+            reg = self.registry()
+            col_ids: dict[str, int] | None = None
+            if reg is not None:
+                col_ids = {}
+                live_by_name = {c["name"]: c for c in self._live_cols(reg)}
+                changed = False
+                for fld in df.schema.fields:
+                    c = live_by_name.get(fld.name)
+                    t = fld.dataType.simpleString()
+                    if c is None:
+                        c = {"id": reg["next_id"], "name": fld.name,
+                             "type": t, "dropped": False}
+                        reg["cols"].append(c)
+                        reg["next_id"] += 1
+                        live_by_name[fld.name] = c
+                        changed = True
+                    elif t != c["type"]:
+                        if t in _TYPE_PROMOTIONS.get(c["type"], ()):
+                            c["type"] = t
+                            changed = True
+                        elif c["type"] not in _TYPE_PROMOTIONS.get(t, ()):
+                            raise ValueError(
+                                f"commit column {fld.name!r} has type "
+                                f"{t!r} incompatible with the table's "
+                                f"{c['type']!r} (only widening "
+                                "promotions are allowed)")
+                        # narrower than registry: fine — reads cast up
+                    col_ids[fld.name] = c["id"]
+                if changed:
+                    self._write_registry(reg)
+                tmp = os.path.join(out, _COLS_FILE + ".tmp")
+                with open(tmp, "w") as f:
+                    # physical TYPE recorded beside the id: epochs only
+                    # share a merged scan when their physical schemas
+                    # actually merge (int and bigint files must land in
+                    # separate scan groups and cast up at alignment)
+                    json.dump({fld.name:
+                               {"id": col_ids[fld.name],
+                                "type": fld.dataType.simpleString()}
+                               for fld in df.schema.fields}, f)
+                os.replace(tmp, os.path.join(out, _COLS_FILE))
             if drop_partitions:
                 # tombstone the LIVE key each requested value shadows,
                 # matching through the same casting/escaping rule reads
@@ -738,9 +1022,43 @@ class VersionedTable:
                 entry["schema_dir"] = schema_dir
             if stats_prop is not None:
                 entry["stats_cols"] = stats_prop
+                if reg is not None:
+                    # record the property by FIELD ID too, so a later
+                    # rename keeps skipping alive (names are display)
+                    name_to_id = {c["name"]: c["id"]
+                                  for c in self._live_cols(reg)}
+                    entry["stats_col_ids"] = [
+                        name_to_id[n] for n in stats_prop
+                        if n in name_to_id]
             snaps.append(entry)
             self._write_manifest(snaps)
         return sid
+
+    def _inherited_stats_prop(self, snaps: list[dict]) -> list | None:
+        """The stats-cols table property as CURRENT logical names.
+        Without a registry this is the newest recorded name list
+        verbatim. With one, the recorder's names may be stale (renamed
+        since) — so post-registry commits also record the property as
+        FIELD IDS (``stats_col_ids``) and inheritance maps id →
+        current name; a pre-registry recorder maps through the
+        registry's init-time names. Dropped columns fall out of the
+        property (their stats are meaningless against the current
+        schema)."""
+        rec = next((s for s in reversed(snaps)
+                    if s.get("stats_cols") is not None), None)
+        if rec is None:
+            return None
+        reg = self.registry()
+        if reg is None:
+            return rec["stats_cols"]
+        cur_by_id = {c["id"]: c["name"] for c in self._live_cols(reg)}
+        if rec.get("stats_col_ids") is not None:
+            ids = rec["stats_col_ids"]
+        else:
+            ids = [reg.get("init_names", {}).get(n)
+                   for n in rec["stats_cols"]]
+        return [cur_by_id[i] for i in ids
+                if i is not None and i in cur_by_id]
 
     def _harvest_filestats(self, out: str, parts: dict,
                            files_by_key: dict[str, list[str]],
@@ -1366,11 +1684,15 @@ class VersionedTable:
                 # the stats property must survive history truncation:
                 # each compacted entry inherits the newest set at or
                 # before its id
-                prop = next((p["stats_cols"] for p in reversed(snaps)
+                prop = next((p for p in reversed(snaps)
                              if p["id"] <= s["id"]
                              and p.get("stats_cols") is not None), None)
                 if prop is not None:
-                    compacted["stats_cols"] = prop
+                    compacted["stats_cols"] = prop["stats_cols"]
+                    if prop.get("stats_col_ids") is not None:
+                        # id-spelled property survives truncation too,
+                        # so skipping keeps following renames
+                        compacted["stats_col_ids"] = prop["stats_col_ids"]
                 new_snaps.append(compacted)
                 gap = False
             self._write_manifest(new_snaps)
@@ -1481,7 +1803,11 @@ class VersionedTable:
         snapshot_id = self._pin(snapshot_id, ref)
         where = _validate_where(where) if where else []
         live, _ = self._resolve(snapshot_id, partitions)
+        reg = self.registry() if where else None
+        id_of = ({c["name"]: c["id"] for c in self._live_cols(reg)}
+                 if reg is not None else {})
         cache: dict[str, dict | None] = {}
+        cols_cache: dict[str, dict] = {}
         kept: list[str] = []
         total = 0
         for k, rel in sorted(live.items()):
@@ -1500,9 +1826,36 @@ class VersionedTable:
                 d = os.path.join(self.root, "data", rel)
                 entries = [{"f": f} for f in sorted(os.listdir(d))
                            if f.endswith(".parquet")]
+            eff_where = where
+            if reg is not None and where:
+                # schema evolution: predicates carry CURRENT names;
+                # stats in this epoch's manifest carry the names at
+                # write time — map through the field id. An epoch that
+                # LACKS a predicate's id reads it as all-NULL, and
+                # every supported op is NULL-rejecting, so its files
+                # are provably non-matching (same rule as the all-null
+                # stats skip). Unknown predicate columns translate
+                # as-is: no pruning, and the residual filter raises at
+                # analysis exactly as read().where(...) would.
+                em = self._epoch_cols(top, reg, cols_cache)
+                phys_of = {v["id"]: n for n, v in em.items()}
+                trans, absent = [], False
+                for col, op, val in where:
+                    fid = id_of.get(col)
+                    if fid is None:
+                        trans.append((col, op, val))
+                    elif fid in phys_of:
+                        trans.append((phys_of[fid], op, val))
+                    else:
+                        absent = True
+                        break
+                if absent:
+                    total += len(entries)
+                    continue
+                eff_where = trans
             for e in entries:
                 total += 1
-                if not where or _file_may_match(e, where):
+                if not eff_where or _file_may_match(e, eff_where):
                     kept.append(os.path.join(self.root, "data", rel,
                                              e["f"]))
         return {"files": kept, "files_total": total,
@@ -1542,6 +1895,7 @@ class VersionedTable:
         from pyspark.sql import functions as F
 
         snapshot_id = self._pin(snapshot_id, ref)
+        reg = self.registry()
         if where:
             where = _validate_where(where)
             plan = self.plan_files(snapshot_id, partitions, where)
@@ -1549,10 +1903,24 @@ class VersionedTable:
             if not plan["files"]:
                 return (self.read(snapshot_id, partitions)
                         .where(F.lit(False)))
+            if reg is not None:
+                # schema evolution: align each epoch's physical names
+                # to the current schema FIRST; the residual condition
+                # (current names) then applies uniformly
+                data = os.path.join(self.root, "data")
+                by_top: dict[str, list[str]] = {}
+                for p in plan["files"]:
+                    top = os.path.relpath(p, data).split(os.sep)[0]
+                    by_top.setdefault(top, []).append(p)
+                return self._aligned_df(by_top, reg).where(cond)
             return (self.spark.read.option("mergeSchema", "true")
                     .parquet(*plan["files"]).where(cond))
         live, _ = self._resolve(snapshot_id, partitions)
         if not live:
+            if reg is not None:
+                # the current logical schema IS the registry — no
+                # schema-source directory needed for a typed empty
+                return self._typed_empty(reg)
             full, _ = self._resolve(snapshot_id, None)
             dirs = [os.path.join(self.root, "data", rel)
                     for rel in full.values()]
@@ -1572,6 +1940,12 @@ class VersionedTable:
                         f"recorded schema")
             return (self.spark.read.option("mergeSchema", "true")
                     .parquet(*dirs).where(F.lit(False)))
+        if reg is not None:
+            by_top = {}
+            for rel in live.values():
+                by_top.setdefault(rel.split(os.sep)[0], []).append(
+                    os.path.join(self.root, "data", rel))
+            return self._aligned_df(by_top, reg)
         dirs = [os.path.join(self.root, "data", rel)
                 for rel in live.values()]
         return (self.spark.read.option("mergeSchema", "true")
