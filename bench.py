@@ -180,6 +180,34 @@ def run_default() -> None:
         filestats[key] = round(min(runs), 3)
         spreads.append(max(runs) / min(runs))
 
+    # Bloom variant: the PRODUCTION layout (url-HASH bucketing, the
+    # ingest jobs' default) spreads every file across the full lexical
+    # range, so the min/max bounds above prune NOTHING there — the
+    # per-file bloom property is what makes a takedown/point lookup
+    # skip files on that layout. Measured on its own one-time table.
+    vb = VersionedTable(spark, corpus + "_vtbloom")
+    if not vb.snapshots():
+        res = (extract_pages(pages, n_buckets=64, salt_n=8)
+               .drop("extract_us", "input_bytes", "salt", "blocks")
+               .repartition(32, "url"))
+        vb.commit(res, None, stats_cols=["url"], bloom_cols=["url"])
+    bt = vb.read().agg(F.min("url")).collect()[0][0]
+    blookup = [("url", "==", bt)]
+    bplan = vb.plan_files(where=blookup)
+    filestats["bloom_files_total"] = bplan["files_total"]
+    filestats["bloom_files_skipped"] = bplan["files_skipped"]
+    for key, fn in (("bloom_point_lookup_skip",
+                     lambda: vb.read(where=blookup)),
+                    ("bloom_point_lookup_full",
+                     lambda: vb.read().where(F.col("url") == bt))):
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn().collect()
+            runs.append(time.perf_counter() - t0)
+        filestats[key] = round(min(runs), 3)
+        spreads.append(max(runs) / min(runs))
+
     total = round(sum(v for k, v in timings.items()
                       if k != "extract_docs_per_sec"), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]

@@ -247,6 +247,7 @@ def run_extract_job(
     versioned: bool = False,
     reextract_stale: bool = False,
     stats_cols: tuple[str, ...] | None = ("url",),
+    stats_bloom_cols: tuple[str, ...] | None = ("url",),
 ) -> dict:
     """Resumable driver loop: process pending buckets in groups.
 
@@ -274,7 +275,10 @@ def run_extract_job(
     (versioned sink only) sets the table's file-statistics property:
     per-file min/max bounds on the named columns make
     ``read(where=[("url", "==", u)])`` takedowns/point lookups skip
-    non-matching result files driver-side.
+    non-matching result files driver-side; ``stats_bloom_cols`` adds
+    per-file BLOOM filters, the variant that bites on this url-HASH-
+    bucketed layout (bounds prune nothing when every file spans the
+    full url range).
 
     Each group is one Spark job over a bucket-pruned scan; results are
     written with dynamic partition overwrite (idempotent), lineage/metrics
@@ -393,7 +397,9 @@ def run_extract_job(
             vt.commit(out_cols, "bucket",
                       note=f"run {snapshot_id} buckets {group}",
                       stats_cols=(list(stats_cols) if stats_cols
-                                  else None))
+                                  else None),
+                      bloom_cols=(list(stats_bloom_cols)
+                                  if stats_bloom_cols else None))
         else:
             io.overwrite_partitions(out_cols, "results", ["bucket"])
         attempt = max(manifest.attempt_of(b) for b in group)

@@ -235,7 +235,8 @@ def keep_latest_within_drop(pages: DataFrame) -> DataFrame:
 
 def commit_drop_results(vt: VersionedTable, out_cols: DataFrame,
                         recrawl: str, note: str,
-                        stats_cols: tuple[str, ...] | None = None
+                        stats_cols: tuple[str, ...] | None = None,
+                        bloom_cols: tuple[str, ...] | None = None
                         ) -> int | None:
     """One results commit per drop under either recrawl policy — the
     shared unit of the batch and streaming ingest jobs (semantics in
@@ -254,13 +255,20 @@ def commit_drop_results(vt: VersionedTable, out_cols: DataFrame,
     commit); it turns on file-level min/max statistics so a takedown
     or point lookup
     (``vt.read(where=[("url", "==", u)])``) skips the data files whose
-    url bounds prove no match instead of scanning the corpus."""
+    url bounds prove no match instead of scanning the corpus.
+    ``bloom_cols`` sets the per-file BLOOM property the same way — the
+    one that actually bites on this table: the extraction layout is
+    url-HASH-bucketed, so every file spans the full url range and the
+    min/max bounds prune nothing for a point lookup, while the bloom
+    skips every file that cannot hold the url (cost: one url-column
+    re-read of the drop's just-written files, bounded by the drop)."""
     if recrawl == "merge_latest" and vt.snapshots():
         sid, _ = vt.merge_into(out_cols, ["url"],
                                note=note + " (merge_latest)")
         return sid
     return vt.commit(out_cols, "drop_id", note=note,
-                     stats_cols=list(stats_cols) if stats_cols else None)
+                     stats_cols=list(stats_cols) if stats_cols else None,
+                     bloom_cols=list(bloom_cols) if bloom_cols else None)
 
 
 def _content_key():
@@ -285,6 +293,7 @@ def run_ingest_job(
     keep_staged: bool = False,
     recrawl: str = "append",
     stats_cols: tuple[str, ...] | None = ("url",),
+    stats_bloom_cols: tuple[str, ...] | None = ("url",),
 ) -> dict:
     """Process every pending drop under ``warc_dir`` (see module
     docstring for the protocol). Returns a status dict. Read results
@@ -333,7 +342,12 @@ def run_ingest_job(
     the parquet footers at commit, let
     ``vt.read(where=[("url", "==", u)])`` takedowns and point lookups
     skip the data files whose bounds prove no match instead of
-    scanning the corpus; ``None`` disables."""
+    scanning the corpus; ``None`` disables. ``stats_bloom_cols``
+    (default ``("url",)``; distinct from ``bloom_bits``, the
+    incremental-dedup mask) adds per-file BLOOM filters — on this
+    url-HASH-bucketed layout the bounds prune nothing for a point
+    lookup (every file spans the full url range) while the bloom
+    skips every file that cannot hold the url."""
     from ocr_spark.operators.dedup import dedup_incremental_vs_hashes
     from ocr_spark.sources.warc import read_warc
 
@@ -396,7 +410,8 @@ def run_ingest_job(
                     .withColumn("drop_id", F.lit(drop)))
         sid = commit_drop_results(vt, out_cols, recrawl,
                                   f"ingest {run_id} drop {drop}",
-                                  stats_cols=stats_cols)
+                                  stats_cols=stats_cols,
+                                  bloom_cols=stats_bloom_cols)
         attempt = manifest.attempt_of(drop)
         io.append(lineage_of(results, attempt, f"{run_id}:{sid}"),
                   "lineage")

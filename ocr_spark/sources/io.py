@@ -319,6 +319,109 @@ def _stats_decode(v):
     return v
 
 
+# per-file BLOOM filters (opt-in `bloom_cols` table property): the
+# point-lookup complement to min/max bounds. Range bounds prune nothing
+# on a HASH-bucketed layout (every file spans the full lexical range —
+# the default ingest layout!); a small per-file bloom answers "can this
+# file hold url == X?" on ANY layout. Iceberg's analog is the puffin
+# sidecar / parquet bloom; here the bitmap rides inside _filestats.json
+# (base64), sized ~10 bits per distinct value (~1% FPR at k=7) and
+# clamped — an overloaded bloom saturates toward "maybe" and pruning
+# degrades gracefully, never wrongly.
+_BLOOM_K = 7
+_BLOOM_MIN_BITS_LOG2 = 10      # 1 Kbit floor
+_BLOOM_MAX_BITS_LOG2 = 20      # 128 KB cap per (file, column), stated
+
+
+def _bloom_bytes(v) -> bytes | None:
+    """Deterministic hash input for a bloom value; None = untypeable
+    (no bloom judgement — the probe must keep the file). Type-tagged so
+    the string "1" and the integer 1 never collide."""
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, str):
+        return b"s:" + v.encode("utf-8")
+    if isinstance(v, int):
+        return b"i:%d" % v
+    return None
+
+
+def _bloom_hashes(v, m: int) -> list[int] | None:
+    import hashlib
+
+    b = _bloom_bytes(v)
+    if b is None:
+        return None
+    d = hashlib.md5(b).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1     # odd: full-period step
+    return [(h1 + i * h2) % m for i in range(_BLOOM_K)]
+
+
+def _bloom_build(values, n_hint: int) -> dict:
+    import base64
+
+    m = 1 << max(_BLOOM_MIN_BITS_LOG2,
+                 min(_BLOOM_MAX_BITS_LOG2,
+                     (10 * max(1, n_hint)).bit_length()))
+    bits = bytearray(m // 8)
+    for v in values:
+        hs = _bloom_hashes(v, m)
+        if hs is None:
+            continue
+        for h in hs:
+            bits[h >> 3] |= 1 << (h & 7)
+    return {"m": m, "b": base64.b64encode(bytes(bits)).decode("ascii")}
+
+
+def _bloom_may_contain(bloom: dict, v) -> bool:
+    import base64
+
+    hs = _bloom_hashes(v, bloom["m"])
+    if hs is None:
+        return True                    # untypeable value: cannot prune
+    bits = base64.b64decode(bloom["b"])
+    return all(bits[h >> 3] & (1 << (h & 7)) for h in hs)
+
+
+def _file_bloom(path: str, cols: list[str]) -> dict:
+    """Per-file bloom filters over the named columns' values. Unlike
+    the footer bounds this READS column data — one column-pruned pass
+    over a file the commit just wrote (opt-in for that reason; cost
+    bounded by the commit, never table size). Only string/integer
+    columns are bloomed; anything else is skipped (unprunable on this
+    file, never wrong)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out: dict = {}
+    if not cols:
+        return out
+    schema = pq.read_schema(path)
+    want = [c for c in cols if c in schema.names]
+    if not want:
+        return out
+    tbl = pq.read_table(path, columns=want)
+    for c in want:
+        col = tbl.column(c)
+        t = col.type
+        if not (pa.types.is_string(t) or pa.types.is_large_string(t)
+                or pa.types.is_integer(t)):
+            continue
+        vals = col.drop_null().to_pylist()
+        out[c] = _bloom_build(vals, len(vals))
+    return out
+
+
+def _stats_and_bloom(path: str, cols: list[str],
+                     bloom_cols: list[str]) -> dict:
+    st = _footer_stats(path, cols)
+    bl = _file_bloom(path, bloom_cols)
+    if bl:
+        st["bloom"] = bl
+    return st
+
+
 def _footer_stats(path: str, cols: list[str]) -> dict:
     """Min/max/null-count per requested column from ONE parquet file's
     footer (row-group statistics folded across groups). A column whose
@@ -388,7 +491,17 @@ def _file_may_match(entry: dict, where: list[tuple]) -> bool:
     the file."""
     rows = entry.get("rows")
     cols = entry.get("cols", {})
+    blooms = entry.get("bloom", {})
     for col, op, val in where:
+        bl = blooms.get(col)
+        if bl is not None:
+            # bloom judgement: definite-absence on equality predicates
+            # (a bloom col need not also be a bounds col)
+            if op == "==" and not _bloom_may_contain(bl, val):
+                return False
+            if op == "in" and not any(_bloom_may_contain(bl, v)
+                                      for v in val):
+                return False
         st = cols.get(col)
         if st is None:
             continue                       # no stats -> cannot prune
@@ -822,7 +935,8 @@ class VersionedTable:
                note: str = "", replace_all: bool = False,
                drop_partitions: list | None = None,
                operation: str = "write",
-               stats_cols: list[str] | None = None) -> int:
+               stats_cols: list[str] | None = None,
+               bloom_cols: list[str] | None = None) -> int:
         """Write ``df`` as a new snapshot. With ``partition_col``,
         default semantics are Iceberg DYNAMIC overwrite: partitions
         PRESENT in ``df`` are replaced, absent ones carry over from the
@@ -860,7 +974,19 @@ class VersionedTable:
         maintenance never loses skipping); pass ``[]`` to switch the
         property off from this snapshot on. A configured column absent
         from one commit's ``df`` (schema evolution) is harvested where
-        present and simply unprunable for this snapshot's files."""
+        present and simply unprunable for this snapshot's files.
+
+        ``bloom_cols`` (a second inherited table property, same rules)
+        additionally records a per-file BLOOM FILTER over each named
+        string/integer column — the point-lookup complement to the
+        bounds: min/max prune nothing on a hash-bucketed layout (every
+        file spans the full value range — the default ingest layout),
+        while the bloom answers "can this file hold url == X?" on ANY
+        layout, so ``==`` / ``in`` predicates skip files without
+        requiring range clustering. Unlike the footer harvest this
+        reads the named columns back (one column-pruned pass over the
+        files this commit just wrote — opt-in for that reason);
+        explicitly naming a non-string/integer column raises."""
         snaps = self.snapshots()
         if snaps and snaps[0]["partition_col"] != partition_col:
             raise ValueError(
@@ -878,7 +1004,22 @@ class VersionedTable:
                     f"{df.columns}")
             stats_prop: list[str] | None = list(stats_cols)
         else:
-            stats_prop = self._inherited_stats_prop(snaps)
+            stats_prop = self._inherited_prop(snaps, "stats_cols",
+                                              "stats_col_ids")
+        if bloom_cols is not None:
+            types = {f.name: f.dataType.simpleString()
+                     for f in df.schema.fields}
+            bloomable = ("string", "tinyint", "smallint", "int", "bigint")
+            bad = [c for c in bloom_cols
+                   if types.get(c) not in bloomable]
+            if bad:
+                raise ValueError(
+                    f"bloom_cols {bad} must be string/integer columns "
+                    f"of the DataFrame (have: {types})")
+            bloom_prop: list[str] | None = list(bloom_cols)
+        else:
+            bloom_prop = self._inherited_prop(snaps, "bloom_cols",
+                                              "bloom_col_ids")
         # PROVISIONAL id names the data dir (uuid suffix makes it
         # collision-free even when two writers race); the COMMITTED id
         # is assigned under the manifest lock below, so a concurrent
@@ -918,7 +1059,7 @@ class VersionedTable:
                 df.limit(0).write.mode("errorifexists").parquet(
                     os.path.join(out, "_schema"))
                 schema_dir = os.path.join(rel, "_schema")
-        if stats_prop is not None:
+        if stats_prop is not None or bloom_prop is not None:
             files_by_key: dict[str, list[str]] = {}
             if partition_col is None:
                 files_by_key["__table__"] = sorted(
@@ -928,9 +1069,10 @@ class VersionedTable:
                     d = os.path.join(self.root, "data", sub)
                     files_by_key[k] = sorted(
                         f for f in os.listdir(d) if f.endswith(".parquet"))
-            harvest = [c for c in stats_prop if c in df.columns]
+            harvest = [c for c in (stats_prop or []) if c in df.columns]
+            bharvest = [c for c in (bloom_prop or []) if c in df.columns]
             payload = self._harvest_filestats(out, parts, files_by_key,
-                                              harvest)
+                                              harvest, bharvest)
             tmp = os.path.join(out, _STATS_FILE + ".tmp")
             with open(tmp, "w") as f:
                 json.dump(payload, f)
@@ -1020,69 +1162,81 @@ class VersionedTable:
                      "replace_all": bool(replace_all), "parts": parts}
             if schema_dir is not None:
                 entry["schema_dir"] = schema_dir
-            if stats_prop is not None:
-                entry["stats_cols"] = stats_prop
-                if reg is not None:
+            name_to_id = ({c["name"]: c["id"]
+                           for c in self._live_cols(reg)}
+                          if reg is not None else None)
+            for prop, pkey, ikey in ((stats_prop, "stats_cols",
+                                      "stats_col_ids"),
+                                     (bloom_prop, "bloom_cols",
+                                      "bloom_col_ids")):
+                if prop is None:
+                    continue
+                entry[pkey] = prop
+                if name_to_id is not None:
                     # record the property by FIELD ID too, so a later
                     # rename keeps skipping alive (names are display)
-                    name_to_id = {c["name"]: c["id"]
-                                  for c in self._live_cols(reg)}
-                    entry["stats_col_ids"] = [
-                        name_to_id[n] for n in stats_prop
-                        if n in name_to_id]
+                    entry[ikey] = [name_to_id[n] for n in prop
+                                   if n in name_to_id]
             snaps.append(entry)
             self._write_manifest(snaps)
         return sid
 
-    def _inherited_stats_prop(self, snaps: list[dict]) -> list | None:
-        """The stats-cols table property as CURRENT logical names.
-        Without a registry this is the newest recorded name list
-        verbatim. With one, the recorder's names may be stale (renamed
-        since) — so post-registry commits also record the property as
-        FIELD IDS (``stats_col_ids``) and inheritance maps id →
-        current name; a pre-registry recorder maps through the
-        registry's init-time names. Dropped columns fall out of the
-        property (their stats are meaningless against the current
-        schema)."""
+    def _inherited_prop(self, snaps: list[dict], key: str,
+                        ids_key: str) -> list | None:
+        """A column-list table property (``stats_cols`` /
+        ``bloom_cols``) as CURRENT logical names. Without a registry
+        this is the newest recorded name list verbatim. With one, the
+        recorder's names may be stale (renamed since) — so
+        post-registry commits also record the property as FIELD IDS
+        and inheritance maps id → current name; a pre-registry
+        recorder maps through the registry's init-time names. Dropped
+        columns fall out of the property (their stats are meaningless
+        against the current schema)."""
         rec = next((s for s in reversed(snaps)
-                    if s.get("stats_cols") is not None), None)
+                    if s.get(key) is not None), None)
         if rec is None:
             return None
         reg = self.registry()
         if reg is None:
-            return rec["stats_cols"]
+            return rec[key]
         cur_by_id = {c["id"]: c["name"] for c in self._live_cols(reg)}
-        if rec.get("stats_col_ids") is not None:
-            ids = rec["stats_col_ids"]
+        if rec.get(ids_key) is not None:
+            ids = rec[ids_key]
         else:
-            ids = [reg.get("init_names", {}).get(n)
-                   for n in rec["stats_cols"]]
+            ids = [reg.get("init_names", {}).get(n) for n in rec[key]]
         return [cur_by_id[i] for i in ids
                 if i is not None and i in cur_by_id]
 
     def _harvest_filestats(self, out: str, parts: dict,
                            files_by_key: dict[str, list[str]],
-                           cols: list[str]) -> dict:
-        """Fold parquet FOOTER statistics for every file this commit
-        wrote into the snapshot's file manifest. Footers are KB-sized
-        and were just written, so the cost is bounded by THIS commit's
-        file count, never table size; past _DIST_HARVEST_MIN_FILES the
-        reads run as one Spark job over the path list (a large drop's
-        10^4-10^5 files must not serialize through the driver)."""
+                           cols: list[str],
+                           bloom_cols: list[str] | None = None) -> dict:
+        """Fold parquet FOOTER statistics (and, when the bloom property
+        is on, per-file bloom filters over the named columns' values)
+        for every file this commit wrote into the snapshot's file
+        manifest. Footers are KB-sized and were just written, so the
+        cost is bounded by THIS commit's file count, never table size;
+        past _DIST_HARVEST_MIN_FILES the reads run as one Spark job
+        over the path list (a large drop's 10^4-10^5 files must not
+        serialize through the driver)."""
+        bloom_cols = bloom_cols or []
         tasks: list[tuple[str, str, str]] = []   # (key, fname, abspath)
         for k, files in files_by_key.items():
             base = out if k == "__table__" else os.path.join(
                 self.root, "data", parts[k])
             tasks.extend((k, f, os.path.join(base, f)) for f in files)
         paths = [p for _, _, p in tasks]
-        if cols and len(paths) >= _DIST_HARVEST_MIN_FILES:
+        if ((cols or bloom_cols)
+                and len(paths) >= _DIST_HARVEST_MIN_FILES):
             sc = self.spark.sparkContext
             res = (sc.parallelize(paths,
                                   min(len(paths), sc.defaultParallelism))
-                   .map(lambda p: (p, _footer_stats(p, cols)))
+                   .map(lambda p: (p, _stats_and_bloom(p, cols,
+                                                       bloom_cols)))
                    .collectAsMap())
-        elif cols:
-            res = {p: _footer_stats(p, cols) for p in paths}
+        elif cols or bloom_cols:
+            res = {p: _stats_and_bloom(p, cols, bloom_cols)
+                   for p in paths}
         else:
             import pyarrow.parquet as pq
             res = {p: {"rows": pq.read_metadata(p).num_rows, "cols": {}}
@@ -1681,18 +1835,19 @@ class VersionedTable:
                                       + " (compacted by expire_snapshots)"),
                              "partition_col": s["partition_col"],
                              "replace_all": True, "parts": live}
-                # the stats property must survive history truncation:
-                # each compacted entry inherits the newest set at or
-                # before its id
-                prop = next((p for p in reversed(snaps)
-                             if p["id"] <= s["id"]
-                             and p.get("stats_cols") is not None), None)
-                if prop is not None:
-                    compacted["stats_cols"] = prop["stats_cols"]
-                    if prop.get("stats_col_ids") is not None:
-                        # id-spelled property survives truncation too,
-                        # so skipping keeps following renames
-                        compacted["stats_col_ids"] = prop["stats_col_ids"]
+                # the stats/bloom properties must survive history
+                # truncation: each compacted entry inherits the newest
+                # set at or before its id (id-spelled form included, so
+                # skipping keeps following renames)
+                for pkey, ikey in (("stats_cols", "stats_col_ids"),
+                                   ("bloom_cols", "bloom_col_ids")):
+                    prop = next((p for p in reversed(snaps)
+                                 if p["id"] <= s["id"]
+                                 and p.get(pkey) is not None), None)
+                    if prop is not None:
+                        compacted[pkey] = prop[pkey]
+                        if prop.get(ikey) is not None:
+                            compacted[ikey] = prop[ikey]
                 new_snaps.append(compacted)
                 gap = False
             self._write_manifest(new_snaps)

@@ -67,6 +67,7 @@ def run_streaming_ingest(
     compact_history_every: int | None = None,
     recrawl: str = "append",
     stats_cols: tuple[str, ...] | None = ("url",),
+    stats_bloom_cols: tuple[str, ...] | None = ("url",),
 ) -> dict:
     """Drain every unprocessed page file under ``pages_dir`` into the
     versioned results table at ``out_dir`` (see module docstring for the
@@ -128,7 +129,8 @@ def run_streaming_ingest(
                         .withColumn("drop_id", F.lit(drop)))
             sid = commit_drop_results(vt, out_cols, recrawl,
                                       f"stream batch {batch_id}",
-                                      stats_cols=stats_cols)
+                                      stats_cols=stats_cols,
+                                      bloom_cols=stats_bloom_cols)
             io.append(lineage_of(results, attempt, f"stream:{sid}"),
                       "lineage")
             io.append(metrics_of(results, attempt, f"stream:{sid}"),
