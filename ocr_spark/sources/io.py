@@ -216,25 +216,48 @@ def _apply_entry(live: dict, s: dict) -> dict:
     unpartitioned/replace_all entries reset the view. The single
     source of truth for manifest semantics — _fold_live (hence
     _resolve and commit's tombstone resolution) and history()'s delta
-    walk both step through it."""
+    walk both step through it.
+
+    The view maps ``partition -> (rel_dir_or_None, src_id)`` where
+    ``src_id`` is the id of the commit that ESTABLISHED the
+    partition's current directory. The src id is what scopes
+    merge-on-read row deletes (operation="row_delete"): a delete
+    applies to a partition exactly when the partition's data predates
+    it (``src_id < delete_id``), so data (re)written after the delete
+    is never filtered by it. A compacted base entry (expire_snapshots)
+    preserves the original src ids in ``part_src``; a row_delete entry
+    touches no partitions at all (its ``parts`` is empty BY CONTRACT —
+    for an unpartitioned table the generic reset rule would otherwise
+    wipe the view)."""
+    if s.get("operation") == "row_delete":
+        return dict(live)
     if s["partition_col"] is None or s.get("replace_all"):
-        return dict(s["parts"])
+        src = s.get("part_src", {})
+        return {k: (v, src.get(k, s["id"]))
+                for k, v in s["parts"].items()}
     out = dict(live)
-    out.update(s["parts"])
+    for k, v in s["parts"].items():
+        out[k] = (v, s["id"])
     return out
 
 
-def _fold_live(snaps: list[dict], skip_rewrites: bool = False) -> dict:
+def _fold_live(snaps: list[dict], skip_rewrites: bool = False,
+               with_src: bool = False) -> dict:
     """Resolve a manifest prefix to its live view via _apply_entry,
     dropping tombstones. ``skip_rewrites`` leaves layout-only commits
     (operation="rewrite") unapplied — the LOGICAL view that
-    changed_partitions diffs."""
-    live: dict[str, str] = {}
+    changed_partitions diffs. ``with_src=True`` returns
+    ``{k: (rel, src_id)}`` instead of ``{k: rel}`` (see
+    :func:`_apply_entry`)."""
+    live: dict[str, tuple] = {}
     for s in snaps:
         if skip_rewrites and s.get("operation") == "rewrite":
             continue
         live = _apply_entry(live, s)
-    return {k: v for k, v in live.items() if v is not None}
+    live = {k: v for k, v in live.items() if v[0] is not None}
+    if with_src:
+        return live
+    return {k: v[0] for k, v in live.items()}
 
 
 def _norm_pv(v) -> str:
@@ -837,6 +860,28 @@ class VersionedTable:
                 raise ValueError(f"unknown column {name!r}")
             if len(self._live_cols(reg)) == 1:
                 raise ValueError("cannot drop the last column")
+            # a pending merge-on-read delete filters through its
+            # predicate at read time; dropping a predicate column would
+            # leave the deleted rows' OTHER columns unfilterable (data
+            # resurrection in every read, including pinned ones).
+            # Conservative guard: any row_delete record still in the
+            # manifest blocks the drop — apply_deletes() +
+            # expire_snapshots() retire the records and release it.
+            fid = tgt[0]["id"]
+            for d in self._deletes_upto(None):
+                pred = d.get("predicate_ids")
+                if pred is None:
+                    # pre-registry record: map its stored (init-time)
+                    # names through init_names, so a rename since
+                    # registry init cannot slip the guard
+                    pred = [reg.get("init_names", {}).get(col)
+                            for col, _o, _v in
+                            (tuple(p) for p in d["predicate"])]
+                if fid in pred:
+                    raise ValueError(
+                        f"cannot drop column {name!r}: merge-on-read "
+                        f"delete {d['id']} references it; run "
+                        "apply_deletes() and expire_snapshots() first")
             tgt[0]["dropped"] = True
             self._write_registry(reg)
 
@@ -1246,16 +1291,244 @@ class VersionedTable:
             files[k].append({"f": f, **res[p]})
         return {"stats_cols": cols, "files": files}
 
-    def delete_where(self, condition, note: str = "") -> tuple[int | None,
-                                                               dict]:
-        """Copy-on-write row-level DELETE (Iceberg ``DELETE FROM …
-        WHERE``): commit a new snapshot from which rows matching
-        ``condition`` (a Column or SQL string) are gone, rewriting ONLY
-        the partitions that contain matches — untouched partitions carry
-        over by manifest reference (their files are not read or
-        rewritten), a partition whose every row matches becomes a
-        tombstone, and every EARLIER snapshot still reads the deleted
-        rows (time travel is the contract). Physical removal is a
+    # ---- merge-on-read row deletes (Iceberg v2 delete-file analog) ----
+    #
+    # A copy-on-write takedown of ONE url rewrites every partition that
+    # holds a match — at 100 TB that is massive write amplification for
+    # a right-to-be-forgotten request that touches a handful of rows.
+    # mode="merge_on_read" instead appends a METADATA-ONLY manifest
+    # entry (operation="row_delete") carrying the structured predicate:
+    # the commit is O(1) (no data file read or written), reads apply
+    # ``NOT(predicate IS TRUE)`` to exactly the data that PREDATES the
+    # delete (src_id scoping — rows (re)written later are never
+    # filtered), and a later apply_deletes()/rewrite_files()/merge
+    # physically bakes it in (any rewrite reads through read(), which
+    # applies pending deletes, and the rewritten partition's new src id
+    # moves past the delete). Physical purge is then the normal
+    # expire_snapshots GC. This is the Iceberg v2 equality-delete-file
+    # design with the equality values held inline in the manifest —
+    # our deletes are operator predicates (takedowns, host purges), so
+    # the "delete file" is a handful of (col, op, value) triples, not
+    # a parquet file of keys.
+
+    def _deletes_upto(self, snapshot_id: int | None) -> list[dict]:
+        """All row-delete records visible at ``snapshot_id`` (default
+        latest): top-level row_delete entries plus records carried in
+        expiry-compacted base entries (``row_deletes``), deduped by
+        delete id. Driver-side over the manifest."""
+        snaps = self.snapshots()
+        if snapshot_id is not None:
+            snaps = [s for s in snaps if s["id"] <= snapshot_id]
+        dels: dict[int, dict] = {}
+        for s in snaps:
+            if s.get("operation") == "row_delete":
+                dels[s["id"]] = {"id": s["id"],
+                                 "predicate": s["predicate"],
+                                 "predicate_ids": s.get("predicate_ids"),
+                                 "affected": s.get("affected")}
+            for d in s.get("row_deletes", []):
+                dels.setdefault(d["id"], d)
+        return [dels[i] for i in sorted(dels)]
+
+    @staticmethod
+    def _delete_applies(d: dict, k: str, src: int) -> bool:
+        """Does row-delete record ``d`` apply to partition ``k`` whose
+        data was established by commit ``src``? Two conditions: the
+        data must PREDATE the delete (src scoping), and the partition
+        must be in the delete's recorded ``affected`` set — the
+        stats/bloom-bounded superset of partitions that could hold a
+        match at delete time (partitions outside it were PROVEN
+        matchless, so skipping their filter — and their
+        apply-rewrite — is exact, the property that keeps a one-url
+        takedown from rewriting the corpus). A record without an
+        affected set conservatively applies everywhere predating."""
+        if d["id"] <= src:
+            return False
+        aff = d.get("affected")
+        return aff is None or k in aff
+
+    def _delete_predicate_now(self, d: dict, reg: dict | None) -> list:
+        """A stored delete predicate translated to CURRENT column
+        names. Predicates are recorded by field id when a registry
+        exists (``predicate_ids``), so a later rename keeps the delete
+        applying; a pre-registry record maps through the registry's
+        init-time names. A predicate column whose id is no longer live
+        raises — :meth:`drop_column` guards against creating that
+        state, so reaching it means manifest surgery."""
+        pred = [tuple(p) for p in d["predicate"]]
+        if reg is None:
+            return pred
+        cur_by_id = {c["id"]: c["name"] for c in self._live_cols(reg)}
+        ids = d.get("predicate_ids")
+        if ids is None:
+            ids = [reg.get("init_names", {}).get(col)
+                   for col, _op, _val in pred]
+        out = []
+        for (col, op, val), fid in zip(pred, ids):
+            if fid is None:
+                out.append((col, op, val))
+                continue
+            if fid not in cur_by_id:
+                raise ValueError(
+                    f"pending row delete {d['id']} references dropped "
+                    f"column id {fid} (recorded as {col!r}) in "
+                    f"{self.root}")
+            out.append((cur_by_id[fid], op, val))
+        return out
+
+    def _delete_filter(self, deletes: list[dict], reg: dict | None):
+        """One Column keeping exactly the rows NO applicable delete
+        matches (SQL DELETE null semantics per delete: a row where a
+        predicate evaluates NULL is kept by that predicate)."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        conds = [~_where_to_column(self._delete_predicate_now(d, reg))
+                 .eqNullSafe(F.lit(True)) for d in deletes]
+        return reduce(lambda a, b: a & b, conds)
+
+    def _scan_with_deletes(self, live_src: dict, deletes: list[dict],
+                           reg: dict | None,
+                           files_by_rel: dict[str, list[str]]
+                           | None = None) -> DataFrame:
+        """Scan the live view applying each pending row delete to
+        exactly the partitions whose src id predates it. Partitions
+        sharing an applicable-delete set share ONE scan (set count is
+        bounded by the number of PENDING deletes — a handful between
+        maintenance runs — never by partition count), so at 100 TB
+        this is the plain read plus a cheap union and per-group
+        filters. ``files_by_rel`` optionally restricts each partition
+        dir to specific files (the read(where=...) skipped plan)."""
+        from functools import reduce
+
+        data = os.path.join(self.root, "data")
+        groups: dict[tuple, dict[str, list[str]]] = {}
+        for k, (rel, src) in live_src.items():
+            if files_by_rel is not None:
+                paths = files_by_rel.get(rel)
+                if not paths:
+                    continue
+            else:
+                paths = [os.path.join(data, rel)]
+            key = tuple(d["id"] for d in deletes
+                        if self._delete_applies(d, k, src))
+            by_top = groups.setdefault(key, {})
+            by_top.setdefault(rel.split(os.sep)[0], []).extend(paths)
+        parts = []
+        for key in sorted(groups):
+            by_top = groups[key]
+            if reg is not None:
+                df = self._aligned_df(by_top, reg)
+            else:
+                paths = sorted(p for ps in by_top.values() for p in ps)
+                df = (self.spark.read.option("mergeSchema", "true")
+                      .parquet(*paths))
+            applicable = [d for d in deletes if d["id"] in key]
+            if applicable:
+                df = df.where(self._delete_filter(applicable, reg))
+            parts.append(df)
+        if not parts:
+            if reg is not None:
+                return self._typed_empty(reg)
+            raise ValueError(
+                f"VersionedTable at {self.root}: empty scan plan")
+        # groups may span evolved plain-table schemas: unionByName with
+        # missing-column fill mirrors what one mergeSchema scan shows
+        return reduce(lambda a, b: a.unionByName(
+            b, allowMissingColumns=True), parts)
+
+    def apply_deletes(self, note: str = "") -> tuple[int | None, dict]:
+        """Physically apply every pending merge-on-read row delete
+        (Iceberg's ``rewrite_position_delete_files`` analog): rewrite
+        the partitions a recorded delete still APPLIES to — data
+        predating the delete AND inside its stats/bloom-bounded
+        ``affected`` set, so a one-url takedown rewrites the handful
+        of partitions that could hold the url, never the corpus —
+        reading through the delete-applying read path, as ONE
+        layout-only snapshot — the LOGICAL view is unchanged (reads
+        already filtered those rows), so incremental consumers see no
+        data change, but the rewritten partitions' src ids move past
+        every delete and the predicates stop running at read time. A
+        partition whose every row is deleted becomes a manifest
+        tombstone in the same commit. After this, ``expire_snapshots``
+        truncation drops the inert row_delete entries and GCs the
+        pre-delete files — the physical end of the takedown.
+
+        Returns ``(snapshot_id, stats)``; ``snapshot_id`` is None when
+        no delete is pending (idempotent re-runs)."""
+        snaps = self.snapshots()
+        if not snaps:
+            raise ValueError(
+                f"VersionedTable at {self.root} has no snapshots")
+        pcol = snaps[0]["partition_col"]
+        live_src, _ = self._resolve(None, None, with_src=True)
+        deletes = self._deletes_upto(None)
+        pending = sorted(k for k, (_rel, src) in live_src.items()
+                         if any(self._delete_applies(d, k, src)
+                                for d in deletes))
+        stats = {"partitions_rewritten": 0, "partitions_dropped": 0,
+                 "deletes_pending": len(deletes)}
+        if not pending:
+            return None, stats
+        if pcol is None:
+            sid = self.commit(self.read(), None,
+                              note=note or "apply_deletes",
+                              operation="rewrite")
+            stats["partitions_rewritten"] = 1
+            return sid, stats
+        sub = self.read(partitions=pending).persist()
+        try:
+            from urllib.parse import unquote
+            present = {_norm_pv(r[0]) for r in
+                       sub.select(pcol).distinct().collect()}
+            # partition values present in the filtered data are
+            # rewritten; pending partitions with NO surviving rows are
+            # tombstoned in the same commit (their logical view was
+            # already empty — rows unchanged, so the rewrite tag keeps
+            # changed_partitions silent about both). Compare through
+            # the same casting/escaping rule reads use.
+            dropped = [k for k in pending
+                       if k not in present
+                       and unquote(k) not in present]
+            sid = self.commit(sub, pcol, note=note or "apply_deletes",
+                              drop_partitions=dropped,
+                              operation="rewrite")
+        finally:
+            sub.unpersist()
+        stats["partitions_rewritten"] = len(pending) - len(dropped)
+        stats["partitions_dropped"] = len(dropped)
+        return sid, stats
+
+    def delete_where(self, condition, note: str = "",
+                     mode: str = "copy_on_write") -> tuple[int | None,
+                                                           dict]:
+        """Row-level DELETE (Iceberg ``DELETE FROM … WHERE``).
+
+        ``mode="copy_on_write"`` (default): commit a new snapshot from
+        which rows matching ``condition`` (a Column or SQL string) are
+        gone, rewriting ONLY the partitions that contain matches —
+        untouched partitions carry over by manifest reference (their
+        files are not read or rewritten), a partition whose every row
+        matches becomes a tombstone, and every EARLIER snapshot still
+        reads the deleted rows (time travel is the contract).
+
+        ``mode="merge_on_read"``: a METADATA-ONLY delete (Iceberg v2
+        delete-file analog) — ``condition`` must be the structured
+        ``[(col, op, value), ...]`` spelling, which is stored in the
+        manifest and applied at read time to exactly the data that
+        predates the delete. The commit reads and writes NO data files
+        (one driver-side manifest/stats pass bounds the candidate
+        partitions), so a takedown costs O(1) instead of rewriting
+        every partition holding a match — at 100 TB the difference
+        between milliseconds and rewriting terabytes. Reads pay the
+        predicate as a residual filter until :meth:`apply_deletes` (or
+        any rewrite of the affected partitions) bakes it in; physical
+        purge is then ``expire_snapshots`` as usual. Time travel is
+        identical to copy-on-write: pins before the delete id read the
+        rows, pins at or after it don't.
+
+        Physical removal in both modes is a
         separate, explicit step: ``expire_snapshots`` GCs the old files
         once no surviving snapshot references them — a takedown pipeline
         is ``delete_where(cond)`` then ``expire_snapshots(keep_last=1)``.
@@ -1282,9 +1555,16 @@ class VersionedTable:
 
         Returns ``(snapshot_id, stats)``; ``snapshot_id`` is None when
         nothing matched — no empty snapshot is committed, so re-running
-        the same takedown is a no-op."""
+        the same takedown is a no-op (merge-on-read: when the file
+        statistics PROVE no row can match)."""
         from pyspark.sql import functions as F
 
+        if mode not in ("copy_on_write", "merge_on_read"):
+            raise ValueError(
+                f"mode must be 'copy_on_write' or 'merge_on_read', "
+                f"got {mode!r}")
+        if mode == "merge_on_read":
+            return self._delete_mor(condition, note)
         probe_where: list[tuple] | None = None
         if isinstance(condition, list):
             probe_where = _validate_where(condition)
@@ -1348,6 +1628,85 @@ class VersionedTable:
         stats["partitions_dropped"] = len(dropped)
         return sid, stats
 
+    def _delete_mor(self, condition, note: str) -> tuple[int | None,
+                                                         dict]:
+        """The merge-on-read branch of :meth:`delete_where`: validate
+        the predicate against the CURRENT logical schema (a bad column
+        must fail HERE, not poison every later read), bound the
+        affected partitions driver-side through the file-statistics
+        plan, and append one metadata-only manifest entry. No Spark
+        job runs unless the table has no registry (one driver-side
+        schema inference for validation)."""
+        if not isinstance(condition, list):
+            raise ValueError(
+                "merge_on_read deletes take the structured "
+                "[(col, op, value), ...] predicate spelling — the "
+                "predicate is stored in the manifest and applied at "
+                "read time (a Column cannot be serialized)")
+        where = _validate_where(condition)
+        try:
+            json.dumps([list(w) for w in where])
+        except TypeError as e:
+            raise ValueError(
+                f"merge_on_read predicate values must be "
+                f"JSON-storable (str/int/float/bool or lists of "
+                f"them): {where!r}") from e
+        snaps = self.snapshots()
+        if not snaps:
+            raise ValueError(
+                f"VersionedTable at {self.root} has no snapshots")
+        reg = self.registry()
+        if reg is not None:
+            avail = {c["name"] for c in self._live_cols(reg)}
+        else:
+            avail = set(self.read().columns)
+        missing = [c for c, _op, _v in where if c not in avail]
+        if missing:
+            raise ValueError(
+                f"merge_on_read delete references unknown columns "
+                f"{missing} (live: {sorted(avail)})")
+        stats: dict = {"rows_deleted": None, "mode": "merge_on_read",
+                       "partitions_affected": 0, "files_candidates": 0}
+        # driver-side candidate probe: when bounds/blooms PROVE no row
+        # can match, commit nothing (idempotent re-runs); otherwise the
+        # surviving files' partitions become the recorded affected set
+        # — the conservative superset changed_partitions reports as
+        # rewritten, so incremental consumers learn a delete touched
+        # their range
+        plan = self.plan_files(where=where)
+        if not plan["files"]:
+            return None, stats
+        live, _ = self._resolve(None, None)
+        data = os.path.join(self.root, "data")
+        rel_to_k = {rel: k for k, rel in live.items()}
+        affected = set()
+        for p in plan["files"]:
+            rel = os.path.dirname(os.path.relpath(p, data))
+            k = rel_to_k.get(rel)
+            if k is not None:
+                affected.add(k)
+        predicate_ids = None
+        if reg is not None:
+            id_of = {c["name"]: c["id"] for c in self._live_cols(reg)}
+            predicate_ids = [id_of[c] for c, _op, _v in where]
+        with _ManifestLock(self.root):
+            snaps = self.snapshots()
+            sid = snaps[-1]["id"] + 1
+            entry = {"id": sid, "ts": time.time(),
+                     "note": note or "delete_where (merge_on_read)",
+                     "operation": "row_delete",
+                     "partition_col": snaps[0]["partition_col"],
+                     "replace_all": False, "parts": {},
+                     "predicate": [list(w) for w in where],
+                     "affected": sorted(affected)}
+            if predicate_ids is not None:
+                entry["predicate_ids"] = predicate_ids
+            snaps.append(entry)
+            self._write_manifest(snaps)
+        stats["partitions_affected"] = len(affected)
+        stats["files_candidates"] = len(plan["files"])
+        return sid, stats
+
     def changed_partitions(self, from_snapshot: int,
                            to_snapshot: int | None = None) -> dict:
         """Partition-grain diff between two snapshots: which partition
@@ -1384,10 +1743,22 @@ class VersionedTable:
               else self._resolve(from_snapshot, None,
                                  skip_rewrites=True)[0])
         l1, _ = self._resolve(to, None, skip_rewrites=True)
+        appended = {k for k in l1 if k not in l0}
+        rewritten = {k for k in l1 if k in l0 and l1[k] != l0[k]}
+        # a merge-on-read delete in range changed rows WITHOUT moving
+        # any partition dir: its recorded affected set (the
+        # stats-bounded conservative superset from delete time) counts
+        # as rewritten, so read_incremental's non-append contract
+        # still raises — silently skipping a takedown would hide that
+        # consumed rows disappeared underneath the consumer
+        for s in snaps:
+            if (s.get("operation") == "row_delete"
+                    and from_snapshot < s["id"] <= to):
+                rewritten.update(k for k in s.get("affected", [])
+                                 if k in l1 and k not in appended)
         return {
-            "appended": sorted(k for k in l1 if k not in l0),
-            "rewritten": sorted(k for k in l1
-                                if k in l0 and l1[k] != l0[k]),
+            "appended": sorted(appended),
+            "rewritten": sorted(rewritten),
             "dropped": sorted(k for k in l0 if k not in l1),
         }
 
@@ -1673,8 +2044,12 @@ class VersionedTable:
         prev: dict[str, str] = {}
         for s in self.snapshots():
             # step the shared manifest fold and diff the filtered views
+            # (fold values are (rel, src_id); diff on the rel alone so a
+            # merge-on-read row_delete entry — which changes neither —
+            # reads as 0/0/0 partition changes, exactly its meaning)
             cur_raw = _apply_entry(prev_raw, s)
-            cur = {k: v for k, v in cur_raw.items() if v is not None}
+            cur = {k: v[0] for k, v in cur_raw.items()
+                   if v[0] is not None}
             appended = [k for k in cur if k not in prev]
             rewritten = [k for k in cur if k in prev and cur[k] != prev[k]]
             dropped = [k for k in prev if k not in cur]
@@ -1695,7 +2070,8 @@ class VersionedTable:
 
     def _resolve(self, snapshot_id: int | None,
                  partitions: list | None,
-                 skip_rewrites: bool = False) -> tuple[dict, dict]:
+                 skip_rewrites: bool = False,
+                 with_src: bool = False) -> tuple[dict, dict]:
         """``skip_rewrites=True`` resolves the LOGICAL view: layout-only
         commits (operation="rewrite") are not applied, so each partition
         maps to the dir of its last DATA commit — the spelling
@@ -1703,7 +2079,9 @@ class VersionedTable:
         incremental consumers. (An expiry-compacted base entry carries
         no operation tag and is always applied — correct: it IS the
         resolved state at that id, and both sides of any valid diff
-        start at or after it.)"""
+        start at or after it.) ``with_src=True`` maps each partition to
+        ``(rel, src_id)`` — the establishing commit id that scopes
+        merge-on-read row deletes."""
         snaps = self.snapshots()
         if snapshot_id is not None:
             if snaps and snapshot_id > snaps[-1]["id"]:
@@ -1727,7 +2105,8 @@ class VersionedTable:
             raise ValueError(
                 f"no snapshot <= {snapshot_id!r} in {self.root}")
         meta = snaps[-1]
-        live = _fold_live(snaps, skip_rewrites=skip_rewrites)
+        live = _fold_live(snaps, skip_rewrites=skip_rewrites,
+                          with_src=with_src)
         if partitions is not None:
             # match the on-disk spelling AND its percent-unescaped form
             # (Spark Hive-escapes special chars in partition dirs), with
@@ -1829,12 +2208,31 @@ class VersionedTable:
                 if not gap:
                     new_snaps.append(dict(s))
                     continue
-                live, _ = self._resolve(s["id"], None)
+                live_src, _ = self._resolve(s["id"], None, with_src=True)
                 compacted = {"id": s["id"], "ts": s["ts"],
                              "note": (s.get("note", "")
                                       + " (compacted by expire_snapshots)"),
                              "partition_col": s["partition_col"],
-                             "replace_all": True, "parts": live}
+                             "replace_all": True,
+                             "parts": {k: v[0]
+                                       for k, v in live_src.items()},
+                             # original establishing ids: merge-on-read
+                             # delete scoping must survive compaction —
+                             # without these the base id would become
+                             # every partition's src and pre-delete
+                             # data would stop being filtered
+                             "part_src": {k: v[1]
+                                          for k, v in live_src.items()}}
+                # carry the row-delete records still applicable to this
+                # view (a truncated row_delete line must not lose its
+                # effect); fully-applied records drop out here, which
+                # is what releases drop_column's conservative guard
+                pend = [d for d in self._deletes_upto(s["id"])
+                        if any(self._delete_applies(d, k, src)
+                               for k, (_rel, src)
+                               in live_src.items())]
+                if pend:
+                    compacted["row_deletes"] = pend
                 # the stats/bloom properties must survive history
                 # truncation: each compacted entry inherits the newest
                 # set at or before its id (id-spelled form included, so
@@ -2051,6 +2449,7 @@ class VersionedTable:
 
         snapshot_id = self._pin(snapshot_id, ref)
         reg = self.registry()
+        deletes = self._deletes_upto(snapshot_id)
         if where:
             where = _validate_where(where)
             plan = self.plan_files(snapshot_id, partitions, where)
@@ -2058,6 +2457,22 @@ class VersionedTable:
             if not plan["files"]:
                 return (self.read(snapshot_id, partitions)
                         .where(F.lit(False)))
+            if deletes:
+                # merge-on-read deletes scope by each partition's src
+                # id: restrict the delete-grouped scan to the plan's
+                # surviving files, then the residual condition applies
+                # uniformly (skipped files cannot satisfy ``cond``
+                # regardless of delete filters — deletes only remove
+                # more rows, so pruning stays exact)
+                live_src, _ = self._resolve(snapshot_id, partitions,
+                                            with_src=True)
+                data = os.path.join(self.root, "data")
+                files_by_rel: dict[str, list[str]] = {}
+                for p in plan["files"]:
+                    rel = os.path.dirname(os.path.relpath(p, data))
+                    files_by_rel.setdefault(rel, []).append(p)
+                return self._scan_with_deletes(
+                    live_src, deletes, reg, files_by_rel).where(cond)
             if reg is not None:
                 # schema evolution: align each epoch's physical names
                 # to the current schema FIRST; the residual condition
@@ -2070,7 +2485,11 @@ class VersionedTable:
                 return self._aligned_df(by_top, reg).where(cond)
             return (self.spark.read.option("mergeSchema", "true")
                     .parquet(*plan["files"]).where(cond))
-        live, _ = self._resolve(snapshot_id, partitions)
+        live, _ = self._resolve(snapshot_id, partitions,
+                                with_src=True)
+        if deletes and live:
+            return self._scan_with_deletes(live, deletes, reg)
+        live = {k: v[0] for k, v in live.items()}
         if not live:
             if reg is not None:
                 # the current logical schema IS the registry — no

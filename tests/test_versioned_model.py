@@ -50,7 +50,8 @@ def test_versioned_table_random_walk_matches_model(spark, tmp_path, seed):
     # op 0 is always a commit so every later op has a table to act on
     for step in range(16):
         op = "commit" if step == 0 else rnd.choice(
-            ["commit", "commit", "delete", "merge", "rewrite", "expire"])
+            ["commit", "commit", "delete", "merge", "rewrite", "expire",
+             "apply"])
         if op == "commit":
             rows = fresh_rows(rnd.randint(1, 5))
             sid = vt.commit(_df(spark, rows), "drop_id",
@@ -61,13 +62,22 @@ def test_versioned_table_random_walk_matches_model(spark, tmp_path, seed):
             model = [r for r in model if r[0] not in parts] + rows
         elif op == "delete":
             cut = rnd.randint(0, 99)
-            # alternate spellings: Column vs structured (the structured
-            # one routes the affected-partition probe through the
-            # file-skipped read path)
-            sid, _ = vt.delete_where(
-                F.col("score") < cut if step % 2
-                else [("score", "<", cut)])
+            # rotate spellings: Column CoW, structured CoW (routes the
+            # affected-partition probe through the file-skipped read),
+            # and merge-on-read (metadata-only; reads apply the
+            # predicate to the predating affected partitions) — all
+            # three must be logically IDENTICAL to the model
+            spell = step % 3
+            if spell == 0:
+                sid, _ = vt.delete_where(F.col("score") < cut)
+            elif spell == 1:
+                sid, _ = vt.delete_where([("score", "<", cut)])
+            else:
+                sid, _ = vt.delete_where([("score", "<", cut)],
+                                         mode="merge_on_read")
             model = [r for r in model if not r[2] < cut]
+        elif op == "apply":
+            sid, _ = vt.apply_deletes()      # logical no-op
         elif op == "merge":
             # unique urls in the source (MERGE cardinality contract)
             srcs = {}
