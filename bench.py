@@ -208,6 +208,54 @@ def run_default() -> None:
         filestats[key] = round(min(runs), 3)
         spreads.append(max(runs) / min(runs))
 
+    # Merge-on-read takedown segment: the write-amplification win,
+    # measured. Production-shaped table (bucket-partitioned results,
+    # url blooms default-on); the copy-on-write takedown REWRITES
+    # every partition holding the url, the merge-on-read takedown
+    # appends one metadata line and lets reads filter — same logical
+    # result, so the two timings are directly comparable. The table is
+    # reset to one compacted snapshot at the end (apply + expire), so
+    # re-runs measure the same shape.
+    vm = VersionedTable(spark, corpus + "_vtmor")
+    if not vm.snapshots():
+        res = (extract_pages(pages, n_buckets=16, salt_n=8)
+               .drop("extract_us", "input_bytes", "salt", "blocks"))
+        vm.commit(res, "bucket", stats_cols=["url"], bloom_cols=["url"])
+    victims = [r[0] for r in
+               vm.read().select("url").orderBy("url").limit(4).collect()]
+    base_sid = vm.snapshots()[-1]["id"]
+    mor: dict = {}
+    runs = []
+    for u in victims[:2]:
+        t0 = time.perf_counter()
+        _sid, dst = vm.delete_where([("url", "==", u)])
+        runs.append(time.perf_counter() - t0)
+    mor["takedown_cow_s"] = round(min(runs), 3)
+    mor["cow_partitions_rewritten"] = dst["partitions_rewritten"]
+    runs = []
+    for u in victims[2:]:
+        t0 = time.perf_counter()
+        _sid, dst = vm.delete_where([("url", "==", u)],
+                                    mode="merge_on_read")
+        runs.append(time.perf_counter() - t0)
+    mor["takedown_mor_s"] = round(min(runs), 3)
+    mor["mor_partitions_affected"] = dst["partitions_affected"]
+    # read-side cost of the pending records (the price MOR pays until
+    # apply_deletes): full count with the deletes applying vs pinned
+    # pre-delete
+    for key, fn in (("read_with_pending_s", lambda: vm.read()),
+                    ("read_pre_delete_pin_s",
+                     lambda: vm.read(snapshot_id=base_sid))):
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn().count()
+            runs.append(time.perf_counter() - t0)
+        mor[key] = round(min(runs), 3)
+        spreads.append(max(runs) / min(runs))
+    vm.apply_deletes()
+    vm.expire_snapshots(keep_last=1)
+
     total = round(sum(v for k, v in timings.items()
                       if k != "extract_docs_per_sec"), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -218,6 +266,7 @@ def run_default() -> None:
         "queries": timings,
         "frozen": frozen,
         "filestats": filestats,
+        "mor_takedown": mor,
         # host-noise evidence: max/min ratio of the two timed runs per
         # query — median ~1 means a quiet round, a large max means some
         # query's min may still sit in a noise spike

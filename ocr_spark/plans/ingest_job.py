@@ -233,11 +233,26 @@ def keep_latest_within_drop(pages: DataFrame) -> DataFrame:
             .where(F.col("_rn") == 1).drop("_rn"))
 
 
+class IngestAuditError(RuntimeError):
+    """An audit gate rejected a staged drop. The staged snapshot is
+    left in the table (quarantined: invisible to every read except its
+    own explicit pin) for inspection — ``VersionedTable.read(
+    snapshot_id=staged_snapshot)`` shows exactly what the audit saw;
+    ``create_tag`` it to keep it past retention, or let
+    ``expire_snapshots`` GC it."""
+
+    def __init__(self, note: str, staged_snapshot: int):
+        super().__init__(
+            f"audit rejected staged drop ({note}): snapshot "
+            f"{staged_snapshot} left quarantined, not published")
+        self.staged_snapshot = staged_snapshot
+
+
 def commit_drop_results(vt: VersionedTable, out_cols: DataFrame,
                         recrawl: str, note: str,
                         stats_cols: tuple[str, ...] | None = None,
-                        bloom_cols: tuple[str, ...] | None = None
-                        ) -> int | None:
+                        bloom_cols: tuple[str, ...] | None = None,
+                        audit=None) -> int | None:
     """One results commit per drop under either recrawl policy — the
     shared unit of the batch and streaming ingest jobs (semantics in
     run_ingest_job's docstring). "append": one dynamic-overwrite commit
@@ -261,14 +276,49 @@ def commit_drop_results(vt: VersionedTable, out_cols: DataFrame,
     url-HASH-bucketed, so every file spans the full url range and the
     min/max bounds prune nothing for a point lookup, while the bloom
     skips every file that cannot hold the url (cost: one url-column
-    re-read of the drop's just-written files, bounded by the drop)."""
+    re-read of the drop's just-written files, bounded by the drop).
+
+    ``audit`` (write-audit-publish — ``recrawl="append"`` only; the
+    merge path commits inside ``merge_into`` and cannot stage) gates
+    the commit: the drop is committed STAGED (written but invisible to
+    every reader of the live table), ``audit`` is called with the
+    staged drop's rows (the exact DataFrame the published table would
+    gain), and only a truthy return publishes — one O(1) metadata
+    cherry-pick, no data rewrite. A falsy return raises
+    :class:`IngestAuditError` carrying the quarantined snapshot id.
+    Crash-safe like the rest of the protocol: a crash between publish
+    and the caller's done marker replays the drop, whose re-publish of
+    a fresh staged commit dynamic-overwrites the same partition with
+    identical rows; an abandoned staged snapshot is GC'd by
+    ``expire_snapshots``."""
+    if audit is not None and recrawl == "merge_latest":
+        raise ValueError(
+            "audit gate requires recrawl='append': merge_latest "
+            "commits inside VersionedTable.merge_into and cannot "
+            "stage")
     if recrawl == "merge_latest" and vt.snapshots():
         sid, _ = vt.merge_into(out_cols, ["url"],
                                note=note + " (merge_latest)")
         return sid
-    return vt.commit(out_cols, "drop_id", note=note,
-                     stats_cols=list(stats_cols) if stats_cols else None,
-                     bloom_cols=list(bloom_cols) if bloom_cols else None)
+    if audit is None:
+        return vt.commit(out_cols, "drop_id", note=note,
+                         stats_cols=list(stats_cols) if stats_cols
+                         else None,
+                         bloom_cols=list(bloom_cols) if bloom_cols
+                         else None)
+    staged_id = vt.commit(out_cols, "drop_id", note=note + " (staged)",
+                          staged=True,
+                          stats_cols=list(stats_cols) if stats_cols
+                          else None,
+                          bloom_cols=list(bloom_cols) if bloom_cols
+                          else None)
+    staged_parts = next(s for s in vt.snapshots()
+                        if s["id"] == staged_id)["parts"]
+    audit_df = vt.read(snapshot_id=staged_id,
+                       partitions=sorted(staged_parts))
+    if not audit(audit_df):
+        raise IngestAuditError(note, staged_id)
+    return vt.publish(staged_id, note=note)
 
 
 def _content_key():
@@ -294,6 +344,7 @@ def run_ingest_job(
     recrawl: str = "append",
     stats_cols: tuple[str, ...] | None = ("url",),
     stats_bloom_cols: tuple[str, ...] | None = ("url",),
+    audit=None,
 ) -> dict:
     """Process every pending drop under ``warc_dir`` (see module
     docstring for the protocol). Returns a status dict. Read results
@@ -347,7 +398,16 @@ def run_ingest_job(
     incremental-dedup mask) adds per-file BLOOM filters — on this
     url-HASH-bucketed layout the bounds prune nothing for a point
     lookup (every file spans the full url range) while the bloom
-    skips every file that cannot hold the url."""
+    skips every file that cannot hold the url.
+
+    ``audit`` (write-audit-publish, ``recrawl="append"`` only — see
+    ``commit_drop_results``): a callable ``(DataFrame) -> bool`` run
+    on each drop's STAGED rows before they become visible; a falsy
+    return stops the job with ``completed: False`` and a
+    ``quarantined`` record naming the drop and its staged snapshot id
+    (inspectable via ``VersionedTable.read(snapshot_id=...)``, GC'd by
+    expiry, NEVER visible to live readers), and the drop stays
+    pending — a later run re-stages and re-audits it."""
     from ocr_spark.operators.dedup import dedup_incremental_vs_hashes
     from ocr_spark.sources.warc import read_warc
 
@@ -408,10 +468,18 @@ def run_ingest_job(
                                 hot=hot_hosts(pages, SKEW_FACTOR)).cache()
         out_cols = (results.drop("extract_us", "input_bytes", "salt")
                     .withColumn("drop_id", F.lit(drop)))
-        sid = commit_drop_results(vt, out_cols, recrawl,
-                                  f"ingest {run_id} drop {drop}",
-                                  stats_cols=stats_cols,
-                                  bloom_cols=stats_bloom_cols)
+        try:
+            sid = commit_drop_results(vt, out_cols, recrawl,
+                                      f"ingest {run_id} drop {drop}",
+                                      stats_cols=stats_cols,
+                                      bloom_cols=stats_bloom_cols,
+                                      audit=audit)
+        except IngestAuditError as e:
+            results.unpersist()
+            return {"completed": False, "run_id": run_id,
+                    "drops_done": sorted(manifest.done_drops()),
+                    "quarantined": {"drop": drop,
+                                    "staged_snapshot": e.staged_snapshot}}
         attempt = manifest.attempt_of(drop)
         io.append(lineage_of(results, attempt, f"{run_id}:{sid}"),
                   "lineage")

@@ -228,9 +228,25 @@ def _apply_entry(live: dict, s: dict) -> dict:
     preserves the original src ids in ``part_src``; a row_delete entry
     touches no partitions at all (its ``parts`` is empty BY CONTRACT —
     for an unpartitioned table the generic reset rule would otherwise
-    wipe the view)."""
+    wipe the view).
+
+    A STAGED entry (write-audit-publish: ``commit(staged=True)``) is
+    skipped like a row_delete — its data enters the live view only
+    through the later publish entry that cherry-picks its parts; the
+    fold applies a staged entry only when the caller explicitly pins
+    its id (the AUDIT view — _fold_live's ``apply_staged_id``). An
+    expiry-COMPACTED staged entry carries two views: ``base_parts``
+    (the resolved PARENT view — what the live lineage folds from,
+    since later survivors relied on the truncated prefix) and
+    ``parts`` (the resolved AUDIT view its own pin keeps reading)."""
     if s.get("operation") == "row_delete":
         return dict(live)
+    if s.get("staged"):
+        if "base_parts" not in s:
+            return dict(live)
+        src = s.get("base_part_src", {})
+        return {k: (v, src.get(k, s["id"]))
+                for k, v in s["base_parts"].items()}
     if s["partition_col"] is None or s.get("replace_all"):
         src = s.get("part_src", {})
         return {k: (v, src.get(k, s["id"]))
@@ -242,16 +258,23 @@ def _apply_entry(live: dict, s: dict) -> dict:
 
 
 def _fold_live(snaps: list[dict], skip_rewrites: bool = False,
-               with_src: bool = False) -> dict:
+               with_src: bool = False,
+               apply_staged_id: int | None = None) -> dict:
     """Resolve a manifest prefix to its live view via _apply_entry,
     dropping tombstones. ``skip_rewrites`` leaves layout-only commits
     (operation="rewrite") unapplied — the LOGICAL view that
     changed_partitions diffs. ``with_src=True`` returns
     ``{k: (rel, src_id)}`` instead of ``{k: rel}`` (see
-    :func:`_apply_entry`)."""
+    :func:`_apply_entry`). ``apply_staged_id`` force-applies the
+    staged entry with that id — the write-audit-publish AUDIT view,
+    produced only for an EXPLICIT pin of the staged snapshot (the
+    latest live view never includes unpublished staged data)."""
     live: dict[str, tuple] = {}
     for s in snaps:
         if skip_rewrites and s.get("operation") == "rewrite":
+            continue
+        if s.get("staged") and s["id"] == apply_staged_id:
+            live = _apply_entry(live, {**s, "staged": False})
             continue
         live = _apply_entry(live, s)
     live = {k: v for k, v in live.items() if v[0] is not None}
@@ -981,7 +1004,8 @@ class VersionedTable:
                drop_partitions: list | None = None,
                operation: str = "write",
                stats_cols: list[str] | None = None,
-               bloom_cols: list[str] | None = None) -> int:
+               bloom_cols: list[str] | None = None,
+               staged: bool = False) -> int:
         """Write ``df`` as a new snapshot. With ``partition_col``,
         default semantics are Iceberg DYNAMIC overwrite: partitions
         PRESENT in ``df`` are replaced, absent ones carry over from the
@@ -1031,7 +1055,20 @@ class VersionedTable:
         requiring range clustering. Unlike the footer harvest this
         reads the named columns back (one column-pruned pass over the
         files this commit just wrote — opt-in for that reason);
-        explicitly naming a non-string/integer column raises."""
+        explicitly naming a non-string/integer column raises.
+
+        ``staged=True`` is the WRITE step of write-audit-publish
+        (Iceberg WAP — ``spark.wap.id`` staged commits): the data is
+        written and the snapshot recorded, but the LIVE view never
+        includes it — ``read()`` and every maintenance/incremental
+        surface behave as if the commit hadn't happened. The staged
+        snapshot is readable ONLY at its own explicit pin
+        (``read(snapshot_id=<returned id>)`` — parent view + the
+        staged changes, the AUDIT view), and enters the table through
+        :meth:`publish`, which cherry-picks its partitions after a
+        conflict check. An abandoned staged snapshot (failed audit) is
+        GC'd by ``expire_snapshots`` like any superseded commit; tag
+        it to keep the quarantined data inspectable past retention."""
         snaps = self.snapshots()
         if snaps and snaps[0]["partition_col"] != partition_col:
             raise ValueError(
@@ -1205,6 +1242,8 @@ class VersionedTable:
                      "operation": operation,
                      "partition_col": partition_col,
                      "replace_all": bool(replace_all), "parts": parts}
+            if staged:
+                entry["staged"] = True
             if schema_dir is not None:
                 entry["schema_dir"] = schema_dir
             name_to_id = ({c["name"]: c["id"]
@@ -1222,6 +1261,77 @@ class VersionedTable:
                     # rename keeps skipping alive (names are display)
                     entry[ikey] = [name_to_id[n] for n in prop
                                    if n in name_to_id]
+            snaps.append(entry)
+            self._write_manifest(snaps)
+        return sid
+
+    def publish(self, staged_id: int, note: str = "",
+                force: bool = False) -> int:
+        """The PUBLISH step of write-audit-publish: cherry-pick a
+        staged snapshot's changes into the live view (Iceberg's
+        ``cherrypick_snapshot``). Appends one METADATA-ONLY manifest
+        entry referencing the staged commit's data directories — no
+        data file is read, rewritten, or moved, so publish is O(1)
+        however large the audited drop.
+
+        Conflict check (Iceberg cherry-pick validation): every
+        partition the staged commit writes or tombstones must be
+        UNCHANGED between stage time and publish time, and no
+        merge-on-read delete recorded since may touch it — otherwise
+        publishing would silently clobber work the audit never saw;
+        such a publish raises unless ``force=True`` (the caller
+        asserting the staged data should win). A staged replace_all /
+        unpartitioned commit conflicts with ANY intervening change.
+
+        Idempotent: publishing an already-published staged id returns
+        the existing publish snapshot's id (crash-replay safe — the
+        ingest audit gate re-runs publish after a crash between
+        publish and its done marker)."""
+        with _ManifestLock(self.root):
+            snaps = self.snapshots()
+            src = next((s for s in snaps if s["id"] == staged_id), None)
+            if src is None:
+                raise ValueError(
+                    f"unknown snapshot {staged_id} in {self.root} "
+                    "(expired staged snapshots cannot be published)")
+            if not src.get("staged"):
+                raise ValueError(
+                    f"snapshot {staged_id} in {self.root} is not a "
+                    "staged commit")
+            for s in snaps:
+                if (s.get("operation") == "publish"
+                        and s.get("source") == staged_id):
+                    return s["id"]
+            idx = snaps.index(src)
+            then = _fold_live(snaps[:idx])
+            now = _fold_live(snaps)
+            if src["partition_col"] is None or src.get("replace_all"):
+                touched = set(then) | set(now)
+            else:
+                touched = set(src["parts"])
+            conflicts = sorted(k for k in touched
+                               if then.get(k) != now.get(k))
+            for d in snaps:
+                if (d.get("operation") == "row_delete"
+                        and d["id"] > staged_id):
+                    aff = d.get("affected")
+                    hit = (touched if aff is None
+                           else touched & set(aff))
+                    conflicts.extend(f"{k} (row_delete {d['id']})"
+                                     for k in sorted(hit))
+            if conflicts and not force:
+                raise ValueError(
+                    f"cannot publish staged snapshot {staged_id}: "
+                    f"partitions changed since it was staged — "
+                    f"{conflicts}; re-stage against the current view "
+                    "or pass force=True to clobber")
+            sid = snaps[-1]["id"] + 1
+            entry = {"id": sid, "ts": time.time(),
+                     "note": note or f"publish staged {staged_id}",
+                     "operation": "publish", "source": staged_id,
+                     "partition_col": src["partition_col"],
+                     "replace_all": bool(src.get("replace_all")),
+                     "parts": dict(src["parts"])}
             snaps.append(entry)
             self._write_manifest(snaps)
         return sid
@@ -1741,8 +1851,10 @@ class VersionedTable:
         # rows, and must not read as a data rewrite to consumers
         l0 = ({} if from_snapshot == 0
               else self._resolve(from_snapshot, None,
-                                 skip_rewrites=True)[0])
-        l1, _ = self._resolve(to, None, skip_rewrites=True)
+                                 skip_rewrites=True,
+                                 apply_staged=False)[0])
+        l1, _ = self._resolve(to, None, skip_rewrites=True,
+                              apply_staged=False)
         appended = {k for k in l1 if k not in l0}
         rewritten = {k for k in l1 if k in l0 and l1[k] != l0[k]}
         # a merge-on-read delete in range changed rows WITHOUT moving
@@ -2071,7 +2183,8 @@ class VersionedTable:
     def _resolve(self, snapshot_id: int | None,
                  partitions: list | None,
                  skip_rewrites: bool = False,
-                 with_src: bool = False) -> tuple[dict, dict]:
+                 with_src: bool = False,
+                 apply_staged: bool = True) -> tuple[dict, dict]:
         """``skip_rewrites=True`` resolves the LOGICAL view: layout-only
         commits (operation="rewrite") are not applied, so each partition
         maps to the dir of its last DATA commit — the spelling
@@ -2081,7 +2194,10 @@ class VersionedTable:
         resolved state at that id, and both sides of any valid diff
         start at or after it.) ``with_src=True`` maps each partition to
         ``(rel, src_id)`` — the establishing commit id that scopes
-        merge-on-read row deletes."""
+        merge-on-read row deletes. ``apply_staged=False`` suppresses
+        the staged-pin audit view (below) — the lineage-diff callers
+        (changed_partitions) resolve ids NUMERICALLY and must see the
+        published lineage only, however the endpoint id was minted."""
         snaps = self.snapshots()
         if snapshot_id is not None:
             if snaps and snapshot_id > snaps[-1]["id"]:
@@ -2105,8 +2221,15 @@ class VersionedTable:
             raise ValueError(
                 f"no snapshot <= {snapshot_id!r} in {self.root}")
         meta = snaps[-1]
+        # an EXPLICIT pin of a staged snapshot's own id resolves the
+        # AUDIT view (parent + the staged changes — Iceberg WAP: a
+        # full snapshot the table ref never points at); latest-view
+        # resolution (snapshot_id=None) never applies unpublished
+        # staged data
         live = _fold_live(snaps, skip_rewrites=skip_rewrites,
-                          with_src=with_src)
+                          with_src=with_src,
+                          apply_staged_id=(snapshot_id if apply_staged
+                                           else None))
         if partitions is not None:
             # match the on-disk spelling AND its percent-unescaped form
             # (Spark Hive-escapes special chars in partition dirs), with
@@ -2174,6 +2297,11 @@ class VersionedTable:
     def _referenced(snaps: list[dict]) -> set[str]:
         rel = {r for s in snaps
                for r in s["parts"].values() if r is not None}
+        # a compacted staged entry's PARENT view (base_parts) is what
+        # later survivors fold from — its dirs are live references too
+        rel |= {r for s in snaps
+                for r in s.get("base_parts", {}).values()
+                if r is not None}
         rel |= {s["schema_dir"] for s in snaps if s.get("schema_dir")}
         return rel
 
@@ -2223,14 +2351,43 @@ class VersionedTable:
                              # data would stop being filtered
                              "part_src": {k: v[1]
                                           for k, v in live_src.items()}}
+                if s.get("staged"):
+                    # a TAGGED staged snapshot surviving expiry (a kept
+                    # quarantined audit): _resolve at its own id gave
+                    # the AUDIT view (parent + staged changes), which
+                    # is what its pin must keep reading — but the
+                    # entry must STAY staged so the audit data never
+                    # leaks into later live folds, and those folds
+                    # need the truncated prefix's PARENT view as their
+                    # base (later survivors relied on it carrying
+                    # over) — recorded separately as base_parts. A
+                    # compacted staged entry can no longer be
+                    # published (its parts are the whole resolved
+                    # audit view; the publish conflict check rejects
+                    # it unless forced).
+                    compacted["staged"] = True
+                    parent_src = _fold_live(
+                        [e for e in snaps if e["id"] <= s["id"]],
+                        with_src=True)
+                    compacted["base_parts"] = {
+                        k: v[0] for k, v in parent_src.items()}
+                    compacted["base_part_src"] = {
+                        k: v[1] for k, v in parent_src.items()}
+                    # record carry applicability over BOTH views'
+                    # (partition, src) pairs — a staged overlay's
+                    # newer src must not mask the parent view's older
+                    # one (the live lineage still reads that data)
+                    carry_items = (list(live_src.items())
+                                   + list(parent_src.items()))
+                else:
+                    carry_items = list(live_src.items())
                 # carry the row-delete records still applicable to this
                 # view (a truncated row_delete line must not lose its
                 # effect); fully-applied records drop out here, which
                 # is what releases drop_column's conservative guard
                 pend = [d for d in self._deletes_upto(s["id"])
                         if any(self._delete_applies(d, k, src)
-                               for k, (_rel, src)
-                               in live_src.items())]
+                               for k, (_rel, src) in carry_items)]
                 if pend:
                     compacted["row_deletes"] = pend
                 # the stats/bloom properties must survive history

@@ -68,6 +68,7 @@ def run_streaming_ingest(
     recrawl: str = "append",
     stats_cols: tuple[str, ...] | None = ("url",),
     stats_bloom_cols: tuple[str, ...] | None = ("url",),
+    audit=None,
 ) -> dict:
     """Drain every unprocessed page file under ``pages_dir`` into the
     versioned results table at ``out_dir`` (see module docstring for the
@@ -85,6 +86,14 @@ def run_streaming_ingest(
     ``VersionedTable.merge_into`` (a replayed batch re-merges the same
     winners onto keys its crashed attempt wrote — identical values, so
     the at-least-once replay still converges byte-identically).
+
+    ``audit`` (write-audit-publish, ``recrawl="append"`` only — see
+    ``commit_drop_results``): each micro-batch commits STAGED, the
+    audit sees exactly the rows the published table would gain, and a
+    falsy return raises out of foreachBatch — the query stops with the
+    quarantined snapshot id in the error, the batch is NOT marked
+    done, and a restart replays it (re-stage, re-audit); until the
+    audit passes, live readers never see the batch.
     """
     from ocr_spark.functions.bucketing import SKEW_FACTOR, hot_hosts
     from ocr_spark.operators.dedup import dedup_incremental_vs_hashes
@@ -130,7 +139,8 @@ def run_streaming_ingest(
             sid = commit_drop_results(vt, out_cols, recrawl,
                                       f"stream batch {batch_id}",
                                       stats_cols=stats_cols,
-                                      bloom_cols=stats_bloom_cols)
+                                      bloom_cols=stats_bloom_cols,
+                                      audit=audit)
             io.append(lineage_of(results, attempt, f"stream:{sid}"),
                       "lineage")
             io.append(metrics_of(results, attempt, f"stream:{sid}"),
