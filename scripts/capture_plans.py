@@ -245,6 +245,20 @@ CHECKS = {
         "hot-host skew stats come from the STAGED scan (url column), "
         "never a re-run of the dedup subtree (the r4 capture caught "
         "exactly that and run_ingest_job now passes hot= explicitly)."),
+    "mor_pending_delete_scan": (
+        "VersionedTable.read() with ONE PENDING merge-on-read delete "
+        "(metadata-only takedown, not yet applied): a Union of exactly "
+        "TWO whole-stage-codegen FileScans — the unaffected partitions' "
+        "scan runs UNFILTERED (their stats proved no row can match at "
+        "delete time, or their data postdates the delete), and only the "
+        "affected partitions' scan pays one codegen'd "
+        "Filter NOT(pred <=> true). No Exchange is added and no data "
+        "file was rewritten. At 100 TB: scan-group count is bounded by "
+        "the number of PENDING deletes (a handful between maintenance "
+        "runs), never by partition count, so a takedown costs one "
+        "manifest line at delete time and one trivial residual filter "
+        "over the bounded affected subset at read time — until "
+        "apply_deletes bakes it in and even that filter disappears."),
     "dedup_components_star_round": (
         "ONE large-star/small-star round (the per-iteration unit of the "
         "registered dedup_cluster_components query): state is the EDGE "
@@ -407,6 +421,35 @@ def main() -> None:
             keys = (vt.read().select("url").limit(50).distinct())
             df = (vt.read().join(keys, ["url"], "semi")
                   .select("drop_id").distinct())
+        elif name == "mor_pending_delete_scan":
+            from pyspark.sql import functions as F
+            from ocr_spark.sources.io import VersionedTable
+            vt = VersionedTable(spark,
+                                os.path.join(REPO, "BENCH",
+                                             "_plans_vtmor"))
+            if not vt.snapshots():
+                # url-range-clustered partitions (each drop a disjoint
+                # url range) so the delete's stats probe bounds its
+                # affected set to ONE partition of eight
+                base = (spark.range(0, 20_000)
+                        .select(F.format_string("u%07d", F.col("id"))
+                                .alias("url"),
+                                F.floor(F.col("id") * 8 / 20_000)
+                                .cast("int").alias("drop_id"),
+                                F.md5(F.col("id").cast("string"))
+                                .alias("payload"))
+                        .repartitionByRange(4, "url")
+                        .sortWithinPartitions("url"))
+                vt.commit(base, "drop_id", stats_cols=["url"])
+                vt.delete_where([("url", "==", "u0002500")],
+                                mode="merge_on_read")
+            dels = vt._deletes_upto(None)
+            aff = dels[-1].get("affected") or []
+            extra_note[name] = (
+                f"1 pending merge-on-read delete, affected {len(aff)} "
+                f"of 8 partitions (stats-bounded at delete time) — the "
+                f"other {8 - len(aff)} partitions scan UNFILTERED")
+            df = vt.read()
         elif name == "dedup_components_star_round":
             # The registered dedup_cluster_components query is iterative
             # (eager checkpoints between rounds), so its final plan is a

@@ -42,16 +42,20 @@ def test_versioned_table_random_walk_matches_model(spark, tmp_path, seed):
     vt = VersionedTable(spark, str(tmp_path / f"t{seed}"))
     model: list[tuple] = []          # latest-view row multiset
     pins: dict[int, list] = {}       # snapshot id -> expected rows
+    staged_pending: dict[int, list] = {}   # staged id -> its rows
+    audit_expect: dict[int, list] = {}     # staged id -> audit view
 
     def fresh_rows(n):
         return [(rnd.randint(1, 4), f"u{rnd.randint(0, 9)}",
                  rnd.randint(0, 99)) for _ in range(n)]
 
     # op 0 is always a commit so every later op has a table to act on
-    for step in range(16):
+    for step in range(18):
         op = "commit" if step == 0 else rnd.choice(
             ["commit", "commit", "delete", "merge", "rewrite", "expire",
-             "apply"])
+             "apply", "stage", "publish"])
+        if op == "publish" and not staged_pending:
+            op = "commit"
         if op == "commit":
             rows = fresh_rows(rnd.randint(1, 5))
             sid = vt.commit(_df(spark, rows), "drop_id",
@@ -78,6 +82,33 @@ def test_versioned_table_random_walk_matches_model(spark, tmp_path, seed):
             model = [r for r in model if not r[2] < cut]
         elif op == "apply":
             sid, _ = vt.apply_deletes()      # logical no-op
+        elif op == "stage":
+            # write-audit-publish: the staged commit must change
+            # NOTHING observable (the generic post-op checks below),
+            # while its own pin reads the frozen audit view — live at
+            # stage time with the staged partitions replaced
+            rows = fresh_rows(rnd.randint(1, 4))
+            aid = vt.commit(_df(spark, rows), "drop_id",
+                            note=f"staged {step}", staged=True)
+            staged_pending[aid] = rows
+            parts = {r[0] for r in rows}
+            audit_expect[aid] = sorted(
+                [r for r in model if r[0] not in parts] + rows)
+            sid = None   # never pin a staged id against the live model
+        elif op == "publish":
+            pick = rnd.choice(sorted(staged_pending))
+            rows = staged_pending.pop(pick)
+            try:
+                sid = vt.publish(pick)
+            except ValueError:
+                # conflicted (a later op changed a staged partition) or
+                # compacted — the quarantine is simply abandoned; live
+                # must be untouched (generic checks below)
+                audit_expect.pop(pick, None)
+                sid = None
+            else:
+                parts = {r[0] for r in rows}
+                model = [r for r in model if r[0] not in parts] + rows
         elif op == "merge":
             # unique urls in the source (MERGE cardinality contract)
             srcs = {}
@@ -96,6 +127,15 @@ def test_versioned_table_random_walk_matches_model(spark, tmp_path, seed):
             oldest = vt.snapshots()[0]["id"]
             for old in [p for p in pins if p < oldest]:
                 pins.pop(old)
+            # truncated staged snapshots are gone (quarantine GC'd);
+            # a staged entry SURVIVING as the compacted base must keep
+            # reading its audit view, so it stays checked
+            alive = {s["id"] for s in vt.snapshots()}
+            for old in [a for a in staged_pending if a not in alive]:
+                staged_pending.pop(old)
+                audit_expect.pop(old, None)
+            for old in [a for a in audit_expect if a not in alive]:
+                audit_expect.pop(old)
             sid = None
 
         assert _read(vt) == sorted(model), f"seed {seed} step {step} {op}"
@@ -114,6 +154,13 @@ def test_versioned_table_random_walk_matches_model(spark, tmp_path, seed):
             assert _read(vt, snapshot_id=pid) == expected, (
                 f"seed {seed} step {step}: pinned snapshot {pid} drifted "
                 f"after {op}")
+        # every surviving staged snapshot's AUDIT view is frozen at
+        # stage time — byte-stable under arbitrary later ops, published
+        # or not, including survival as the expiry-compacted base
+        for aid, expected in audit_expect.items():
+            assert _read(vt, snapshot_id=aid) == expected, (
+                f"seed {seed} step {step}: staged audit view {aid} "
+                f"drifted after {op}")
 
     # the walk must have exercised time travel at least once
     assert pins
