@@ -1922,6 +1922,125 @@ class VersionedTable:
         return self.read(snapshot_id=to_snapshot,
                          partitions=ch["appended"], where=where)
 
+    def read_changes(self, from_snapshot: int,
+                     to_snapshot: int | None = None,
+                     change_col: str = "_change_type") -> DataFrame:
+        """CDC changelog scan (Iceberg's ``create_changelog_view`` /
+        Delta CDF analog): the NET row-level changes between the table
+        at ``from_snapshot`` and at ``to_snapshot`` (default latest),
+        as the table's columns plus ``change_col`` ∈ {"insert",
+        "delete"} — an update is a delete+insert pair, per the Iceberg
+        changelog convention. This is the downstream consumer's answer
+        when :meth:`read_incremental` raises: under a ``merge_latest``
+        recrawl or a takedown, "what changed since snapshot k" is not
+        append-only, and CDC returns exactly the retractions and
+        additions needed to reconcile.
+
+        Cost model (the 100 TB property): the partition-grain lineage
+        diff (:meth:`changed_partitions`, driver-side manifest only)
+        bounds ALL data work to the changed partitions — partitions
+        APPENDED in range are emitted as inserts from one pruned scan
+        (no join, no shuffle beyond the read), DROPPED partitions as
+        deletes from one pruned scan at the ``from`` pin, and only
+        partitions REWRITTEN in range (a recrawl replace, a takedown's
+        stats/bloom-bounded affected set) pay a row-level multiset
+        diff: two pruned scans + ``exceptAll`` each way (one hash
+        shuffle over those partitions' rows, never the corpus). A
+        range containing only layout commits (compaction,
+        ``apply_deletes``) returns zero changes without reading any
+        data. Merge-on-read deletes pending at either endpoint are
+        applied by the endpoint reads themselves, so a metadata-only
+        takedown surfaces here as delete rows.
+
+        Both endpoints resolve on the PUBLISHED lineage: a staged
+        (write-audit-publish) snapshot id is rejected — audit it at
+        its own pin; publish it to diff it. Schema evolution across
+        the range is fine (both pins project through the CURRENT
+        table-level schema, the Iceberg rule); pre-registry commits
+        that changed the column set via mergeSchema are rejected with
+        a pointer to the evolution API. ``exceptAll`` cannot compare
+        map-typed columns — only raised when a row diff is actually
+        needed (ranges with no rewritten partitions still work)."""
+        from pyspark.sql import functions as F
+
+        snaps = self.snapshots()
+        by_id = {s["id"]: s for s in snaps}
+        for label, sid in (("from_snapshot", from_snapshot),
+                           ("to_snapshot", to_snapshot)):
+            if sid and by_id.get(sid, {}).get("staged"):
+                raise ValueError(
+                    f"read_changes {label}={sid} is a staged "
+                    f"(write-audit-publish) snapshot — not on the "
+                    f"published lineage. Audit it via "
+                    f"read(snapshot_id={sid}); publish it to diff it.")
+        if change_col in set(self.read(snapshot_id=to_snapshot or None)
+                             .columns):
+            raise ValueError(
+                f"change_col {change_col!r} collides with a table "
+                f"column — pass a different change_col")
+
+        def _tag(df: DataFrame, kind: str) -> DataFrame:
+            return df.withColumn(change_col, F.lit(kind))
+
+        pcol = snaps[0]["partition_col"] if snaps else None
+        if pcol is None:
+            # unpartitioned: every commit replaces the whole table, so
+            # the diff has no partition grain to exploit
+            new = self.read(snapshot_id=to_snapshot)
+            old = (new.where(F.lit(False)) if from_snapshot == 0
+                   else self.read(snapshot_id=from_snapshot))
+            old = self._diff_aligned(old, new, row_diff=True)
+            return _tag(new.exceptAll(old), "insert").unionByName(
+                _tag(old.exceptAll(new), "delete"))
+
+        ch = self.changed_partitions(from_snapshot, to_snapshot)
+        base = (self.read(snapshot_id=to_snapshot or None)
+                .where(F.lit(False)))
+        out = _tag(base, "insert")
+        if ch["appended"]:
+            out = out.unionByName(_tag(
+                self.read(snapshot_id=to_snapshot,
+                          partitions=ch["appended"]), "insert"))
+        if ch["dropped"]:
+            out = out.unionByName(_tag(self._diff_aligned(
+                self.read(snapshot_id=from_snapshot,
+                          partitions=ch["dropped"]), base), "delete"))
+        if ch["rewritten"]:
+            new = self.read(snapshot_id=to_snapshot,
+                            partitions=ch["rewritten"])
+            old = self._diff_aligned(
+                self.read(snapshot_id=from_snapshot,
+                          partitions=ch["rewritten"]), new,
+                row_diff=True)
+            out = (out.unionByName(_tag(new.exceptAll(old), "insert"))
+                      .unionByName(_tag(old.exceptAll(new), "delete")))
+        return out
+
+    def _diff_aligned(self, old: DataFrame, new: DataFrame,
+                      row_diff: bool = False) -> DataFrame:
+        """Align ``old`` to ``new``'s column ORDER for the set-diff
+        operators (both pins already show the current logical schema;
+        only pre-registry mergeSchema drift can change the SET — a
+        documented artifact the evolution API supersedes).
+        ``row_diff=True`` additionally rejects map-typed columns,
+        which ``exceptAll`` cannot compare — checked only where a row
+        diff is actually about to run."""
+        from pyspark.sql.types import MapType
+        if set(old.columns) != set(new.columns):
+            raise ValueError(
+                f"read_changes across a pre-registry column-set change "
+                f"({sorted(old.columns)} vs {sorted(new.columns)}): "
+                f"plain-commit mergeSchema drift has no per-file id "
+                f"mapping to align — use the schema-evolution API "
+                f"(add_column/drop_column) for tracked changes")
+        if row_diff and any(isinstance(f.dataType, MapType)
+                            for f in new.schema.fields):
+            raise ValueError(
+                "read_changes needs a row-level diff over rewritten "
+                "partitions, and Spark's exceptAll cannot compare "
+                "map-typed columns — cast maps to sorted arrays first")
+        return old.select(*new.columns)
+
     def merge_into(self, source: DataFrame, key_cols: list[str],
                    note: str = "") -> tuple[int | None, dict]:
         """Keyed UPSERT (Iceberg ``MERGE INTO … WHEN MATCHED THEN

@@ -259,6 +259,19 @@ CHECKS = {
         "manifest line at delete time and one trivial residual filter "
         "over the bounded affected subset at read time — until "
         "apply_deletes bakes it in and even that filter disappears."),
+    "cdc_changes_scan": (
+        "VersionedTable.read_changes(k) after one drop appended and one "
+        "recrawl-merge rewrote a partition: a Union whose FileScans "
+        "touch ONLY the changed partitions' directories — the appended "
+        "partition feeds the insert branch scan-only (no join, no "
+        "Exchange beyond the read), and the one REWRITTEN partition "
+        "pays the row-level multiset diff (exceptAll each way: "
+        "HashAggregate shuffles over that partition's rows alone). "
+        "Unchanged partitions appear NOWHERE in the plan. At 100 TB "
+        "the changelog for a daily drop costs the drop's own rows plus "
+        "the recrawl-affected partitions — never a corpus scan, which "
+        "is what lets a downstream tokenize/pack consumer reconcile a "
+        "merge_latest recrawl instead of rebuilding."),
     "dedup_components_star_round": (
         "ONE large-star/small-star round (the per-iteration unit of the "
         "registered dedup_cluster_components query): state is the EDGE "
@@ -450,6 +463,36 @@ def main() -> None:
                 f"of 8 partitions (stats-bounded at delete time) — the "
                 f"other {8 - len(aff)} partitions scan UNFILTERED")
             df = vt.read()
+        elif name == "cdc_changes_scan":
+            from pyspark.sql import functions as F
+            from ocr_spark.sources.io import VersionedTable
+            vt = VersionedTable(spark,
+                                os.path.join(REPO, "BENCH",
+                                             "_plans_vtcdc"))
+            if not vt.snapshots():
+                base = (spark.range(0, 16_000)
+                        .select(F.format_string("u%07d", F.col("id"))
+                                .alias("url"),
+                                F.pmod(F.xxhash64("url"), F.lit(8))
+                                .cast("int").alias("drop_id"),
+                                F.md5(F.col("id").cast("string"))
+                                .alias("payload")))
+                vt.commit(base, "drop_id")
+                # one appended partition + one recrawl-merge rewriting
+                # a single existing partition
+                vt.commit(base.limit(500)
+                          .withColumn("drop_id", F.lit(8)), "drop_id")
+                src = (vt.read(partitions=[3]).limit(40)
+                       .withColumn("payload", F.lit("recrawled")))
+                vt.merge_into(src, ["url"])
+            ch = vt.read_changes(1)
+            touched = {f.split("/_pv=")[-1].split("/")[0]
+                       for f in ch.inputFiles() if "/_pv=" in f}
+            extra_note[name] = (
+                f"partitions scanned: {sorted(touched)} of 9 live — "
+                f"the appended drop (8), the rewritten partition (3) "
+                f"at both endpoints, and nothing else")
+            df = ch
         elif name == "dedup_components_star_round":
             # The registered dedup_cluster_components query is iterative
             # (eager checkpoints between rounds), so its final plan is a

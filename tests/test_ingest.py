@@ -187,6 +187,14 @@ def test_ingest_merge_latest_recrawl(spark, tmp_path):
     inc = {r["url"] for r in
            vt.read_incremental(1, on_nonappend="skip").collect()}
     assert inc == {u1, u3}
+    # ...and read_changes is the reconciliation path read_incremental
+    # refuses: the recrawl is a delete+insert pair, the new url an
+    # insert, and the untouched u2 capture does not appear at all
+    cdc = {(r["url"], r["_change_type"]): r["extracted_text"]
+           for r in vt.read_changes(1).collect()}
+    assert set(cdc) == {(u1, "delete"), (u1, "insert"), (u3, "insert")}
+    assert "essay one " in cdc[(u1, "delete")]
+    assert "essay one-v2b " in cdc[(u1, "insert")]
     # the all-dup drop committed NO snapshot; its marker says so
     assert [s["id"] for s in vt.snapshots()] == [1, 2]
     with open(os.path.join(out_a, "_checkpoints", "drop-day3.done")) as f:

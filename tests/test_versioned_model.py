@@ -44,6 +44,7 @@ def test_versioned_table_random_walk_matches_model(spark, tmp_path, seed):
     pins: dict[int, list] = {}       # snapshot id -> expected rows
     staged_pending: dict[int, list] = {}   # staged id -> its rows
     audit_expect: dict[int, list] = {}     # staged id -> audit view
+    model_at: dict[int, list] = {}   # published id -> model rows then
 
     def fresh_rows(n):
         return [(rnd.randint(1, 4), f"u{rnd.randint(0, 9)}",
@@ -136,9 +137,29 @@ def test_versioned_table_random_walk_matches_model(spark, tmp_path, seed):
                 audit_expect.pop(old, None)
             for old in [a for a in audit_expect if a not in alive]:
                 audit_expect.pop(old)
+            for old in [m for m in model_at if m not in alive]:
+                model_at.pop(old)
             sid = None
+        if sid is not None:
+            model_at[sid] = list(model)
 
         assert _read(vt) == sorted(model), f"seed {seed} step {step} {op}"
+        # CDC changelog between a seeded pair of surviving published
+        # ids (0 = the empty pre-table) must equal the model multiset
+        # diff — insert/delete rows, updates as delete+insert pairs
+        endpoints = [0] + sorted(model_at)
+        i, j = sorted((rnd.choice(endpoints), rnd.choice(endpoints)))
+        from collections import Counter
+        ci = Counter(model_at[i]) if i else Counter()
+        cj = Counter(model_at[j]) if j else Counter()
+        expect = sorted(
+            [(r, "insert") for r in (cj - ci).elements()]
+            + [(r, "delete") for r in (ci - cj).elements()])
+        got = sorted(((r.drop_id, r.url, r.score), r._change_type)
+                     for r in vt.read_changes(i, j).collect())
+        assert got == expect, (
+            f"seed {seed} step {step} {op}: read_changes({i},{j}) "
+            f"diverged from the model diff")
         # seeded file-skipped read vs the model filtered in Python
         lo = rnd.randint(0, 99)
         hi = rnd.randint(lo, 99)
