@@ -256,6 +256,54 @@ def run_default() -> None:
     vm.apply_deletes()
     vm.expire_snapshots(keep_last=1)
 
+    # Drop-incremental near-dup segment: the per-drop cost of the
+    # neardup= ingest gate, measured against a one-time persisted
+    # MinHash index of half the corpus run THROUGH the gate shape
+    # (within-dedup first — the production contract: the index holds
+    # only KEPT docs, so its band buckets stay small by construction;
+    # a RAW index has template-cluster hot buckets and a quadratic
+    # probe — measured 56 s vs <2 s on this corpus). The other half
+    # plays the incoming drop. Reported apart: the drop's own
+    # signature cost, the within-drop dedup (identical-sig collapse +
+    # capped band join), and the index PROBE (the only part that sees
+    # the corpus — narrow index scan + broadcast band join).
+    from ocr_spark.operators import neardup as ND
+    vn = VersionedTable(spark, corpus + "_vtnd_kept")
+    half = F.pmod(F.xxhash64("url"), F.lit(2))
+    if not vn.snapshots():
+        rows0 = ND.minhash_index_rows(
+            extract_pages(pages, n_buckets=16, salt_n=8)
+            .select("url", "extracted_text").where(half == 0),
+            "url", "extracted_text").persist()
+        vn.commit(rows0.join(ND.neardup_within(rows0, "url", 0.8),
+                             "url", "left_anti"), None)
+        rows0.unpersist()
+    batch_src = (extract_pages(pages, n_buckets=16, salt_n=8)
+                 .select("url", "extracted_text").where(half == 1))
+    nd: dict = {}
+    t0 = time.perf_counter()
+    batch_rows = ND.minhash_index_rows(
+        batch_src, "url", "extracted_text").persist()
+    nd["batch_docs"] = batch_rows.count()
+    nd["batch_signature_s"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    within = ND.neardup_within(batch_rows, "url", 0.8).persist()
+    nd["within_dropped"] = within.count()
+    nd["within_s"] = round(time.perf_counter() - t0, 3)
+    survivors = batch_rows.join(within, "url", "left_anti").persist()
+    survivors.count()
+    index = vn.read()
+    runs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        nd["matched"] = ND.neardup_matches(
+            survivors, index, "url", 0.8).count()
+        runs.append(time.perf_counter() - t0)
+    nd["probe_s"] = round(min(runs), 3)
+    spreads.append(max(runs) / min(runs))
+    for d in (batch_rows, within, survivors):
+        d.unpersist()
+
     total = round(sum(v for k, v in timings.items()
                       if k != "extract_docs_per_sec"), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -267,6 +315,7 @@ def run_default() -> None:
         "frozen": frozen,
         "filestats": filestats,
         "mor_takedown": mor,
+        "neardup": nd,
         # host-noise evidence: max/min ratio of the two timed runs per
         # query — median ~1 means a quiet round, a large max means some
         # query's min may still sit in a noise spike

@@ -47,15 +47,25 @@ def exact_dedup_survivors(df: DataFrame, id_col: str, text_col: str) -> DataFram
 
 
 def word_shingles(text: Column, k: int = DEFAULT_SHINGLE_K) -> Column:
-    """Distinct k-word shingles of a text column (array<string>)."""
+    """Distinct k-word shingles of a text column (array<string>).
+
+    Built by zipping k length-aligned SLICES of the word array
+    (zip_with folds element-wise over arrays evaluated once per row —
+    O(k·n) per doc), NOT by indexing into the array from inside a
+    ``transform`` lambda: an expression captured by a higher-order
+    lambda is re-evaluated PER ELEMENT, so the obvious
+    ``transform(sequence(1, n-k+1), i -> element_at(split(text), i))``
+    spelling re-splits the whole text for every shingle — quadratic in
+    document length (~80 ms/doc at 1,700 words; invisible on short
+    test docs, ruinous on real web pages)."""
     words = F.split(text, " ", -1)
     n = F.size(words)
-    shingled = F.transform(
-        F.sequence(F.lit(1), n - (k - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(words, i + j) for j in range(k)]),
-    )
-    return F.array_distinct(F.when(n >= k, shingled).otherwise(
+    n_sh = F.greatest(n - (k - 1), F.lit(0))
+    acc = F.slice(words, 1, n_sh)
+    for j in range(1, k):
+        acc = F.zip_with(acc, F.slice(words, j + 1, n_sh),
+                         lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.array_distinct(F.when(n >= k, acc).otherwise(
         F.array(F.concat_ws(" ", words))))
 
 

@@ -360,19 +360,29 @@ def chunk_texts(text: Column, chunk_tokens: int, stride: int) -> Column:
     Pure higher-order array expressions (sequence/filter/transform/
     slice) — no UDF, no shuffle, whole-stage codegen; row width grows by
     ~m/stride copies of the text, the operator's inherent output cost.
+
+    The word array is bound ONCE as a lambda variable (the 1-element
+    outer transform): an expression merely CAPTURED by a higher-order
+    lambda is re-evaluated per element, so slicing a captured
+    ``split(text)`` would re-split the document for every window —
+    quadratic in document length (the word_shingles lesson,
+    operators/dedup.py).
     """
-    ws = words_of(text)
-    m = F.size(ws)
-    starts = (
-        F.when(m == 0, F.array().cast("array<int>"))
-        .when(m <= chunk_tokens, F.array(F.lit(0)))
-        .otherwise(F.concat(
-            F.filter(F.sequence(F.lit(0), m - 1, F.lit(stride)),
-                     lambda s: s + F.lit(chunk_tokens) < m),
-            F.array(m - F.lit(chunk_tokens)))))
-    return F.transform(
-        starts, lambda s: F.array_join(F.slice(ws, s + 1, chunk_tokens),
-                                       " "))
+    def chunks_of(w: Column) -> Column:
+        m = F.size(w)
+        starts = (
+            F.when(m == 0, F.array().cast("array<int>"))
+            .when(m <= chunk_tokens, F.array(F.lit(0)))
+            .otherwise(F.concat(
+                F.filter(F.sequence(F.lit(0), m - 1, F.lit(stride)),
+                         lambda s: s + F.lit(chunk_tokens) < m),
+                F.array(m - F.lit(chunk_tokens)))))
+        return F.transform(
+            starts,
+            lambda s: F.array_join(F.slice(w, s + 1, chunk_tokens), " "))
+
+    return F.element_at(
+        F.transform(F.array(words_of(text)), chunks_of), 1)
 
 
 def chunk_documents(df: DataFrame, id_col: str, text_col: str,

@@ -330,6 +330,56 @@ def _content_key():
     return md5long(F.col("html"))
 
 
+NEARDUP_DEFAULTS = {"threshold": 0.8, "n_hashes": 16, "band_size": 2,
+                    "shingle_k": 3}
+
+
+def apply_neardup_gate(spark: SparkSession, out_dir: str,
+                       out_cols: DataFrame, done_drops: set[str],
+                       cfg: dict) -> tuple[DataFrame, DataFrame, int]:
+    """Drop-incremental NEAR-dup gate (the Bloom history's sibling for
+    near-duplicates — operators/neardup.py): signature the drop's
+    extracted docs, drop within-drop near-dups (greedy lowest-url
+    survives) and docs matching the PERSISTED MinHash index of
+    already-DONE drops, and return ``(kept out_cols, index rows of the
+    kept docs, n_dropped)``. The caller commits the index rows AFTER
+    the results commit (both pre-marker) as a partition-replace
+    snapshot of ``out_dir/neardup_index``, so replay converges.
+
+    Exactly-once: the matching index view reads ONLY partitions of
+    drops with a done marker — never disk state — so a replayed drop
+    whose crashed attempt already committed its index partition does
+    NOT match itself (the invariant the Bloom history pins; same
+    test shape in test_neardup.py). Per-drop cost: drop-sized
+    signature work + one narrow column-pruned index scan with the
+    drop's band keys broadcast — corpus text is never re-read."""
+    from ocr_spark.operators import neardup as ND
+
+    c = {**NEARDUP_DEFAULTS, **cfg}
+    rows = ND.minhash_index_rows(
+        out_cols, "url", "extracted_text", n_hashes=c["n_hashes"],
+        band_size=c["band_size"], shingle_k=c["shingle_k"]).persist()
+    drop_ids = ND.neardup_within(rows, "url", c["threshold"])
+    ndvt = VersionedTable(spark, os.path.join(out_dir, "neardup_index"))
+    if ndvt.snapshots() and done_drops:
+        index = ndvt.read(partitions=sorted(done_drops)).drop("drop_id")
+        # probe only the WITHIN-survivors: a within-drop dup is
+        # already dropped, so its index verdict is wasted work — and
+        # on a boilerplate-heavy drop the within pass collapses
+        # template clusters first (identical-sig collapse in
+        # neardup_within), so the probe is distinct-docs-sized
+        survivors = rows.join(drop_ids, "url", "left_anti")
+        drop_ids = drop_ids.unionByName(
+            ND.neardup_matches(survivors, index, "url", c["threshold"])
+            .select("url")).distinct()
+    n_dropped = drop_ids.count()
+    if n_dropped == 0:
+        return out_cols, rows, 0
+    kept = out_cols.join(drop_ids, "url", "left_anti")
+    kept_rows = rows.join(drop_ids, "url", "left_anti")
+    return kept, kept_rows, n_dropped
+
+
 def run_ingest_job(
     spark: SparkSession,
     warc_dir: str,
@@ -345,6 +395,7 @@ def run_ingest_job(
     stats_cols: tuple[str, ...] | None = ("url",),
     stats_bloom_cols: tuple[str, ...] | None = ("url",),
     audit=None,
+    neardup: dict | None = None,
 ) -> dict:
     """Process every pending drop under ``warc_dir`` (see module
     docstring for the protocol). Returns a status dict. Read results
@@ -399,6 +450,16 @@ def run_ingest_job(
     url-HASH-bucketed layout the bounds prune nothing for a point
     lookup (every file spans the full url range) while the bloom
     skips every file that cannot hold the url.
+
+    ``neardup`` (dict, keys ``threshold``/``n_hashes``/``band_size``/
+    ``shingle_k``, see NEARDUP_DEFAULTS; ``None`` disables) turns on
+    the drop-incremental NEAR-dup gate: extracted docs that are
+    within-drop near-dups or near-dups of ANY doc in an already-done
+    drop (persisted MinHash index at ``out_dir/neardup_index``) are
+    excluded from the results commit, and the kept docs' signatures
+    append to the index as one partition-replace snapshot per drop —
+    see :func:`apply_neardup_gate` for the exactly-once and scale
+    contracts. Done markers record ``neardup_dropped`` per drop.
 
     ``audit`` (write-audit-publish, ``recrawl="append"`` only — see
     ``commit_drop_results``): a callable ``(DataFrame) -> bool`` run
@@ -468,6 +529,11 @@ def run_ingest_job(
                                 hot=hot_hosts(pages, SKEW_FACTOR)).cache()
         out_cols = (results.drop("extract_us", "input_bytes", "salt")
                     .withColumn("drop_id", F.lit(drop)))
+        nd_rows, nd_dropped = None, 0
+        if neardup is not None:
+            out_cols, nd_rows, nd_dropped = apply_neardup_gate(
+                spark, out_dir, out_cols, manifest.done_drops(),
+                neardup)
         try:
             sid = commit_drop_results(vt, out_cols, recrawl,
                                       f"ingest {run_id} drop {drop}",
@@ -476,6 +542,8 @@ def run_ingest_job(
                                       audit=audit)
         except IngestAuditError as e:
             results.unpersist()
+            if nd_rows is not None:
+                nd_rows.unpersist()
             return {"completed": False, "run_id": run_id,
                     "drops_done": sorted(manifest.done_drops()),
                     "quarantined": {"drop": drop,
@@ -491,12 +559,25 @@ def run_ingest_job(
         (pages.select(_content_key().alias("_h")).distinct()
          .write.mode("overwrite")
          .parquet(os.path.join(hist_root, f"drop={drop}")))
+        if nd_rows is not None:
+            # kept docs' signatures join the index BEFORE the marker
+            # (partition replace — replay converges); the matching view
+            # above read done-marker drops only, so a replayed drop
+            # never matches its own crashed attempt's partition
+            ndvt = VersionedTable(
+                spark, os.path.join(out_dir, "neardup_index"))
+            ndvt.commit(nd_rows.withColumn("drop_id", F.lit(drop)),
+                        "drop_id", note=f"neardup {run_id} drop {drop}")
+            nd_rows.unpersist()
         results.unpersist()
         if fail_after_drops is not None and di + 1 >= fail_after_drops \
                 and fail_point == "pre_mark":
             return {"completed": False, "drops_done":
                     sorted(manifest.done_drops()), "run_id": run_id}
-        manifest.mark_done(drop, {"run_id": run_id, "snapshot_id": sid})
+        info = {"run_id": run_id, "snapshot_id": sid}
+        if neardup is not None:
+            info["neardup_dropped"] = nd_dropped
+        manifest.mark_done(drop, info)
         n_done += 1
         if not keep_staged:
             # the staged table served this drop only; a replay re-stages

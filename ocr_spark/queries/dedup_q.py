@@ -44,16 +44,19 @@ _SIG_CTE = (
     "sig AS (" + _SIG_LONG + ") "
 )
 
-_SIG_SQL = (
-    _SH_CTE + _SIG_CTE +
-    "SELECT doc_id, CAST(seed AS INT) AS seed, minhash FROM sig"
-)
-
 _BANDS_CTE = (
     ", bands AS (SELECT doc_id, CAST(seed // " + str(BAND_SIZE) + " AS INT) "
     "AS band, " +
     sql_md5long("string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)")
     + " AS band_hash FROM sig GROUP BY doc_id, band) "
+)
+
+_SIG_SQL = (
+    _SH_CTE + _SIG_CTE + _BANDS_CTE +
+    "SELECT s.doc_id, CAST(s.seed AS INT) AS seed, s.minhash, "
+    f"CAST(s.seed // {BAND_SIZE} AS INT) AS band, "
+    "b.band_hash FROM sig s JOIN bands b ON s.doc_id = b.doc_id "
+    f"AND s.seed // {BAND_SIZE} = b.band"
 )
 
 
@@ -109,26 +112,72 @@ def dedup_exact(spark, sf):
 
 
 @q("dedup_minhash_signatures", _SIG_SQL,
-   "minhash: shingle -> 16 seeded hash lanes -> per-doc min (values "
-   "verified against oracle)")
+   "minhash: shingle -> 16 seeded hash lanes -> per-doc min, computed "
+   "through the neardup-index (sig, bands) row grain — signature AND "
+   "band-hash values verified against oracle (r4 fold: the persisted "
+   "incremental near-dup index stores exactly these rows)")
 def minhash_sigs(spark, sf):
-    return D.minhash_signatures(load(spark, sf, "documents"),
-                                "doc_id", "text", N_HASHES)
+    # computed through the INDEX-ROW spelling (operators/neardup.py —
+    # the persisted per-doc (sig, bands) grain the drop-incremental
+    # near-dup gate stores), exploded back to the long form + each
+    # lane's band hash: the oracle thereby verifies the index's sig
+    # AND band values, not just the long form
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators import neardup as ND
+    rows = ND.minhash_index_rows(load(spark, sf, "documents"),
+                                 "doc_id", "text", N_HASHES, BAND_SIZE)
+    return (rows.select("doc_id", "bands",
+                        F.posexplode("sig").alias("seed", "minhash"))
+            .withColumn("band",
+                        (F.col("seed") / BAND_SIZE).cast("int"))
+            .select("doc_id", "seed", "minhash", "band",
+                    F.element_at("bands", F.col("band") + 1)
+                    .alias("band_hash")))
 
 
 @q("dedup_minhash_lsh_pairs",
    _SH_CTE + _SIG_CTE + _BANDS_CTE +
-   "SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_bands "
+   ", pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+   "count(*) AS shared_bands "
    "FROM bands a JOIN bands b ON a.band = b.band "
    "AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id "
-   "GROUP BY 1, 2",
-   "LSH: band -> bucket join -> candidate pairs")
+   "GROUP BY 1, 2), "
+   # equal-lane count over the FULL signatures (the near-dup gate's
+   # candidate-confirmation statistic): estimated Jaccard per pair
+   "eq AS (SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, "
+   "count(*) AS n_eq FROM sig sa JOIN sig sb ON sa.seed = sb.seed "
+   "AND sa.minhash = sb.minhash AND sa.doc_id < sb.doc_id "
+   "GROUP BY 1, 2) "
+   "SELECT p.id_a, p.id_b, p.shared_bands, "
+   f"ROUND(coalesce(e.n_eq, 0) / {N_HASHES}.0, 4) AS est_jaccard "
+   "FROM pairs p LEFT JOIN eq e ON p.id_a = e.id_a AND p.id_b = e.id_b",
+   "LSH: band -> bucket join -> candidate pairs + the signature-"
+   "estimated Jaccard each pair confirms against (r4 fold: the "
+   "statistic the drop-incremental near-dup gate thresholds)")
 def minhash_lsh(spark, sf):
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators import neardup as ND
     d = load(spark, sf, "documents")
-    sig = D.minhash_signatures(d, "doc_id", "text", N_HASHES)
+    rows = ND.minhash_index_rows(d, "doc_id", "text",
+                                 N_HASHES, BAND_SIZE)
+    sig = (rows.select("doc_id",
+                       F.posexplode("sig").alias("seed", "minhash")))
     buckets = D.lsh_band_buckets(sig, "doc_id", BAND_SIZE)
-    return (D.lsh_candidate_pairs(buckets, "doc_id")
-            .withColumnRenamed("id_a", "id_a"))
+    pairs = D.lsh_candidate_pairs(buckets, "doc_id")
+    sa = rows.select(F.col("doc_id").alias("id_a"),
+                     F.col("sig").alias("_sa"))
+    sb = rows.select(F.col("doc_id").alias("id_b"),
+                     F.col("sig").alias("_sb"))
+    return (pairs.join(sa, "id_a").join(sb, "id_b")
+            .select("id_a", "id_b", "shared_bands",
+                    F.round(
+                        F.size(F.filter(
+                            F.zip_with(F.col("_sa"), F.col("_sb"),
+                                       lambda x, y: x == y),
+                            lambda e: e)) / F.lit(float(N_HASHES)),
+                        4).alias("est_jaccard")))
 
 
 @q("dedup_simhash",

@@ -69,6 +69,7 @@ def run_streaming_ingest(
     stats_cols: tuple[str, ...] | None = ("url",),
     stats_bloom_cols: tuple[str, ...] | None = ("url",),
     audit=None,
+    neardup: dict | None = None,
 ) -> dict:
     """Drain every unprocessed page file under ``pages_dir`` into the
     versioned results table at ``out_dir`` (see module docstring for the
@@ -94,6 +95,14 @@ def run_streaming_ingest(
     quarantined snapshot id in the error, the batch is NOT marked
     done, and a restart replays it (re-stage, re-audit); until the
     audit passes, live readers never see the batch.
+
+    ``neardup`` mirrors ``run_ingest_job``'s drop-incremental near-dup
+    gate (``apply_neardup_gate`` — the shared unit): per micro-batch,
+    within-batch near-dups and near-dups of already-DONE batches'
+    persisted MinHash index are excluded from the commit, kept docs'
+    signatures join the index pre-marker; a replayed batch never
+    matches its own crashed attempt's index partition because the
+    matching view is done-marker-gated.
     """
     from ocr_spark.functions.bucketing import SKEW_FACTOR, hot_hosts
     from ocr_spark.operators.dedup import dedup_incremental_vs_hashes
@@ -136,6 +145,12 @@ def run_streaming_ingest(
                                     ).cache()
             out_cols = (results.drop("extract_us", "input_bytes", "salt")
                         .withColumn("drop_id", F.lit(drop)))
+            nd_rows, nd_dropped = None, 0
+            if neardup is not None:
+                from ocr_spark.plans.ingest_job import apply_neardup_gate
+                out_cols, nd_rows, nd_dropped = apply_neardup_gate(
+                    spark, out_dir, out_cols, manifest.done_drops(),
+                    neardup)
             sid = commit_drop_results(vt, out_cols, recrawl,
                                       f"stream batch {batch_id}",
                                       stats_cols=stats_cols,
@@ -148,12 +163,22 @@ def run_streaming_ingest(
             (pages.select(_content_key().alias("_h")).distinct()
              .write.mode("overwrite")
              .parquet(os.path.join(hist_root, f"drop={drop}")))
+            if nd_rows is not None:
+                ndvt = VersionedTable(
+                    spark, os.path.join(out_dir, "neardup_index"))
+                ndvt.commit(nd_rows.withColumn("drop_id", F.lit(drop)),
+                            "drop_id",
+                            note=f"neardup stream batch {batch_id}")
+                nd_rows.unpersist()
             results.unpersist()
         finally:
             pages.unpersist()
         if fail_once_pre_mark_at == batch_id and attempt == 1:
             raise InjectedCrash(f"pre-mark crash in batch {batch_id}")
-        manifest.mark_done(drop, {"snapshot_id": sid})
+        info = {"snapshot_id": sid}
+        if neardup is not None:
+            info["neardup_dropped"] = nd_dropped
+        manifest.mark_done(drop, info)
         ran.append(drop)
         if (compact_history_every is not None
                 and len(_history_view_dirs(out_dir,

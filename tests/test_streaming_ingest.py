@@ -190,3 +190,61 @@ def test_streaming_ingest_merge_latest_replay_converges(spark, tmp_path):
     old = {r["url"]: r["extracted_text"]
            for r in vt.read(snapshot_id=1).collect()}
     assert "essay one " in old[u1]
+
+
+_ND_BODY = ("the quick brown fox jumps over the lazy dog while a "
+            "crawler fetches pages from the open web and an extraction "
+            "engine segments boilerplate away from the main content "
+            "blocks before tokenization packing and deduplication feed "
+            "training shards downstream through the pipeline stages")
+
+
+def _nd_row(url: str, body: str) -> dict:
+    html = (f"<html><body><p>{body}</p>"
+            f"<footer>copyright footer</footer></body></html>").encode()
+    return {"url": url, "warc_ts": datetime.datetime(2026, 1, 1),
+            "html": html, "text": None, "lang": "en"}
+
+
+def test_streaming_ingest_neardup_gate_replay_converges(spark, tmp_path):
+    """The neardup= gate on the streaming twin (the shared
+    apply_neardup_gate unit): batch 1 carries a near-dup of a batch-0
+    doc plus a fresh doc; the near-dup never reaches the results
+    table. Crash in the worst-case window of batch 1 — AFTER its
+    neardup-index partition committed, BEFORE the done marker — then
+    restart: the replayed batch must NOT match its own crashed
+    attempt's index rows (done-marker-gated matching view), and the
+    final view is byte-identical to an uninterrupted run's."""
+    stream = str(tmp_path / "stream")
+    u = "https://s.example.com/"
+    _write_file(stream, "f1.parquet",
+                [_nd_row(u + "a", _ND_BODY)], mtime=1_700_000_000)
+    _write_file(stream, "f2.parquet", [
+        _nd_row(u + "a2", _ND_BODY.replace("lazy", "sleepy")),  # near-dup
+        _nd_row(u + "c", ("fresh unrelated document describing "
+                          "watermarks and stateful aggregation with "
+                          "session windows and late data handling in "
+                          "structured streaming pipelines at scale")),
+    ], mtime=1_700_000_100)
+    nd_cfg = {"threshold": 0.7}
+
+    out_a = str(tmp_path / "a")
+    run_streaming_ingest(spark, stream, out_a, str(tmp_path / "ck_a"),
+                         n_buckets=4, neardup=nd_cfg)
+    ref = _latest(spark, out_a)
+    assert [r[0].rsplit("/", 1)[-1] for r in ref] == ["a", "c"]
+
+    out_b = str(tmp_path / "b")
+    ck_b = str(tmp_path / "ck_b")
+    with pytest.raises(Exception, match="pre-mark crash in batch 1"):
+        run_streaming_ingest(spark, stream, out_b, ck_b, n_buckets=4,
+                             neardup=nd_cfg, fail_once_pre_mark_at=1)
+    # the hazard is real: the crashed attempt committed batch 1's
+    # index partition
+    nd = VersionedTable(spark, os.path.join(out_b, "neardup_index"))
+    assert "batch-000001" in {r.drop_id for r in
+                              nd.read().select("drop_id").collect()}
+    st = run_streaming_ingest(spark, stream, out_b, ck_b, n_buckets=4,
+                              neardup=nd_cfg)
+    assert st["batches_run"] == ["batch-000001"]
+    assert _latest(spark, out_b) == ref
