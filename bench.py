@@ -304,6 +304,63 @@ def run_default() -> None:
     for d in (batch_rows, within, survivors):
         d.unpersist()
 
+    # Incremental derived-table segment: the O(changed) vs O(corpus)
+    # win of plans/derived.py, measured on the training-shards job.
+    # One-time cached source table (half the corpus, 8 drop
+    # partitions); per round a FRESH temp derived table pays the full
+    # first build, then one small appended drop syncs incrementally,
+    # then a CoW takedown of one of its urls propagates — the source
+    # is restored (drop + expiry compaction) so every round measures
+    # the same shape. full/incr are directly comparable: identical
+    # transform, watermark-bounded input.
+    import shutil
+    import tempfile
+
+    from ocr_spark.plans.derived import run_shards_job
+    vd = VersionedTable(spark, corpus + "_vtder")
+    dcol = F.pmod(F.xxhash64("url"), F.lit(8)).cast("int")
+    if not vd.snapshots():
+        res = (extract_pages(pages, n_buckets=16, salt_n=8)
+               .select("url", "extracted_text").where(half == 0)
+               .withColumn("drop_id", dcol.cast("string")))
+        vd.commit(res, "drop_id")
+    inc_docs = (extract_pages(pages, n_buckets=16, salt_n=8)
+                .select("url", "extracted_text")
+                # odd half (disjoint from the base table) thinned by an
+                # INDEPENDENT seeded hash — correlating with the shard
+                # bucket hash would collapse the drop into one bucket
+                .where((half == 1) &
+                       (F.pmod(F.xxhash64("url", F.lit(1)),
+                               F.lit(32)) == 0))
+                .withColumn("drop_id", F.lit("inc"))).persist()
+    derived: dict = {"full_docs": vd.read().count(),
+                     "incr_docs": inc_docs.count()}
+    shards_tmp = tempfile.mkdtemp(prefix="bench_shards_")
+    try:
+        t0 = time.perf_counter()
+        run_shards_job(spark, vd.root, shards_tmp, chunk_tokens=256,
+                       n_buckets=16)
+        derived["full_build_s"] = round(time.perf_counter() - t0, 3)
+        vd.commit(inc_docs, "drop_id")
+        t0 = time.perf_counter()
+        r = run_shards_job(spark, vd.root, shards_tmp,
+                           chunk_tokens=256, n_buckets=16)
+        derived["incr_sync_s"] = round(time.perf_counter() - t0, 3)
+        derived["incr_buckets_rewritten"] = len(r["buckets_rewritten"])
+        victim = inc_docs.select("url").orderBy("url").first()[0]
+        vd.delete_where([("url", "==", victim)])
+        t0 = time.perf_counter()
+        r = run_shards_job(spark, vd.root, shards_tmp,
+                           chunk_tokens=256, n_buckets=16)
+        derived["takedown_sync_s"] = round(time.perf_counter() - t0, 3)
+        derived["takedown_keys_deleted"] = r["keys_deleted"]
+    finally:
+        inc_docs.unpersist()
+        shutil.rmtree(shards_tmp, ignore_errors=True)
+        vd.commit(vd.read().where(F.lit(False)), "drop_id",
+                  drop_partitions=["inc"])
+        vd.expire_snapshots(keep_last=1)
+
     total = round(sum(v for k, v in timings.items()
                       if k != "extract_docs_per_sec"), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -316,6 +373,7 @@ def run_default() -> None:
         "filestats": filestats,
         "mor_takedown": mor,
         "neardup": nd,
+        "derived": derived,
         # host-noise evidence: max/min ratio of the two timed runs per
         # query — median ~1 means a quiet round, a large max means some
         # query's min may still sit in a noise spike

@@ -272,6 +272,20 @@ CHECKS = {
         "the recrawl-affected partitions — never a corpus scan, which "
         "is what lets a downstream tokenize/pack consumer reconcile a "
         "merge_latest recrawl instead of rebuilding."),
+    "derived_keyed_reconcile": (
+        "The reconcile frame sync_keyed commits after one drop appended "
+        "to the source (the per-sync unit of run_shards_job, mirrored "
+        "from plans/derived.py): a Union of (a) the AFFECTED derived "
+        "buckets' rows anti-joined against the touched keys and (b) the "
+        "re-derived chunks of the source changelog's inserted rows. "
+        "FileScans touch ONLY the affected buckets' derived dirs plus "
+        "the source's changed partitions — unchanged derived buckets "
+        "and unchanged source partitions appear NOWHERE in the plan, "
+        "so a daily sync of a 100 TB shard table costs the drop's own "
+        "rows plus the touched buckets' rewrite, never a corpus or "
+        "shard-table rescan. The anti-join's key side is the changelog "
+        "keys (drop-sized): broadcast when small, degrading to a hash "
+        "join on a giant drop without breaking the pruning."),
     "dedup_components_star_round": (
         "ONE large-star/small-star round (the per-iteration unit of the "
         "registered dedup_cluster_components query): state is the EDGE "
@@ -493,6 +507,60 @@ def main() -> None:
                 f"the appended drop (8), the rewritten partition (3) "
                 f"at both endpoints, and nothing else")
             df = ch
+        elif name == "derived_keyed_reconcile":
+            import shutil
+            from pyspark.sql import functions as F
+            from ocr_spark.operators.textstats import chunk_documents
+            from ocr_spark.plans.derived import run_shards_job
+            from ocr_spark.sources.io import VersionedTable
+            droot = os.path.join(REPO, "BENCH", "_plans_vtderived")
+            sroot, shroot = (os.path.join(droot, "src"),
+                             os.path.join(droot, "shards"))
+            if os.path.exists(droot):
+                shutil.rmtree(droot)
+            vt = VersionedTable(spark, sroot)
+            base = (spark.range(0, 8_000)
+                    .select(F.format_string("u%07d", F.col("id"))
+                            .alias("url"),
+                            F.pmod(F.xxhash64("url"), F.lit(8))
+                            .cast("int").alias("drop_id"),
+                            F.concat_ws(" ", *[
+                                F.md5(F.concat_ws("-", "id", F.lit(i)))
+                                for i in range(20)])
+                            .alias("extracted_text")))
+            vt.commit(base, "drop_id")
+            run_shards_job(spark, sroot, shroot, chunk_tokens=8,
+                           n_buckets=16)
+            vt.commit(base.limit(10).withColumn("drop_id", F.lit(8))
+                      .withColumn("url", F.concat(F.lit("new-"),
+                                                  "url")),
+                      "drop_id")
+            # mirror sync_keyed's reconcile frame (plans/derived.py)
+            dst = VersionedTable(spark, shroot)
+            ch = vt.read_changes(1)
+            ins = (ch.where(F.col("_change_type") == "insert")
+                   .drop("_change_type"))
+            touched = ch.select("url").distinct()
+            bucket = F.pmod(F.xxhash64("url"), F.lit(16)).cast("int")
+            buckets = sorted({r[0] for r in touched
+                              .select(bucket.alias("b"))
+                              .distinct().collect()})
+            keep = (dst.read(partitions=buckets)
+                    .join(touched, "url", "left_anti"))
+            new_rows = (chunk_documents(
+                ins.select("url", "extracted_text"), "url",
+                "extracted_text", 8, None)
+                .withColumn("shard_bucket", bucket))
+            df = keep.unionByName(new_rows)
+            src_parts = {f.split("/_pv=")[-1].split("/")[0]
+                         for f in ins.inputFiles() if "/_pv=" in f}
+            shard_parts = {f.split("/_pv=")[-1].split("/")[0]
+                           for f in keep.inputFiles() if "/_pv=" in f}
+            extra_note[name] = (
+                f"source partitions read: {sorted(src_parts)} of 9 "
+                f"live (the appended drop only); derived buckets "
+                f"read: {len(shard_parts)} of 16 (the touched keys' "
+                f"buckets only)")
         elif name == "dedup_components_star_round":
             # The registered dedup_cluster_components query is iterative
             # (eager checkpoints between rounds), so its final plan is a
