@@ -547,3 +547,84 @@ def tfidf_top_term(df: DataFrame, id_col: str, text_col: str,
             .agg(F.max("_s").alias("_m"))
             .select(F.col(id_col), F.col("_m.word").alias("top_term"),
                     F.col("_m.tfidf").alias("top_term_tfidf")))
+
+
+# Gopher rule thresholds (Rae et al. 2021, appendix A1.1 — the public
+# spelling every later pipeline quotes). Kept as module constants so the
+# driver-query oracle SQL and the pytest mirror share one source.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WLEN = 3.0
+GOPHER_MAX_MEAN_WLEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_STOP_HITS = 2
+
+
+def gopher_quality_flags(df: DataFrame, id_col: str, text_col: str,
+                         carry: tuple[str, ...] = ()) -> DataFrame:
+    """Gopher rule-based quality filters (Rae et al. 2021, appendix
+    A1.1): the document-level heuristics every public curation pipeline
+    since (MassiveText, RefinedWeb, Dolma, FineWeb) applies before any
+    model-based scoring. Emits each signal as its own column plus the
+    combined ``gopher_pass`` verdict so callers can loosen individual
+    thresholds without recomputing.
+
+    Signals (thresholds = the paper's):
+      * word count in [50, 100000]
+      * mean word length in [3, 10] characters
+      * symbol-to-word ratio (``#`` or ``...`` occurrences / words) <= 0.1
+      * fraction of lines starting with a bullet (``-`` ``*``) <= 0.9
+      * fraction of lines ending with an ellipsis (``...``) <= 0.3
+      * fraction of words containing >= 1 alphabetic character >= 0.8
+      * >= 2 distinct hits from the 8-word stop list
+        (the/be/to/of/and/that/have/with)
+
+    Scale shape (100 TB): every signal is a codegen'd array/regex
+    expression over the document's own text — per-row narrow compute,
+    no explode, no UDF, no shuffle; composes into any curation plan as
+    a free projection. Ratios round to 4 decimals (the engine-portable
+    grid the histogram-device operators rely on)."""
+    t = F.col(text_col)
+    ws = words_of(t)
+    n_words = F.size(ws)
+    d_words = F.greatest(n_words, F.lit(1))
+    mean_wlen = F.aggregate(ws, F.lit(0),
+                            lambda a, w: a + F.length(w)) / d_words
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ellipsis = F.size(F.regexp_extract_all(t, F.lit(r"[.]{3}"), F.lit(0)))
+    symbol_ratio = (n_hash + n_ellipsis) / d_words
+    lines = F.filter(F.split(t, "\n", -1), lambda l: F.trim(l) != "")
+    d_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = F.size(F.filter(
+        lines, lambda l: F.startswith(F.trim(l), F.lit("- "))
+        | F.startswith(F.trim(l), F.lit("* ")))) / d_lines
+    ellipsis_frac = F.size(F.filter(
+        lines, lambda l: F.endswith(F.trim(l), F.lit("...")))) / d_lines
+    alpha_frac = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]"))) / d_words
+    stopset = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    stop_hits = F.size(F.array_distinct(
+        F.filter(ws, lambda w: F.array_contains(stopset, w))))
+    gpass = ((n_words >= GOPHER_MIN_WORDS)
+             & (n_words <= GOPHER_MAX_WORDS)
+             & (mean_wlen >= GOPHER_MIN_MEAN_WLEN)
+             & (mean_wlen <= GOPHER_MAX_MEAN_WLEN)
+             & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+             & (bullet_frac <= GOPHER_MAX_BULLET_FRAC)
+             & (ellipsis_frac <= GOPHER_MAX_ELLIPSIS_FRAC)
+             & (alpha_frac >= GOPHER_MIN_ALPHA_FRAC)
+             & (stop_hits >= GOPHER_MIN_STOP_HITS))
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        n_words.alias("g_n_words"),
+        F.round(mean_wlen, 4).alias("g_mean_wlen"),
+        F.round(symbol_ratio, 4).alias("g_symbol_ratio"),
+        F.round(bullet_frac, 4).alias("g_bullet_frac"),
+        F.round(ellipsis_frac, 4).alias("g_ellipsis_frac"),
+        F.round(alpha_frac, 4).alias("g_alpha_frac"),
+        stop_hits.alias("g_stop_hits"),
+        gpass.alias("gopher_pass"))

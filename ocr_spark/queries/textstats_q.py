@@ -41,6 +41,8 @@ _WEIGHTS = [(w, _weight_k(w)) for w in _VOCAB]
 _WT_VALUES = ", ".join(f"('{w}', {k})" for w, k in _WEIGHTS)
 
 
+_GSTOP = _sql_list(T.GOPHER_STOPWORDS)
+
 @q("text_quality_score",
    "WITH f AS (SELECT doc_id, text, "
    "list_filter(string_split(text, ' '), w -> w <> '') AS ws, "
@@ -53,7 +55,38 @@ _WT_VALUES = ", ".join(f"('{w}', {k})" for w, k in _WEIGHTS)
    "e AS (SELECT doc_id, unnest(ws) AS word FROM f), "
    "m AS (SELECT e.doc_id, count(*) AS n, "
    "sum(COALESCE(wt.k / 1000.0, 0.0)) AS sw "
-   "FROM e LEFT JOIN wt USING (word) GROUP BY e.doc_id) "
+   "FROM e LEFT JOIN wt USING (word) GROUP BY e.doc_id), "
+   # Gopher rule-based flags (Rae 2021 A1.1) — mirrors gopher_quality_flags.
+   "gr AS (SELECT doc_id, len(ws) AS gw, "
+   "COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS wlen_sum, "
+   "length(text) - length(replace(text, '#', '')) AS n_hash, "
+   "len(regexp_extract_all(text, '[.]{3}')) AS n_ell, "
+   "list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS ls, "
+   "len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha, "
+   "len(list_distinct(list_filter(ws, w -> list_contains(" + _GSTOP
+   + ", w)))) AS g_stop_hits FROM f), "
+   "gf AS (SELECT doc_id, g_stop_hits, "
+   "ROUND(wlen_sum / greatest(gw, 1), 4) AS g_mean_wlen, "
+   "ROUND((n_hash + n_ell) / greatest(gw, 1), 4) AS g_symbol_ratio, "
+   "ROUND(len(list_filter(ls, l -> starts_with(trim(l), '- ') "
+   "OR starts_with(trim(l), '* '))) / greatest(len(ls), 1), 4) "
+   "AS g_bullet_frac, "
+   "ROUND(len(list_filter(ls, l -> ends_with(trim(l), '...'))) "
+   "/ greatest(len(ls), 1), 4) AS g_ellipsis_frac, "
+   "ROUND(n_alpha / greatest(gw, 1), 4) AS g_alpha_frac, "
+   f"(gw >= {T.GOPHER_MIN_WORDS} AND gw <= {T.GOPHER_MAX_WORDS} "
+   f"AND wlen_sum / greatest(gw, 1) >= {T.GOPHER_MIN_MEAN_WLEN} "
+   f"AND wlen_sum / greatest(gw, 1) <= {T.GOPHER_MAX_MEAN_WLEN} "
+   "AND (n_hash + n_ell) / greatest(gw, 1) <= "
+   f"{T.GOPHER_MAX_SYMBOL_RATIO} "
+   "AND len(list_filter(ls, l -> starts_with(trim(l), '- ') "
+   "OR starts_with(trim(l), '* '))) / greatest(len(ls), 1) <= "
+   f"{T.GOPHER_MAX_BULLET_FRAC} "
+   "AND len(list_filter(ls, l -> ends_with(trim(l), '...'))) "
+   f"/ greatest(len(ls), 1) <= {T.GOPHER_MAX_ELLIPSIS_FRAC} "
+   f"AND n_alpha / greatest(gw, 1) >= {T.GOPHER_MIN_ALPHA_FRAC} "
+   f"AND g_stop_hits >= {T.GOPHER_MIN_STOP_HITS}) AS gopher_pass "
+   "FROM gr) "
    "SELECT g.doc_id, n_words, "
    "ROUND(stops / greatest(n_words, 1), 4) AS stop_ratio, "
    "ROUND(punct / greatest(n_chars, 1), 4) AS punct_ratio, "
@@ -63,19 +96,26 @@ _WT_VALUES = ", ".join(f"('{w}', {k})" for w, k in _WEIGHTS)
    "+ (1.0 - punct / greatest(n_chars, 1)) * 0.2 "
    "+ least((alpha / greatest(n_words, 1)) / 8.0, 1.0) * 0.1, 4) "
    "AS quality, "
-   "ROUND(1.0 / (1.0 + exp(-(sw / n))), 4) AS model_score "
-   "FROM g LEFT JOIN m ON g.doc_id = m.doc_id",
+   "ROUND(1.0 / (1.0 + exp(-(sw / n))), 4) AS model_score, "
+   "gf.g_mean_wlen, gf.g_symbol_ratio, gf.g_bullet_frac, "
+   "gf.g_ellipsis_frac, gf.g_alpha_frac, gf.g_stop_hits, gf.gopher_pass "
+   "FROM g LEFT JOIN m ON g.doc_id = m.doc_id "
+   "JOIN gf ON g.doc_id = gf.doc_id",
    "quality scoring: length/punct/stopword shallow features + "
    "fastText-style linear-classifier score over a broadcast (word, "
    "weight) vocabulary (deterministic stand-in weights; trained-model "
-   "table at production)")
+   "table at production) + Gopher rule-based flags (Rae 2021 A1.1: "
+   "word-count/mean-word-length bounds, symbol ratio, bullet/ellipsis "
+   "line fractions, alpha-word fraction, stop-hit floor)")
 def quality(spark, sf):
     d = load(spark, sf, "documents")
     base = T.quality_features(d, "doc_id", "text")
     wt = spark.createDataFrame([(w, k / 1000.0) for w, k in _WEIGHTS],
                                ["word", "weight"])
     scores = T.model_quality_scores(d, "doc_id", "text", wt)
-    return base.join(scores, "doc_id", "left")
+    gopher = T.gopher_quality_flags(d, "doc_id", "text").drop("g_n_words")
+    return (base.join(scores, "doc_id", "left")
+            .join(gopher, "doc_id"))
 
 
 # Add-k smoothing constant for the bigram-LM perplexity fold below —

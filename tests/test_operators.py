@@ -2422,3 +2422,77 @@ def test_pq_trained_codebooks_recall(spark):
     from ocr_spark.queries.similarity_q import _PQ_CB
     assert r_trained >= 0.6, r_trained
     assert r_trained > recall(_PQ_CB), (r_trained, recall(_PQ_CB))
+
+
+def test_gopher_quality_flags_matches_python_mirror(spark):
+    """Exact Python mirror of the Gopher A1.1 rules on adversarial
+    shapes: bullet-heavy, ellipsis-heavy, symbol-heavy, short, wordless,
+    and a long natural page that passes every rule."""
+    import re
+
+    from ocr_spark.operators import textstats as T
+
+    passing = ("the quick brown fox jumps over that lazy dog and it "
+               "went to be with a pack of hounds near the river " * 3
+               + "\nplain closing line with the end of that story and "
+                 "more words to have with it")
+    docs = [
+        ("pass", passing),
+        ("bullets", "\n".join(f"- item {i} of the list to be" for i in
+                              range(10)) + "\nthe only plain line"),
+        ("ellipsis", "\n".join(f"line {i} of the story that trails..."
+                               for i in range(9)) + "\nthe end to be"),
+        ("symbols", "# " * 30 + "the tag soup of... that page... to be"),
+        ("short", "the tiny page of that"),
+        ("numeric", " ".join(str(i) for i in range(80))
+         + " the of that to be and have with"),
+        ("empty", ""),
+        ("blank_lines", "\n\n  \n" + passing),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict()
+           for r in T.gopher_quality_flags(df, "doc_id", "text").collect()}
+
+    def mirror(text):
+        ws = [w for w in text.split(" ") if w != ""]
+        nw = len(ws)
+        dw = max(nw, 1)
+        mean_wlen = sum(len(w) for w in ws) / dw
+        n_sym = text.count("#") + len(re.findall(r"[.]{3}", text))
+        lines = [l for l in text.split("\n") if l.strip() != ""]
+        dl = max(len(lines), 1)
+        bullet = sum(1 for l in lines
+                     if l.strip().startswith(("- ", "* "))) / dl
+        ell = sum(1 for l in lines if l.strip().endswith("...")) / dl
+        alpha = sum(1 for w in ws if re.search("[A-Za-z]", w)) / dw
+        stops = len({w for w in ws if w in T.GOPHER_STOPWORDS})
+        ok = (T.GOPHER_MIN_WORDS <= nw <= T.GOPHER_MAX_WORDS
+              and T.GOPHER_MIN_MEAN_WLEN <= mean_wlen
+              <= T.GOPHER_MAX_MEAN_WLEN
+              and n_sym / dw <= T.GOPHER_MAX_SYMBOL_RATIO
+              and bullet <= T.GOPHER_MAX_BULLET_FRAC
+              and ell <= T.GOPHER_MAX_ELLIPSIS_FRAC
+              and alpha >= T.GOPHER_MIN_ALPHA_FRAC
+              and stops >= T.GOPHER_MIN_STOP_HITS)
+        return dict(g_n_words=nw, g_mean_wlen=round(mean_wlen, 4),
+                    g_symbol_ratio=round(n_sym / dw, 4),
+                    g_bullet_frac=round(bullet, 4),
+                    g_ellipsis_frac=round(ell, 4),
+                    g_alpha_frac=round(alpha, 4),
+                    g_stop_hits=stops, gopher_pass=ok)
+
+    for doc_id, text in docs:
+        want = mirror(text)
+        row = got[doc_id]
+        for k, v in want.items():
+            assert row[k] == pytest.approx(v) if isinstance(v, float) \
+                else row[k] == v, (doc_id, k, row[k], v)
+    # shape assertions: the adversarial docs exercise each branch
+    assert got["pass"]["gopher_pass"] is True
+    assert got["bullets"]["gopher_pass"] is False
+    assert got["ellipsis"]["gopher_pass"] is False
+    assert got["symbols"]["gopher_pass"] is False
+    assert got["short"]["gopher_pass"] is False
+    assert got["numeric"]["gopher_pass"] is False
+    assert got["empty"]["gopher_pass"] is False
+    assert got["blank_lines"]["gopher_pass"] is True
