@@ -683,3 +683,104 @@ def pq_adc_topk(codes_df: DataFrame, id_col: str, codes_col: str,
                             F.round(adc, round_to).alias("pq_adc"))
             .orderBy(F.col("pq_adc").asc(), F.col(id_col))
             .limit(k))
+
+
+def ivf_pq_encode(df: DataFrame, id_col: str, vec_col: str,
+                  centroids: list[list[float]],
+                  codebooks: list[list[list[float]]]) -> DataFrame:
+    """IVFADC index build (Jégou et al. 2011 §IV-A): (id, cell, codes)
+    where ``codes`` product-quantize the RESIDUAL ``v - centroid[cell]``.
+    Residual encoding is what makes the composition beat plain PQ: the
+    coarse quantizer absorbs the between-cell energy, so the ``m``
+    subquantizers spend their 2^bits codewords on the (much smaller)
+    within-cell displacement.
+
+    Scale shape (100 TB): ONE Arrow-batched pandas UDF computes cell
+    assignment AND residual codes in a single pass — the centroid matrix
+    and the (m, ksub, dsub) codebook ship once per executor as Spark
+    broadcasts (never plan literals); the map is narrow (no join, no
+    shuffle), and the output row carries an int cell + m small ints
+    instead of the full vector (the 32x compression that makes a
+    10^12-vector index memory-feasible). Cell id is the same
+    ARGMAX_ROUND-stable cosine argmax as centroid_assign_udf; codeword
+    argmin is the same dim-ascending L2 fold as pq_encode — both match
+    the DuckDB oracle bit-for-bit."""
+    C = np.asarray(centroids, dtype=np.float64)   # (k, dim)
+    CB = np.asarray(codebooks, dtype=np.float64)  # (m, ksub, dsub)
+    m, _, dsub = CB.shape
+    bc_c = df.sparkSession.sparkContext.broadcast(C)
+    bc_b = df.sparkSession.sparkContext.broadcast(CB)
+
+    @F.pandas_udf("struct<cell:int, codes:array<int>>")
+    def enc(vecs: pd.Series) -> pd.DataFrame:
+        cells = pd.Series([None] * len(vecs), dtype="object",
+                          index=vecs.index)
+        codes_out = pd.Series([None] * len(vecs), dtype="object",
+                              index=vecs.index)
+        valid = vecs.notna()
+        if valid.any():
+            C_ = bc_c.value
+            V = np.array(vecs[valid].tolist(), dtype=np.float64)
+            # dot-then-divide, SAME float ops as centroid_assign_udf /
+            # the DuckDB oracle — assignments agree bit-for-bit
+            sims = np.round(_cosine_matrix(V, C_), ARGMAX_ROUND)
+            cell = np.argmax(sims, axis=1)  # first max wins = lowest idx
+            R = V - C_[cell]
+            codes = np.empty((V.shape[0], m), dtype=np.int32)
+            for s in range(m):
+                D = _pq_subdists(R[:, s * dsub:(s + 1) * dsub],
+                                 bc_b.value[s])
+                codes[:, s] = np.argmin(np.round(D, ARGMAX_ROUND), axis=1)
+            cells[valid] = pd.Series((cell + 1).tolist(),
+                                     index=cells.index[valid],
+                                     dtype="object")
+            codes_out[valid] = pd.Series([c.tolist() for c in codes],
+                                         index=codes_out.index[valid],
+                                         dtype="object")
+        return pd.DataFrame({"cell": cells, "codes": codes_out})
+
+    s = enc(F.col(vec_col))
+    return df.select(F.col(id_col), s["cell"].alias("cell"),
+                     s["codes"].alias("codes"))
+
+
+def ivf_pq_search(codes_df: DataFrame, id_col: str,
+                  query_vec: list[float], centroids: list[list[float]],
+                  codebooks: list[list[list[float]]], k: int = 5,
+                  nprobe: int = 2, round_to: int = 4,
+                  cell_col: str = "cell",
+                  codes_col: str = "codes") -> DataFrame:
+    """IVFADC query (Jégou et al. 2011 §IV-B): probe the query's
+    ``nprobe`` nearest cells, rank their members by asymmetric distance
+    computed against a PER-CELL residual LUT (query residual
+    ``q - centroid[cell]`` differs per probed cell — the part plain
+    PQ + cell filter gets wrong).
+
+    Scale shape: the plan is scan -> Filter(cell IN probed) ->
+    narrow ADC fold -> TakeOrderedAndProject — zero Exchange, zero
+    joins, candidates never decompressed. The only query-specific state
+    is nprobe flattened LUTs (nprobe*m*ksub doubles — runtime data like
+    every exact-path query vector, selected by a codegen'd CASE on the
+    cell column); the codebook and centroids never enter the plan."""
+    cells = nearest_cells(query_vec, centroids, nprobe)
+    m, ksub = len(codebooks), len(codebooks[0])
+    sel = None
+    for cell in cells:
+        qr = [float(q) - float(c)
+              for q, c in zip(query_vec, centroids[cell - 1])]
+        lut = pq_adc_lut(qr, codebooks)
+        flat = F.array(*[F.lit(float(x)) for row in lut for x in row])
+        cond = F.col(cell_col) == cell
+        sel = F.when(cond, flat) if sel is None else sel.when(cond, flat)
+    codes = F.col(codes_col)
+    cands = (codes_df.where(F.col(cell_col).isin(cells))
+             .withColumn("_lut", sel))
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0),
+        lambda a, s: a + F.element_at(
+            F.col("_lut"),
+            s * ksub + F.element_at(codes, s + F.lit(1)) + F.lit(1)))
+    return (cands.select(F.col(id_col), F.col(cell_col),
+                         F.round(adc, round_to).alias("ivfpq_adc"))
+            .orderBy(F.col("ivfpq_adc").asc(), F.col(id_col))
+            .limit(k))

@@ -340,9 +340,40 @@ def _make_ivf_nprobe_spec() -> QuerySpec:
         "GROUP BY vec_id), "
         "pqr AS (SELECT vec_id AS pq_vec_id, pq_adc, CAST(row_number() "
         "OVER (ORDER BY pq_adc, vec_id) AS INT) AS rank FROM adc "
-        "ORDER BY rank LIMIT 5) "
-        "SELECT rank, vec_id, cos, pq_vec_id, pq_adc "
-        "FROM ivfr JOIN pqr USING (rank)")
+        "ORDER BY rank LIMIT 5), "
+        # IVFADC fold (Jégou 2011 §IV): PQ codes of the RESIDUAL
+        # v - centroid[cell], ranked by a PER-CELL query-residual LUT
+        # inside the probed cells only — mirrors ivf_pq_encode/_search.
+        "cvs AS (SELECT vec_id AS j, CAST(embedding AS DOUBLE[]) AS cv "
+        f"FROM embeddings WHERE vec_id BETWEEN 1 AND {N_CENTROIDS}), "
+        "rsd AS (SELECT a.vec_id, a.centroid, "
+        f"list_transform(range(1, {PQ_M * PQ_DSUB + 1}), "
+        "d -> a.v[d] - cvs.cv[d]) AS rv "
+        "FROM a JOIN cvs ON a.centroid = cvs.j WHERE a.vec_id <> 0 "
+        "AND list_contains((SELECT cells FROM qcells), a.centroid)), "
+        f"rdists AS (SELECT vec_id, centroid, s, c, ROUND({sub}"
+        f"d -> (rv[(s-1)*{PQ_DSUB} + d] - cw[d])^2)), "
+        f"{S.ARGMAX_ROUND}) AS dist FROM rsd, cb), "
+        "rcd AS (SELECT vec_id, centroid, s, c FROM (SELECT vec_id, "
+        "centroid, s, c, row_number() OVER (PARTITION BY vec_id, s "
+        "ORDER BY dist, c) AS rn FROM rdists) WHERE rn = 1), "
+        "qres AS (SELECT cvs.j AS cell, "
+        f"list_transform(range(1, {PQ_M * PQ_DSUB + 1}), "
+        "d -> qe[d] - cv[d]) AS qrv FROM cvs, q "
+        "WHERE list_contains((SELECT cells FROM qcells), cvs.j)), "
+        f"lutr AS (SELECT qres.cell, s, c, ROUND({sub}"
+        f"d -> (qrv[(s-1)*{PQ_DSUB} + d] - cw[d])^2)), "
+        f"{S.ARGMAX_ROUND}) AS dist FROM qres, cb), "
+        "adcr AS (SELECT vec_id, ROUND(list_sum(list(l.dist ORDER BY "
+        "l.s)), 4) AS ivfpq_adc FROM rcd JOIN lutr l "
+        "ON rcd.centroid = l.cell AND rcd.s = l.s AND rcd.c = l.c "
+        "GROUP BY vec_id), "
+        "ipr AS (SELECT vec_id AS ivfpq_vec_id, ivfpq_adc, "
+        "CAST(row_number() OVER (ORDER BY ivfpq_adc, vec_id) AS INT) "
+        "AS rank FROM adcr ORDER BY rank LIMIT 5) "
+        "SELECT rank, vec_id, cos, pq_vec_id, pq_adc, "
+        "ivfpq_vec_id, ivfpq_adc "
+        "FROM ivfr JOIN pqr USING (rank) JOIN ipr USING (rank)")
 
     def spark_fn(spark, sf):
         from pyspark.sql import Window
@@ -362,8 +393,18 @@ def _make_ivf_nprobe_spec() -> QuerySpec:
         pq_r = (pq.withColumn("rank", F.row_number().over(wp))
                 .select(F.col("vec_id").alias("pq_vec_id"),
                         "pq_adc", "rank"))
-        return (ivf_r.join(pq_r, "rank")
-                .select("rank", "vec_id", "cos", "pq_vec_id", "pq_adc"))
+        cents = _centroids(spark, sf)
+        enc2 = S.ivf_pq_encode(emb.where(F.col("vec_id") != 0),
+                               "vec_id", "embedding", cents, _PQ_CB)
+        ivfpq = S.ivf_pq_search(enc2, "vec_id", qv, cents, _PQ_CB,
+                                k=5, nprobe=n_probe)
+        wq = Window.orderBy(F.col("ivfpq_adc").asc(), F.col("vec_id"))
+        ivfpq_r = (ivfpq.withColumn("rank", F.row_number().over(wq))
+                   .select(F.col("vec_id").alias("ivfpq_vec_id"),
+                           "ivfpq_adc", "rank"))
+        return (ivf_r.join(pq_r, "rank").join(ivfpq_r, "rank")
+                .select("rank", "vec_id", "cos", "pq_vec_id", "pq_adc",
+                        "ivfpq_vec_id", "ivfpq_adc"))
 
     return QuerySpec(
         "sim_ivf_topk_nprobe2", spark_fn, sql,
@@ -374,7 +415,12 @@ def _make_ivf_nprobe_spec() -> QuerySpec:
         "r3 folds in product quantization (Jegou et al. 2011): "
         "pq_vec_id/pq_adc are the compressed-domain top-5 by asymmetric "
         "distance over 8x16x8 codes (rank-joined) — broadcast-codebook "
-        "Arrow encode, per-query LUT, codes 32x smaller than vectors")
+        "Arrow encode, per-query LUT, codes 32x smaller than vectors. "
+        "r4 folds in IVFADC (Jegou 2011 §IV): ivfpq_vec_id/ivfpq_adc "
+        "rank RESIDUAL codes (v - centroid[cell]) by per-cell "
+        "query-residual LUTs inside the nprobe probed cells — one "
+        "Arrow pass computes cell + residual codes, search is "
+        "scan -> cell filter -> narrow ADC fold, zero Exchange")
 
 
 QUERIES.append(_make_ivf_nprobe_spec())

@@ -2496,3 +2496,128 @@ def test_gopher_quality_flags_matches_python_mirror(spark):
     assert got["numeric"]["gopher_pass"] is False
     assert got["empty"]["gopher_pass"] is False
     assert got["blank_lines"]["gopher_pass"] is True
+
+
+def test_ivf_pq_encode_and_search_match_numpy_mirror(spark):
+    """IVFADC (Jégou 2011 §IV): cells, residual codes, and per-cell
+    residual-LUT ADC ranking all match an exact numpy mirror —
+    including a NULL vector row and the cell-conditional LUT selection
+    at nprobe=2."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    N, DIM, M, KSUB = 40, 16, 4, 8
+    X = rng.normal(size=(N, DIM))
+    cents = rng.normal(size=(3, DIM)).tolist()
+    cb = (0.5 * rng.normal(size=(M, KSUB, DIM // M))).tolist()
+    rows = [(i, X[i].tolist()) for i in range(N)] + [(N, None)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+    enc = S.ivf_pq_encode(emb, "vec_id", "embedding", cents, cb)
+    got = {r["vec_id"]: (r["cell"], r["codes"]) for r in enc.collect()}
+    assert got[N] == (None, None)
+
+    C = np.asarray(cents)
+    CB = np.asarray(cb)
+    dsub = DIM // M
+
+    def mirror(v):
+        sims = np.round((v @ C.T) / (np.linalg.norm(v)
+                                     * np.linalg.norm(C, axis=1)),
+                        S.ARGMAX_ROUND)
+        cell = int(np.argmax(sims)) + 1
+        r = v - C[cell - 1]
+        codes = []
+        for s in range(M):
+            acc = np.zeros(KSUB)
+            for d in range(dsub):
+                diff = r[s * dsub + d] - CB[s, :, d]
+                acc = acc + diff * diff
+            codes.append(int(np.argmin(np.round(acc, S.ARGMAX_ROUND))))
+        return cell, codes
+
+    exp_cells = {}
+    for i in range(N):
+        cell, codes = mirror(X[i])
+        exp_cells[i] = cell
+        assert got[i] == (cell, codes), i
+    assert len(set(exp_cells.values())) > 1  # the test exercises >1 cell
+
+    q = X[0]
+    res = S.ivf_pq_search(enc, "vec_id", q.tolist(), cents, cb,
+                          k=5, nprobe=2)
+    got_rank = [(r["vec_id"], r["ivfpq_adc"]) for r in res.collect()]
+
+    cells = S.nearest_cells(q.tolist(), cents, 2)
+    exp = []
+    for i in range(N):
+        cell, codes = mirror(X[i])
+        if cell not in cells:
+            continue
+        qr = q - C[cell - 1]
+        adc = 0.0
+        for s in range(M):
+            acc = np.zeros(KSUB)
+            for d in range(dsub):
+                diff = qr[s * dsub + d] - CB[s, :, d]
+                acc = acc + diff * diff
+            adc += np.round(acc, S.ARGMAX_ROUND)[codes[s]]
+        exp.append((round(adc, 4), i))
+    exp.sort()
+    assert got_rank == [(i, a) for a, i in exp[:5]]
+
+
+def test_ivf_pq_search_recall_beats_plain_pq(spark):
+    """On cluster-structured data the IVFADC residual encoding must
+    recover the exact L2 top-k better than plain PQ with the same
+    (m, ksub) budget: the coarse quantizer absorbs the between-cluster
+    energy so the codewords spend their bits on the small within-cluster
+    displacement (Jégou 2011 §IV-A's stated motivation)."""
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    # MORE clusters than codewords per subspace (64 > 16): raw PQ must
+    # spend its codewords on cluster subcenters it cannot all represent,
+    # while residual PQ only encodes the small within-cluster noise —
+    # the regime where the residual advantage is structural, not luck.
+    C_, PER, DIM, M, KSUB, K = 64, 12, 32, 4, 16, 10
+    centers = rng.normal(size=(C_, DIM))
+    X = np.repeat(centers, PER, axis=0) \
+        + 0.1 * rng.normal(size=(C_ * PER, DIM))
+    emb = spark.createDataFrame(
+        [(i, x.tolist()) for i, x in enumerate(X)],
+        "vec_id int, embedding array<double>")
+    cents = centers.tolist()
+    q = X[0]
+    exact = set((1 + np.argsort(
+        np.sum((X[1:] - q) ** 2, axis=1), kind="stable")[:K]).tolist())
+
+    # residual codebooks: train per-subspace kmeans on v - centroid[cell]
+    cells = np.argmax(np.round(
+        (X @ centers.T) / (np.linalg.norm(X, axis=1, keepdims=True)
+                           * np.linalg.norm(centers, axis=1)),
+        S.ARGMAX_ROUND), axis=1)
+    R = X - centers[cells]
+    resid = spark.createDataFrame(
+        [(i, r.tolist()) for i, r in enumerate(R)],
+        "vec_id int, embedding array<double>")
+    cb_res = S.pq_train_codebooks(resid, "vec_id", "embedding",
+                                  M, KSUB, n_iters=4)
+    enc = S.ivf_pq_encode(emb.where(F.col("vec_id") != 0),
+                          "vec_id", "embedding", cents, cb_res)
+    got = {r["vec_id"] for r in S.ivf_pq_search(
+        enc, "vec_id", q.tolist(), cents, cb_res, k=K,
+        nprobe=2).collect()}
+    r_ivfpq = len(got & exact) / K
+
+    cb_raw = S.pq_train_codebooks(emb, "vec_id", "embedding",
+                                  M, KSUB, n_iters=4)
+    enc_raw = S.pq_encode(emb.where(F.col("vec_id") != 0),
+                          "vec_id", "embedding", cb_raw)
+    got_raw = {r["vec_id"] for r in S.pq_adc_topk(
+        enc_raw, "vec_id", "codes", S.pq_adc_lut(q.tolist(), cb_raw),
+        k=K).collect()}
+    r_raw = len(got_raw & exact) / K
+
+    assert r_ivfpq >= 0.9, (r_ivfpq, r_raw)
+    assert r_ivfpq > r_raw, (r_ivfpq, r_raw)
