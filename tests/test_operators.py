@@ -2621,3 +2621,112 @@ def test_ivf_pq_search_recall_beats_plain_pq(spark):
 
     assert r_ivfpq >= 0.9, (r_ivfpq, r_raw)
     assert r_ivfpq > r_raw, (r_ivfpq, r_raw)
+
+
+def _lr_mirror(docs, vocab_size, n_iters, lr, l2=0.0):
+    """Exact single-process mirror of train_quality_classifier: same
+    vocabulary cut ((-df, word) order), same length-normalized features
+    (OOV tokens count in the denominator only), same full-batch GD."""
+    import numpy as np
+
+    feats = []
+    dfreq: dict[str, int] = {}
+    for _id, text, y in docs:
+        ws = [w for w in text.split(" ") if w != ""]
+        if not ws:
+            continue
+        cnt: dict[str, int] = {}
+        for w in ws:
+            cnt[w] = cnt.get(w, 0) + 1
+        for w in cnt:
+            dfreq[w] = dfreq.get(w, 0) + 1
+        feats.append((float(y), cnt, len(ws)))
+    vocab = sorted(dfreq, key=lambda w: (-dfreq[w], w))[:vocab_size]
+    jmap = {w: j + 1 for j, w in enumerate(vocab)}
+    w = np.zeros(len(vocab) + 1)
+    losses = []
+    for _ in range(n_iters):
+        grad = np.zeros_like(w)
+        loss = 0.0
+        for y, cnt, n in feats:
+            x = w[0] + sum(c / n * w[jmap[t]]
+                           for t, c in cnt.items() if t in jmap)
+            p = 1.0 / (1.0 + np.exp(-x))
+            g = p - y
+            grad[0] += g
+            for t, c in cnt.items():
+                if t in jmap:
+                    grad[jmap[t]] += g * c / n
+            loss += -np.log(max(p, 1e-12)) if y else \
+                -np.log(max(1.0 - p, 1e-12))
+        grad /= len(feats)
+        if l2:
+            grad[1:] += l2 * w[1:]
+        w -= lr * grad
+        losses.append(loss / len(feats))
+    return {t: w[j] for t, j in jmap.items()}, w[0], losses
+
+
+def test_train_quality_classifier_matches_numpy_mirror(spark):
+    """Distributed full-batch logistic regression vs an exact
+    single-process mirror: same vocabulary cut, same length-normalized
+    sparse features, same gradient steps — including an all-OOV doc
+    (trains the bias only), a wordless doc (excluded), and a vocab cut
+    smaller than the corpus vocabulary."""
+    import numpy as np
+
+    docs = [
+        (1, "good clean prose with structure and depth", 1),
+        (2, "good thoughtful prose and careful structure", 1),
+        (3, "spam spam click here spam buy now", 0),
+        (4, "click buy spam now now now", 0),
+        (5, "zzz qqq xxx", 0),          # all words fall below vocab cut
+        (6, "", 1),                      # wordless: excluded from training
+        (7, "good prose and spam mixed together here", 1),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string, label int")
+    got_w, got_b, got_losses = T.train_quality_classifier(
+        df, "doc_id", "text", "label", vocab_size=12, n_iters=6, lr=1.5)
+    exp_w, exp_b, exp_losses = _lr_mirror(
+        [(i, t, y) for i, t, y in docs], 12, 6, 1.5)
+
+    got = {r["word"]: r["weight"] for r in got_w.collect()}
+    assert set(got) == set(exp_w)
+    for t in exp_w:
+        assert abs(got[t] - exp_w[t]) < 1e-9, t
+    assert abs(got_b - exp_b) < 1e-9
+    assert np.allclose(got_losses, exp_losses, atol=1e-9)
+    # descent actually happened
+    assert got_losses[-1] < got_losses[0]
+
+
+def test_train_quality_classifier_l2_and_separation(spark):
+    """On separable data the trained model must (a) descend with l2
+    regularization matching the mirror, (b) separate held-out docs when
+    composed with model_quality_scores — the zero-train/serve-skew
+    promise (scorer applies the exact feature map training optimized)."""
+    rng_words_hi = ["insight", "analysis", "method", "result", "careful"]
+    rng_words_lo = ["click", "buy", "winner", "free", "casino"]
+    rows = []
+    for i in range(40):
+        hi = i % 2 == 0
+        ws = (rng_words_hi if hi else rng_words_lo)
+        text = " ".join(ws[(i + j) % 5] for j in range(6)) + " filler"
+        rows.append((i, text, 1 if hi else 0))
+    df = spark.createDataFrame(rows, "doc_id int, text string, label int")
+    w_df, b, losses = T.train_quality_classifier(
+        df, "doc_id", "text", "label", vocab_size=50, n_iters=25,
+        lr=2.0, l2=0.01)
+    _, _, exp_losses = _lr_mirror(
+        [(i, t, y) for i, t, y in rows], 50, 25, 2.0, l2=0.01)
+    import numpy as np
+    assert np.allclose(losses, exp_losses, atol=1e-9)
+
+    held = spark.createDataFrame(
+        [(100, "careful analysis method insight here", 1),
+         (101, "free casino winner click buy", 0)],
+        "doc_id int, text string, label int")
+    scored = {r["doc_id"]: r["model_score"]
+              for r in T.model_quality_scores(
+                  held, "doc_id", "text", w_df, bias=b).collect()}
+    assert scored[100] > 0.5 > scored[101], scored
