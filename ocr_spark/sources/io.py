@@ -296,6 +296,234 @@ def _norm_pv(v) -> str:
     return str(v)
 
 
+# ------------------------------------------------------ hidden partitioning
+#
+# Iceberg's signature layout feature: the table partitions by a TRANSFORM
+# of a source column — bucket(n, col), truncate(w, col), days(ts) — the
+# transform is TABLE METADATA (fixed at the first commit, inherited by
+# every later one including maintenance), writers never materialize a
+# partition column, and readers filter on the SOURCE column:
+# read(where=[("url", "==", u)]) prunes to the one bucket that can hold
+# the url before any directory is listed. The transform is evaluated
+# twice — as a Spark expression at write time (_transform_expr) and as a
+# driver-side Python mirror at planning time (_transform_py) — so the
+# two MUST be bit-identical; bucket uses the repo's engine-portable
+# md5-derived 60-bit hash (operators/hashing.py) for exactly that
+# reason. Pruning is conservative: a key survives unless the spec PROVES
+# it holds no matching row, and any unsupported value type keeps every
+# key (the residual filter inside read(where=...) preserves exactness
+# regardless — pruning is pure I/O elimination).
+
+_TRANSFORM_KINDS = ("identity", "bucket", "truncate", "days")
+
+
+def _validate_transform(spec) -> dict | None:
+    """Normalize a partition_transform spec to its manifest dict form:
+    ("bucket", 16) -> {"kind": "bucket", "n": 16}; ("truncate", 8) ->
+    {"kind": "truncate", "w": 8}; "days"/("days",) -> {"kind": "days"};
+    None/"identity" -> None (the plain value layout)."""
+    if spec is None:
+        return None
+    if isinstance(spec, dict):
+        kind = spec.get("kind")
+        spec = {"identity": ("identity",), "days": ("days",),
+                "bucket": ("bucket", spec.get("n")),
+                "truncate": ("truncate", spec.get("w"))}.get(kind, ())
+    if isinstance(spec, str):
+        spec = (spec,)
+    if not isinstance(spec, (tuple, list)) or not spec:
+        raise ValueError(f"unsupported partition_transform {spec!r}")
+    kind = spec[0]
+    if kind == "identity":
+        return None
+    if kind == "bucket":
+        if len(spec) != 2 or not isinstance(spec[1], int) or spec[1] < 1:
+            raise ValueError(
+                f"bucket transform needs ('bucket', n>=1), got {spec!r}")
+        return {"kind": "bucket", "n": spec[1]}
+    if kind == "truncate":
+        if len(spec) != 2 or not isinstance(spec[1], int) or spec[1] < 1:
+            raise ValueError(
+                f"truncate transform needs ('truncate', w>=1), "
+                f"got {spec!r}")
+        return {"kind": "truncate", "w": spec[1]}
+    if kind == "days":
+        if len(spec) != 1:
+            raise ValueError(f"days transform takes no parameter: {spec!r}")
+        return {"kind": "days"}
+    raise ValueError(
+        f"unknown partition transform {kind!r} "
+        f"(supported: {_TRANSFORM_KINDS})")
+
+
+_TRUNC_INT_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _transform_expr(tf: dict | None, col, dtype: str):
+    """The partition-key Spark expression for one source-column value
+    (a NULL source value yields a NULL key -> the Hive default
+    partition, exactly as identity does)."""
+    from pyspark.sql import functions as F
+    if tf is None or tf["kind"] == "identity":
+        return col.cast("string")
+    kind = tf["kind"]
+    if kind == "bucket":
+        from ocr_spark.operators.hashing import md5long
+        return F.pmod(md5long(col.cast("string")),
+                      F.lit(int(tf["n"]))).cast("string")
+    if kind == "truncate":
+        w = int(tf["w"])
+        if dtype in _TRUNC_INT_TYPES:
+            return (col - F.pmod(col, F.lit(w))).cast("string")
+        if dtype == "string":
+            return F.substring(col, 1, w)
+        raise ValueError(
+            f"truncate transform supports int/string source columns, "
+            f"got {dtype!r}")
+    if kind == "days":
+        if dtype not in ("date", "timestamp", "timestamp_ntz"):
+            raise ValueError(
+                f"days transform needs a date/timestamp source column, "
+                f"got {dtype!r}")
+        return F.date_format(col, "yyyy-MM-dd")
+    raise ValueError(f"unknown transform {tf!r}")
+
+
+def _transform_py(tf: dict | None, v) -> str:
+    """Driver-side mirror of _transform_expr over one LITERAL value —
+    bit-identical by construction (bucket: int(md5[:15],16) == Spark
+    conv(substring(md5,1,15),16,10); truncate int: python % equals pmod
+    for w>0; days: ISO date == date_format yyyy-MM-dd). Raises on value
+    types the mirror cannot guarantee — callers treat that as
+    'cannot prune'."""
+    if v is None:
+        return _norm_pv(None)
+    import datetime
+    if tf is None or tf["kind"] == "identity":
+        if isinstance(v, datetime.datetime):
+            raise ValueError("identity timestamp keys: pass the Spark "
+                             "string-cast spelling yourself")
+        if isinstance(v, (bool, int, str)) or _is_date(v):
+            return _norm_pv(v)
+        raise ValueError(f"no exact identity-key mirror for {v!r}")
+    kind = tf["kind"]
+    if kind == "bucket":
+        if not isinstance(v, (bool, int, str)):
+            raise ValueError(
+                f"bucket mirror supports bool/int/str, got {v!r}")
+        import hashlib
+        h = int(hashlib.md5(_norm_pv(v).encode("utf-8"))
+                .hexdigest()[:15], 16)
+        return str(h % int(tf["n"]))
+    if kind == "truncate":
+        w = int(tf["w"])
+        if isinstance(v, bool):
+            raise ValueError("truncate mirror: bool unsupported")
+        if isinstance(v, int):
+            return str(v - (v % w))
+        if isinstance(v, str):
+            return v[:w]
+        raise ValueError(f"truncate mirror supports int/str, got {v!r}")
+    if kind == "days":
+        import datetime
+        if isinstance(v, datetime.datetime):
+            return v.date().isoformat()
+        if isinstance(v, datetime.date):
+            return v.isoformat()
+        raise ValueError(f"days mirror needs date/datetime, got {v!r}")
+    raise ValueError(f"unknown transform {tf!r}")
+
+
+def _is_date(v) -> bool:
+    import datetime
+    return isinstance(v, datetime.date)
+
+
+def _key_order_pair(tf: dict | None, uk: str, bound):
+    """(key, bound) lifted into one comparable order for range pruning
+    under an ORDER-PRESERVING transform (identity/truncate/days: v <= b
+    implies t(v) <= t(b), so a partition whose key exceeds t(b) provably
+    holds no row <= b). Raises when no exact order exists — caller
+    keeps the key."""
+    kind = "identity" if tf is None else tf["kind"]
+    if kind == "bucket":
+        raise ValueError("bucket keys have no value order")
+    if isinstance(bound, bool):
+        raise ValueError("no order pruning on bool bounds")
+    if isinstance(bound, int):
+        b = bound - (bound % int(tf["w"])) if kind == "truncate" else bound
+        return int(uk), b
+    if isinstance(bound, str):
+        b = bound[:int(tf["w"])] if kind == "truncate" else bound
+        return uk, b
+    import datetime
+    if kind == "days" and isinstance(bound,
+                                     (datetime.date, datetime.datetime)):
+        return uk, _transform_py(tf, bound)
+    if kind == "identity" and type(bound) is datetime.date:
+        return uk, bound.isoformat()
+    raise ValueError(f"no key order for bound {bound!r}")
+
+
+def _key_may_match(tf: dict | None, k: str, uk: str, op: str, val) -> bool:
+    """May the partition keyed ``k`` hold a row satisfying
+    (source_col, op, val)? Conservative: True whenever the transform
+    cannot prove otherwise."""
+    kind = "identity" if tf is None else tf["kind"]
+    try:
+        if op == "==":
+            t = _transform_py(tf, val)
+            return k == t or uk == t
+        if op == "in":
+            ts = {_transform_py(tf, v) for v in val}
+            return k in ts or uk in ts
+        if op == "!=":
+            # only an identity key pins every row to ONE value
+            if kind == "identity":
+                t = _transform_py(tf, val)
+                return not (k == t or uk == t)
+            return True
+        if op == "between":
+            lo, hi = val
+            kl, bl = _key_order_pair(tf, uk, lo)
+            kh, bh = _key_order_pair(tf, uk, hi)
+            return kl >= bl and kh <= bh
+        if op in ("<", "<="):
+            kv, bv = _key_order_pair(tf, uk, val)
+            return kv <= bv   # strict < cannot exclude t(val)'s key
+        if op in (">", ">="):
+            kv, bv = _key_order_pair(tf, uk, val)
+            return kv >= bv
+        return True
+    except (ValueError, TypeError):
+        return True
+
+
+def _partition_prune(tf: dict | None, pcol: str | None,
+                     where: list[tuple], keys) -> list[str]:
+    """Hidden-partitioning scan planning (Iceberg's predicate ->
+    partition-spec projection): keep only the live partition keys that
+    may hold rows matching the SOURCE-column predicates in ``where``.
+    Every supported op is NULL-rejecting, so the Hive default (NULL
+    source value) partition drops whenever ANY predicate names the
+    source column. Exactness comes from the residual filter
+    read(where=...) always applies; this only removes dead I/O."""
+    preds = [wp for wp in where if wp[0] == pcol]
+    if pcol is None or not preds:
+        return list(keys)
+    from urllib.parse import unquote
+    null_key = _norm_pv(None)
+    kept = []
+    for k in keys:
+        uk = unquote(k)
+        if k == null_key or uk == null_key:
+            continue
+        if all(_key_may_match(tf, k, uk, op, val)
+               for _c, op, val in preds):
+            kept.append(k)
+    return kept
+
+
 # --------------------------------------------------- file statistics (skip)
 #
 # Iceberg records per-data-file column bounds in its manifest files and
@@ -1005,7 +1233,8 @@ class VersionedTable:
                operation: str = "write",
                stats_cols: list[str] | None = None,
                bloom_cols: list[str] | None = None,
-               staged: bool = False) -> int:
+               staged: bool = False,
+               partition_transform=None) -> int:
         """Write ``df`` as a new snapshot. With ``partition_col``,
         default semantics are Iceberg DYNAMIC overwrite: partitions
         PRESENT in ``df`` are replaced, absent ones carry over from the
@@ -1016,6 +1245,30 @@ class VersionedTable:
         — a mismatched ``partition_col`` raises (mixing unpartitioned
         and partitioned commits would double-read carried-over
         partitions). Returns the new snapshot id (1-based, monotone).
+
+        ``partition_transform`` turns on HIDDEN PARTITIONING (Iceberg
+        partition specs): the layout key is a TRANSFORM of
+        ``partition_col`` — ``("bucket", n)`` (engine-portable
+        md5-derived hash mod n), ``("truncate", w)`` (ints to w-sized
+        ranges, strings to w-char prefixes), or ``"days"``
+        (date/timestamp to its ISO day) — writers never materialize a
+        key column and readers keep filtering on the SOURCE column:
+        ``read(where=[("url", "==", u)])`` prunes to the one bucket
+        that can hold the url before any directory or file manifest is
+        touched (equality/IN prune on every transform; ranges
+        additionally prune on the order-preserving truncate/days/
+        identity). Like the partition column itself the transform is
+        fixed at the first commit and inherited by every later one
+        (re-passing a DIFFERENT spec raises); partition VALUES in
+        ``drop_partitions`` / ``read(partitions=...)`` /
+        ``changed_partitions`` then mean transformed KEYS (e.g. bucket
+        numbers), and NULL source values land in the Hive default
+        partition exactly as identity does. Dynamic-overwrite semantics
+        are unchanged and apply at KEY grain — a commit whose df
+        touches a bucket REPLACES that whole bucket (Iceberg's own
+        INSERT OVERWRITE caveat): keyed upserts into a transformed
+        layout go through :meth:`merge_into`, which rewrites exactly
+        the affected buckets keeping their other rows.
 
         ``drop_partitions`` (dynamic-partitioned tables only) records the
         named partition VALUES as tombstones in this snapshot: they stop
@@ -1075,6 +1328,19 @@ class VersionedTable:
                 f"table at {self.root} is partitioned by "
                 f"{snaps[0]['partition_col']!r}; commit asked for "
                 f"{partition_col!r}")
+        # hidden partitioning: the transform is a table property fixed
+        # at the first commit — later commits inherit it (maintenance
+        # never re-states it) and may only re-pass the identical spec
+        tf_req = _validate_transform(partition_transform)
+        tf = snaps[0].get("transform") if snaps else tf_req
+        if snaps and tf_req is not None \
+                and tf_req != snaps[0].get("transform"):
+            raise ValueError(
+                f"table at {self.root} uses partition transform "
+                f"{snaps[0].get('transform')!r}; commit asked for "
+                f"{tf_req!r}")
+        if tf is not None and partition_col is None:
+            raise ValueError("partition_transform requires partition_col")
         # stats property: explicit param wins (validated — a typo must
         # not silently disable skipping); None inherits the latest
         # recorded set (single logical writer, like the rest of commit)
@@ -1119,9 +1385,19 @@ class VersionedTable:
             # partition the LAYOUT on a duplicate string column so the
             # real column (with its type) stays inside the data files —
             # reads then need no partition-dir inference, which would
-            # choke on the snap-<n>/key=value two-level structure
+            # choke on the snap-<n>/key=value two-level structure.
+            # With a hidden-partitioning transform the layout column is
+            # the TRANSFORM of the source column (the source column
+            # itself still lands in the files with its type).
             from pyspark.sql import functions as F
-            (df.withColumn("_pv", F.col(partition_col).cast("string"))
+            ptype = {f.name: f.dataType.simpleString()
+                     for f in df.schema.fields}.get(partition_col)
+            if ptype is None:
+                raise ValueError(
+                    f"partition column {partition_col!r} not in "
+                    f"DataFrame columns {df.columns}")
+            key = _transform_expr(tf, F.col(partition_col), ptype)
+            (df.withColumn("_pv", key)
              .write.mode("errorifexists").partitionBy("_pv").parquet(out))
             # manifest keys come from the directories Spark ACTUALLY
             # wrote (Hive-escaped spelling) — never from a second
@@ -1171,6 +1447,13 @@ class VersionedTable:
                     f"table at {self.root} is partitioned by "
                     f"{snaps[0]['partition_col']!r}; commit asked for "
                     f"{partition_col!r}")
+            if snaps and snaps[0].get("transform") != tf:
+                # a concurrent first commit won the race with a
+                # different spec — this layout was written under tf
+                raise ValueError(
+                    f"table at {self.root} uses partition transform "
+                    f"{snaps[0].get('transform')!r}; this commit's "
+                    f"layout was written under {tf!r}")
             # schema-evolution registry: map this commit's physical
             # columns to field ids (new names register implicitly —
             # the add-column path mergeSchema always allowed; same-id
@@ -1242,6 +1525,8 @@ class VersionedTable:
                      "operation": operation,
                      "partition_col": partition_col,
                      "replace_all": bool(replace_all), "parts": parts}
+            if tf is not None:
+                entry["transform"] = tf
             if staged:
                 entry["staged"] = True
             if schema_dir is not None:
@@ -1548,6 +1833,20 @@ class VersionedTable:
         return reduce(lambda a, b: a.unionByName(
             b, allowMissingColumns=True), parts)
 
+    def _row_key_expr(self, df: DataFrame, pcol: str):
+        """Each row's partition KEY (the table's hidden-partitioning
+        transform applied; identity when none) — the spelling manifest
+        keys use. Internal probes that map data rows back to their
+        partitions (delete_where, merge_into, apply_deletes) must go
+        through this, never the raw source column: on a transformed
+        layout the source VALUES are not the keys."""
+        from pyspark.sql import functions as F
+        snaps = self.snapshots()
+        tf = snaps[0].get("transform") if snaps else None
+        ptype = {f.name: f.dataType.simpleString()
+                 for f in df.schema.fields}[pcol]
+        return _transform_expr(tf, F.col(pcol), ptype)
+
     def apply_deletes(self, note: str = "") -> tuple[int | None, dict]:
         """Physically apply every pending merge-on-read row delete
         (Iceberg's ``rewrite_position_delete_files`` analog): rewrite
@@ -1591,7 +1890,8 @@ class VersionedTable:
         try:
             from urllib.parse import unquote
             present = {_norm_pv(r[0]) for r in
-                       sub.select(pcol).distinct().collect()}
+                       sub.select(self._row_key_expr(sub, pcol)
+                                  .alias("_k")).distinct().collect()}
             # partition values present in the filtered data are
             # rewritten; pending partitions with NO surviving rows are
             # tombstoned in the same commit (their logical view was
@@ -1715,7 +2015,9 @@ class VersionedTable:
         probe = (self.read(where=probe_where) if probe_where
                  else self.read().where(cond))
         affected = sorted(
-            r[0] for r in probe.select(pcol).distinct().collect())
+            (_norm_pv(r[0]) for r in
+             probe.select(self._row_key_expr(probe, pcol).alias("_k"))
+             .distinct().collect()))
         if not affected:
             return None, stats
         sub = self.read(partitions=affected).persist()
@@ -1723,8 +2025,10 @@ class VersionedTable:
             total = sub.count()
             remaining = sub.where(keep).persist()
             kept_n = remaining.count()
-            kept_parts = {r[0] for r in
-                          remaining.select(pcol).distinct().collect()}
+            kept_parts = {_norm_pv(r[0]) for r in
+                          remaining.select(
+                              self._row_key_expr(remaining, pcol)
+                              .alias("_k")).distinct().collect()}
             dropped = [v for v in affected if v not in kept_parts]
             sid = self.commit(remaining, pcol,
                               note=note or "delete_where",
@@ -2138,10 +2442,13 @@ class VersionedTable:
                 probe_src = self.read()
             matched_parts = sorted(
                 {r[0] for r in probe_src.join(keys, key_cols, "semi")
-                 .select(pcol).distinct().collect()}, key=_norm_pv)
-            src_parts = sorted(
-                {r[0] for r in src.select(pcol).distinct().collect()},
+                 .select(self._row_key_expr(probe_src, pcol)
+                         .alias("_k")).distinct().collect()},
                 key=_norm_pv)
+            src_parts = sorted(
+                {r[0] for r in
+                 src.select(self._row_key_expr(src, pcol).alias("_k"))
+                 .distinct().collect()}, key=_norm_pv)
             live = self._resolve(None, None)[0]
             live_norm = set(live) | {unquote(k) for k in live}
             # partitions to rewrite: every one holding a matched key,
@@ -2163,7 +2470,8 @@ class VersionedTable:
                 survivors = src.limit(0)
             merged = survivors.unionByName(src)
             present = {_norm_pv(r[0]) for r in
-                       merged.select(pcol).distinct().collect()}
+                       merged.select(self._row_key_expr(merged, pcol)
+                                     .alias("_k")).distinct().collect()}
             dropped = [v for v in read_parts
                        if _norm_pv(v) not in present]
             sid = self.commit(merged, pcol, note=note or "merge_into",
@@ -2522,6 +2830,12 @@ class VersionedTable:
                         compacted[pkey] = prop[pkey]
                         if prop.get(ikey) is not None:
                             compacted[ikey] = prop[ikey]
+                # the hidden-partitioning transform is a table constant
+                # read from snaps[0] — a compacted entry may BECOME
+                # snaps[0], so it must carry the spec or later commits
+                # would inherit identity and scatter the layout
+                if snaps[0].get("transform") is not None:
+                    compacted["transform"] = snaps[0]["transform"]
                 new_snaps.append(compacted)
                 gap = False
             self._write_manifest(new_snaps)
@@ -2627,11 +2941,34 @@ class VersionedTable:
         never listed when they exist — at Iceberg's scale this is the
         manifest-file read that replaces object-store listing).
 
+        On a hidden-partitioned table (``commit(partition_transform=)``)
+        predicates on the partition SOURCE column first prune whole
+        partitions through the spec (a url point lookup on a
+        bucket(n, url) layout plans 1/n of the table); pruned
+        partitions' files are not listed and do not count toward
+        ``files_total``.
+
         Returns ``{"files": [abs paths], "files_total": n,
-        "files_skipped": n, "partitions": [live keys]}``."""
+        "files_skipped": n, "partitions": [live keys],
+        "partitions_pruned": n}``."""
         snapshot_id = self._pin(snapshot_id, ref)
         where = _validate_where(where) if where else []
         live, _ = self._resolve(snapshot_id, partitions)
+        pruned_parts = 0
+        if where:
+            # hidden partitioning: predicates on the partition SOURCE
+            # column prune whole partitions before any file manifest is
+            # read — on a bucket(n, url) layout a url point lookup
+            # plans 1/n of the table, and the per-file blooms then
+            # skip within the surviving partition
+            snaps0 = self.snapshots()
+            if snaps0 and snaps0[0]["partition_col"] is not None:
+                keep = set(_partition_prune(
+                    snaps0[0].get("transform"),
+                    snaps0[0]["partition_col"], where, live))
+                pruned_parts = len(live) - len(keep)
+                if pruned_parts:
+                    live = {k: v for k, v in live.items() if k in keep}
         reg = self.registry() if where else None
         id_of = ({c["name"]: c["id"] for c in self._live_cols(reg)}
                  if reg is not None else {})
@@ -2689,7 +3026,8 @@ class VersionedTable:
                                              e["f"]))
         return {"files": kept, "files_total": total,
                 "files_skipped": total - len(kept),
-                "partitions": sorted(live)}
+                "partitions": sorted(live),
+                "partitions_pruned": pruned_parts}
 
     def _pin(self, snapshot_id: int | None, ref: str | None) -> int | None:
         if ref is None:

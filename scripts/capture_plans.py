@@ -108,6 +108,29 @@ CHECKS = {
     "sim_ann_multiprobe": (
         "still NO Exchange: Hamming<=1 probing is one extra bit_count/XOR "
         "in the same Filter — scan -> Filter -> TakeOrderedAndProject."),
+    "hidden_partition_lookup": (
+        "Hidden partitioning (Iceberg partition-spec analog) composed "
+        "with per-file blooms — the 100 TB point-lookup path: "
+        "VersionedTable.read(where=[(\"url\",\"==\",u)]) on a "
+        "bucket(16, url) layout plans 1/16 of the PARTITIONS driver-"
+        "side through the spec (the user never materialized a bucket "
+        "column and the query names only the source column), the url "
+        "bloom then skips files inside the surviving bucket, and the "
+        "FileScan's Location holds only the survivors with the exact "
+        "residual as a normal Filter. At 10^12 documents this is the "
+        "difference between a corpus scan and opening a handful of "
+        "files."),
+    "ivfpq_search_scan": (
+        "IVFADC query (Jégou 2011 §IV-B) over a pre-built (id, cell, "
+        "codes) index: scan -> Filter(cell IN probed) -> per-cell "
+        "query-residual LUT selected by a codegen'd CASE on the cell "
+        "column -> narrow ADC fold -> TakeOrderedAndProject. ZERO "
+        "Exchange, zero joins: candidates are ranked in compressed form "
+        "and never decompressed. The only query-specific state is the "
+        "nprobe flattened LUTs (nprobe*m*ksub doubles — runtime arrays "
+        "like any exact-path query vector); the codebook and centroid "
+        "matrices never enter the plan, so the same shape holds at "
+        "k ~ 10^5 cells and 10^12 codes."),
     "curation_pipeline": (
         "the text column appears in NO Exchange beyond the tiny-input "
         "pre-spread (a no-op at corpus scale): repetition features are "
@@ -561,6 +584,54 @@ def main() -> None:
                 f"live (the appended drop only); derived buckets "
                 f"read: {len(shard_parts)} of 16 (the touched keys' "
                 f"buckets only)")
+        elif name == "hidden_partition_lookup":
+            from pyspark.sql import functions as F
+            from ocr_spark.sources.io import VersionedTable
+            vt = VersionedTable(spark,
+                                os.path.join(REPO, "BENCH",
+                                             "_plans_vthidden"))
+            if not vt.snapshots():
+                base = (spark.range(0, 40_000)
+                        .select(F.format_string("https://h%03d.example"
+                                                "/p%07d",
+                                                F.pmod(F.col("id"),
+                                                       F.lit(199)),
+                                                F.col("id"))
+                                .alias("url"),
+                                F.md5(F.col("id").cast("string"))
+                                .alias("payload"))
+                        .repartition(4))
+                vt.commit(base, "url",
+                          partition_transform=("bucket", 16),
+                          bloom_cols=["url"])
+            u = "https://h192.example/p0030042"  # id 30042: 30042%199
+            skipped = vt.plan_files(where=[("url", "==", u)])
+            df = vt.read(where=[("url", "==", u)])
+            extra_note[name] = (
+                f"spec pruned {skipped['partitions_pruned']} of 16 "
+                f"buckets driver-side; inside the surviving bucket the "
+                f"url bloom kept {len(skipped['files'])} of "
+                f"{skipped['files_total']} files")
+        elif name == "ivfpq_search_scan":
+            from pyspark.sql import functions as F
+            from ocr_spark.operators import similarity as S2
+            from ocr_spark.queries import load
+            from ocr_spark.queries.similarity_q import (
+                _PQ_CB, _centroids, _query_vec)
+            emb = load(spark, SF, "embeddings")
+            cents = _centroids(spark, SF)
+            qv = _query_vec(spark, SF)
+            enc = S2.ivf_pq_encode(emb.where(F.col("vec_id") != 0),
+                                   "vec_id", "embedding", cents, _PQ_CB)
+            # capture the SEARCH over a materialized index (the
+            # production shape: encode once, query many) — explain on
+            # the composed frame would inline the encode pass
+            idx_dir = os.path.join(REPO, "BENCH", "_plans_ivfpq")
+            if not os.path.exists(idx_dir):
+                enc.write.parquet(idx_dir)
+            idx = spark.read.parquet(idx_dir)
+            df = S2.ivf_pq_search(idx, "vec_id", qv, cents, _PQ_CB,
+                                  k=5, nprobe=2)
         elif name == "dedup_components_star_round":
             # The registered dedup_cluster_components query is iterative
             # (eager checkpoints between rounds), so its final plan is a

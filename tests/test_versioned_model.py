@@ -21,9 +21,11 @@ import random
 import pytest
 from pyspark.sql import functions as F
 
-from ocr_spark.sources.io import VersionedTable
+from ocr_spark.sources.io import VersionedTable, _transform_py
 
 COLS = ["drop_id", "url", "score"]
+
+_BUCKET_TF = {"kind": "bucket", "n": 4}
 
 
 def _df(spark, rows):
@@ -36,9 +38,25 @@ def _read(vt, snapshot_id=None):
                   for r in vt.read(snapshot_id=snapshot_id).collect())
 
 
-@pytest.mark.parametrize("seed", [7, 23, 91])
-def test_versioned_table_random_walk_matches_model(spark, tmp_path, seed):
+@pytest.mark.parametrize("seed,layout", [
+    (7, "drop"), (23, "drop"), (91, "drop"),
+    # hidden partitioning: the SAME walk over a bucket(4, url) layout —
+    # every op's partition membership goes through the transform, and
+    # commit/stage/publish replacement happens at BUCKET grain
+    (11, "bucket"), (37, "bucket")])
+def test_versioned_table_random_walk_matches_model(spark, tmp_path, seed,
+                                                   layout):
     rnd = random.Random(seed)
+    if layout == "drop":
+        pcol, tf = "drop_id", None
+
+        def key_of(r):
+            return str(r[0])
+    else:
+        pcol, tf = "url", ("bucket", 4)
+
+        def key_of(r):
+            return _transform_py(_BUCKET_TF, r[1])
     vt = VersionedTable(spark, str(tmp_path / f"t{seed}"))
     model: list[tuple] = []          # latest-view row multiset
     pins: dict[int, list] = {}       # snapshot id -> expected rows
@@ -59,12 +77,14 @@ def test_versioned_table_random_walk_matches_model(spark, tmp_path, seed):
             op = "commit"
         if op == "commit":
             rows = fresh_rows(rnd.randint(1, 5))
-            sid = vt.commit(_df(spark, rows), "drop_id",
+            sid = vt.commit(_df(spark, rows), pcol,
                             note=f"step {step}",
                             stats_cols=(["score", "url"] if step == 0
-                                        else None))
-            parts = {r[0] for r in rows}
-            model = [r for r in model if r[0] not in parts] + rows
+                                        else None),
+                            partition_transform=(tf if step == 0
+                                                 else None))
+            parts = {key_of(r) for r in rows}
+            model = [r for r in model if key_of(r) not in parts] + rows
         elif op == "delete":
             cut = rnd.randint(0, 99)
             # rotate spellings: Column CoW, structured CoW (routes the
@@ -89,12 +109,12 @@ def test_versioned_table_random_walk_matches_model(spark, tmp_path, seed):
             # while its own pin reads the frozen audit view — live at
             # stage time with the staged partitions replaced
             rows = fresh_rows(rnd.randint(1, 4))
-            aid = vt.commit(_df(spark, rows), "drop_id",
+            aid = vt.commit(_df(spark, rows), pcol,
                             note=f"staged {step}", staged=True)
             staged_pending[aid] = rows
-            parts = {r[0] for r in rows}
+            parts = {key_of(r) for r in rows}
             audit_expect[aid] = sorted(
-                [r for r in model if r[0] not in parts] + rows)
+                [r for r in model if key_of(r) not in parts] + rows)
             sid = None   # never pin a staged id against the live model
         elif op == "publish":
             pick = rnd.choice(sorted(staged_pending))
@@ -108,8 +128,9 @@ def test_versioned_table_random_walk_matches_model(spark, tmp_path, seed):
                 audit_expect.pop(pick, None)
                 sid = None
             else:
-                parts = {r[0] for r in rows}
-                model = [r for r in model if r[0] not in parts] + rows
+                parts = {key_of(r) for r in rows}
+                model = [r for r in model
+                         if key_of(r) not in parts] + rows
         elif op == "merge":
             # unique urls in the source (MERGE cardinality contract)
             srcs = {}
