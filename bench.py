@@ -208,6 +208,35 @@ def run_default() -> None:
         filestats[key] = round(min(runs), 3)
         spreads.append(max(runs) / min(runs))
 
+    # Hidden-partitioning variant: the same point lookup when the
+    # table's LAYOUT is a bucket(16, url) transform (Iceberg partition
+    # spec) — the spec prunes 15/16 partitions driver-side before any
+    # file manifest is read, the url bloom then skips inside the
+    # surviving bucket, and the user queried only the source column.
+    vh = VersionedTable(spark, corpus + "_vthidden")
+    if not vh.snapshots():
+        res = (extract_pages(pages, n_buckets=64, salt_n=8)
+               .drop("extract_us", "input_bytes", "salt", "blocks")
+               .repartition(8))
+        vh.commit(res, "url", partition_transform=("bucket", 16),
+                  bloom_cols=["url"])
+    ht = vh.read().agg(F.min("url")).collect()[0][0]
+    hlookup = [("url", "==", ht)]
+    hplan = vh.plan_files(where=hlookup)
+    filestats["hidden_partitions_pruned"] = hplan["partitions_pruned"]
+    filestats["hidden_files_kept"] = len(hplan["files"])
+    for key, fn in (("hidden_point_lookup_skip",
+                     lambda: vh.read(where=hlookup)),
+                    ("hidden_point_lookup_full",
+                     lambda: vh.read().where(F.col("url") == ht))):
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn().collect()
+            runs.append(time.perf_counter() - t0)
+        filestats[key] = round(min(runs), 3)
+        spreads.append(max(runs) / min(runs))
+
     # Merge-on-read takedown segment: the write-amplification win,
     # measured. Production-shaped table (bucket-partitioned results,
     # url blooms default-on); the copy-on-write takedown REWRITES
