@@ -144,14 +144,25 @@ def sync_aligned(spark: SparkSession, src_root: str, dst_root: str,
     matched the source's latest published snapshot."""
     src = VersionedTable(spark, src_root)
     latest = _published_latest(src)
-    pcol = src.snapshots()[0]["partition_col"]
+    spec = src.partition_spec()
+    pcol = spec["partition_col"]
     if pcol is None:
         raise ValueError(
             "sync_aligned requires a partitioned source (an "
             "unpartitioned table replaces wholesale every commit — "
             "there is no partition grain to align to)")
+    if spec["transform"] is not None:
+        raise ValueError(
+            "sync_aligned requires an IDENTITY-partitioned source: the "
+            "derived table aligns on partition VALUES, and a hidden "
+            f"transform ({spec['transform']!r}) has no value-grain "
+            "alignment — use sync_keyed (its own layout) instead")
     dst = VersionedTable(spark, dst_root)
     st = _load_state(dst_root)
+    # the source spec is part of the contract: an evolve_partition_spec
+    # on the source that changes the column (or adds a transform) makes
+    # the recorded alignment meaningless — surface it as the standard
+    # contract error with the full_resync pointer
     w = _check_state(st, dst_root, "aligned", src_root,
                      {"partition_col": pcol})
     if full_resync:
@@ -288,63 +299,93 @@ def sync_keyed(spark: SparkSession, src_root: str, dst_root: str,
                 "buckets_rewritten": [], "buckets_dropped": [],
                 "keys_deleted": 0, "keys_inserted": 0,
                 "dst_snapshot": None}
-    try:
-        changes = src.read_changes(w, latest,
-                                   change_col=CHANGE_COL).persist()
-    except ValueError as e:
-        raise _lineage_hint(e, dst_root) from e
-    touched = None
-    try:
-        ins = changes.where(F.col(CHANGE_COL) == "insert") \
-                     .drop(CHANGE_COL)
-        touched = changes.select(F.col(key_col)).distinct().persist()
-        n_del = (changes.where(F.col(CHANGE_COL) == "delete")
-                 .select(key_col).distinct().count())
-        n_ins = ins.select(key_col).distinct().count()
-        # affected buckets: driver-bounded by n_buckets, never rows
-        buckets = sorted(
-            r["b"] for r in
-            touched.select(bucket_of(key_col).alias("b"))
-            .distinct().collect())
-        if not buckets:
-            # layout-only source range: watermark advances, no commit
-            _save_state(dst_root, {**state, "dst_snapshot": (
-                st or {}).get("dst_snapshot")})
-            return {"synced": True, "src_snapshot": latest,
-                    "buckets_rewritten": [], "buckets_dropped": [],
-                    "keys_deleted": 0, "keys_inserted": 0,
-                    "dst_snapshot": None}
-        new_rows = derive(ins)
-        if dst.snapshots():
-            keep = (dst.read(partitions=buckets)
-                    .join(touched, key_col, "left_anti"))
-            out = keep.unionByName(new_rows).persist()
-        else:
-            out = new_rows.persist()
-        # buckets whose every derived row left: absent from out ->
-        # tombstone (a dynamic overwrite would otherwise carry the
-        # stale partition over). Bounded collect (<= n_buckets rows).
-        present = {r["b"] for r in
-                   out.select(F.col(bucket_col).alias("b"))
-                   .distinct().collect()}
-        live = (set(dst._resolve(None, None)[0])
-                if dst.snapshots() else set())
-        drops = [b for b in buckets
-                 if b not in present and str(b) in live]
-        sid = dst.commit(out, bucket_col,
-                         drop_partitions=drops or None,
-                         note=note or f"sync ({w}, {latest}]")
-        out.unpersist()
-    finally:
-        changes.unpersist()
-        if touched is not None:
-            touched.unpersist()
-    _save_state(dst_root, {**state, "dst_snapshot": sid})
+    # a partition-spec evolution on the source replaced its whole key
+    # space with rows preserved — read_changes refuses a range mixing
+    # it with data changes, so split at the evolve boundaries and
+    # reconcile each sub-range in order (the pure-evolve sub-ranges
+    # diff to zero and only advance the watermark). Key-grain
+    # reconciliation is layout-independent: the derived table never
+    # rebuilds for a source layout change. Each sub-range commits and
+    # saves its watermark before the next — a crash mid-sequence
+    # resumes exactly where it stopped, same replay contract as ever.
+    evolves = [s["id"] for s in src.snapshots()
+               if s.get("operation") == "evolve"
+               and w < s["id"] <= latest]
+    targets = sorted({t for e in evolves
+                      for t in (e - 1, e) if t > w} | {latest})
+    last_sid = (st or {}).get("dst_snapshot")
+    committed = False
+    tot_rw: set = set()
+    tot_dp: set = set()
+    tot_del = tot_ins = 0
+    lo = w
+    for hi in targets:
+        try:
+            changes = src.read_changes(lo, hi,
+                                       change_col=CHANGE_COL).persist()
+        except ValueError as e:
+            raise _lineage_hint(e, dst_root) from e
+        touched = None
+        try:
+            ins = changes.where(F.col(CHANGE_COL) == "insert") \
+                         .drop(CHANGE_COL)
+            touched = (changes.select(F.col(key_col))
+                       .distinct().persist())
+            n_del = (changes.where(F.col(CHANGE_COL) == "delete")
+                     .select(key_col).distinct().count())
+            n_ins = ins.select(key_col).distinct().count()
+            # affected buckets: driver-bounded by n_buckets, never rows
+            buckets = sorted(
+                r["b"] for r in
+                touched.select(bucket_of(key_col).alias("b"))
+                .distinct().collect())
+            if not buckets:
+                # layout-only sub-range: watermark advances, no commit
+                _save_state(dst_root, {**state, "src_snapshot": hi,
+                                       "dst_snapshot": last_sid})
+                lo = hi
+                continue
+            new_rows = derive(ins)
+            if dst.snapshots():
+                keep = (dst.read(partitions=buckets)
+                        .join(touched, key_col, "left_anti"))
+                out = keep.unionByName(new_rows).persist()
+            else:
+                out = new_rows.persist()
+            # buckets whose every derived row left: absent from out ->
+            # tombstone (a dynamic overwrite would otherwise carry the
+            # stale partition over). Bounded collect (<= n_buckets rows).
+            present = {r["b"] for r in
+                       out.select(F.col(bucket_col).alias("b"))
+                       .distinct().collect()}
+            live = (set(dst._resolve(None, None)[0])
+                    if dst.snapshots() else set())
+            drops = [b for b in buckets
+                     if b not in present and str(b) in live]
+            sid = dst.commit(out, bucket_col,
+                             drop_partitions=drops or None,
+                             note=note or f"sync ({lo}, {hi}]")
+            out.unpersist()
+        finally:
+            changes.unpersist()
+            if touched is not None:
+                touched.unpersist()
+        last_sid = sid
+        committed = True
+        tot_del += n_del
+        tot_ins += n_ins
+        rewritten = {b for b in buckets if b not in drops}
+        tot_rw |= rewritten
+        tot_dp = (tot_dp - rewritten) | set(drops)
+        tot_rw -= set(drops)
+        _save_state(dst_root, {**state, "src_snapshot": hi,
+                               "dst_snapshot": sid})
+        lo = hi
     return {"synced": True, "src_snapshot": latest,
-            "buckets_rewritten": [b for b in buckets
-                                  if b not in drops],
-            "buckets_dropped": drops, "keys_deleted": n_del,
-            "keys_inserted": n_ins, "dst_snapshot": sid}
+            "buckets_rewritten": sorted(tot_rw),
+            "buckets_dropped": sorted(tot_dp),
+            "keys_deleted": tot_del, "keys_inserted": tot_ins,
+            "dst_snapshot": last_sid if committed else None}
 
 
 def run_shards_job(spark: SparkSession, results_root: str,

@@ -120,6 +120,17 @@ CHECKS = {
         "residual as a normal Filter. At 10^12 documents this is the "
         "difference between a corpus scan and opening a handful of "
         "files."),
+    "spec_evolution_pinned_prune": (
+        "Partition-spec EVOLUTION (identity drop_id -> bucket(8, url)) "
+        "with PER-SNAPSHOT spec resolution: the post-evolution latest "
+        "read(where=[(\"url\",\"==\",u)]) prunes buckets through the "
+        "NEW spec before any file manifest is read, while the "
+        "PRE-evolution pin keeps pruning a drop_id equality through "
+        "the OLD identity spec — each snapshot plans with the spec its "
+        "data was laid out under (the Iceberg per-snapshot-spec rule), "
+        "so a layout migration never breaks time travel or its I/O "
+        "bounds. The captured plan is the post-evolution lookup: ONE "
+        "FileScan over the surviving bucket's bloom-kept files."),
     "ivfpq_search_scan": (
         "IVFADC query (Jégou 2011 §IV-B) over a pre-built (id, cell, "
         "codes) index: scan -> Filter(cell IN probed) -> per-cell "
@@ -612,6 +623,39 @@ def main() -> None:
                 f"buckets driver-side; inside the surviving bucket the "
                 f"url bloom kept {len(skipped['files'])} of "
                 f"{skipped['files_total']} files")
+        elif name == "spec_evolution_pinned_prune":
+            from pyspark.sql import functions as F
+            from ocr_spark.sources.io import VersionedTable
+            vt = VersionedTable(spark,
+                                os.path.join(REPO, "BENCH",
+                                             "_plans_vtevolve"))
+            if not vt.snapshots():
+                base = (spark.range(0, 20_000)
+                        .select(F.format_string("https://e%03d.example"
+                                                "/p%06d",
+                                                F.pmod(F.col("id"),
+                                                       F.lit(97)),
+                                                F.col("id"))
+                                .alias("url"),
+                                F.pmod(F.col("id"), F.lit(8))
+                                .cast("int").alias("drop_id"),
+                                F.md5(F.col("id").cast("string"))
+                                .alias("payload"))
+                        .repartition(4))
+                vt.commit(base, "drop_id", bloom_cols=["url"])
+                vt.evolve_partition_spec("url", ("bucket", 8),
+                                         layout_partitions=8)
+            u = vt.read().agg(F.min("url")).collect()[0][0]
+            pre = vt.plan_files(snapshot_id=1,
+                                where=[("drop_id", "==", 3)])
+            post = vt.plan_files(where=[("url", "==", u)])
+            extra_note[name] = (
+                f"pre-evolution pin pruned {pre['partitions_pruned']} "
+                f"of 8 identity partitions on drop_id; post-evolution "
+                f"latest pruned {post['partitions_pruned']} of 8 "
+                f"buckets on url and kept {len(post['files'])} of "
+                f"{post['files_total']} files via the bloom")
+            df = vt.read(where=[("url", "==", u)])
         elif name == "ivfpq_search_scan":
             from pyspark.sql import functions as F
             from ocr_spark.operators import similarity as S2

@@ -81,7 +81,7 @@ def test_ingest_two_drops_crash_resume_byte_identical(spark, tmp_path):
     # downstream incremental consumer (tokenize/pack since snapshot 1):
     # exactly the day2 partition, discovered from the manifest alone
     assert vt_a.changed_partitions(1) == {
-        "appended": ["day2"], "rewritten": [], "dropped": []}
+        "appended": ["day2"], "rewritten": [], "dropped": [], "evolved": []}
     assert {r["url"] for r in vt_a.read_incremental(1).collect()} == day2
 
     # --- crashed run + resume ---
@@ -181,7 +181,7 @@ def test_ingest_merge_latest_recrawl(spark, tmp_path):
     assert set(old) == {u1, u2} and "essay one " in old[u1]
     # incremental consumers are TOLD day1 changed underneath them
     assert vt.changed_partitions(1) == {
-        "appended": ["day2"], "rewritten": ["day1"], "dropped": []}
+        "appended": ["day2"], "rewritten": ["day1"], "dropped": [], "evolved": []}
     with pytest.raises(ValueError, match="non-append"):
         vt.read_incremental(1)
     inc = {r["url"] for r in

@@ -46,11 +46,11 @@ def test_changed_partitions_and_read_incremental(spark, tmp_path):
     vt.commit(_mk(spark, [(2, "b2", 9)]), "drop_id")               # id 3 (rw)
 
     assert vt.changed_partitions(0, 2) == {
-        "appended": ["1", "2", "3"], "rewritten": [], "dropped": []}
+        "appended": ["1", "2", "3"], "rewritten": [], "dropped": [], "evolved": []}
     assert vt.changed_partitions(1) == {
-        "appended": ["3"], "rewritten": ["2"], "dropped": []}
+        "appended": ["3"], "rewritten": ["2"], "dropped": [], "evolved": []}
     assert vt.changed_partitions(2, 3) == {
-        "appended": [], "rewritten": ["2"], "dropped": []}
+        "appended": [], "rewritten": ["2"], "dropped": [], "evolved": []}
 
     # clean append range: exactly the new drop
     assert _rows(vt.read_incremental(1, 2)) == [(3, "c", 3)]
@@ -194,10 +194,10 @@ def test_rewrite_files_logical_noop(spark, tmp_path):
     # commit must not read as a data rewrite (Iceberg append scans
     # skip replace snapshots)
     assert vt.changed_partitions(2) == {
-        "appended": [], "rewritten": [], "dropped": []}
+        "appended": [], "rewritten": [], "dropped": [], "evolved": []}
     assert vt.read_incremental(2).count() == 0
     assert vt.changed_partitions(1) == {
-        "appended": ["3"], "rewritten": [], "dropped": []}
+        "appended": ["3"], "rewritten": [], "dropped": [], "evolved": []}
     assert _rows(vt.read_incremental(1)) == [(3, "u3", 1)]
     ops = {r.snapshot_id: r.operation for r in vt.history().collect()}
     assert ops == {1: "write", 2: "write", 3: "rewrite"}

@@ -50,7 +50,7 @@ def test_staged_commit_invisible_until_publish(spark, tmp_path):
     # live surfaces: nothing happened
     assert _rows(vt.read()) == [("u1", "a", 1)]
     assert vt.changed_partitions(1) == {
-        "appended": [], "rewritten": [], "dropped": []}
+        "appended": [], "rewritten": [], "dropped": [], "evolved": []}
     assert _rows(vt.read_incremental(1)) == []
     # audit view at the explicit pin: parent + staged changes
     assert _rows(vt.read(snapshot_id=sid)) == [
@@ -65,7 +65,7 @@ def test_staged_commit_invisible_until_publish(spark, tmp_path):
         == next(s for s in vt.snapshots() if s["id"] == sid)["parts"]
     # incremental consumers see the append AT the publish id
     assert vt.changed_partitions(sid) == {
-        "appended": ["b"], "rewritten": [], "dropped": []}
+        "appended": ["b"], "rewritten": [], "dropped": [], "evolved": []}
     assert _rows(vt.read_incremental(sid)) == [("u2", "b", 2)]
     # idempotent re-publish (crash-replay window)
     assert vt.publish(sid) == pid
