@@ -2771,6 +2771,107 @@ class VersionedTable:
                            partition_transform=partition_transform,
                            note=note or spec_note)
 
+    def _file_meta(self, snapshot_id: int | None,
+                   ref: str | None) -> list[tuple]:
+        """Driver-side per-file metadata rows for the (pinned) live
+        view: (partition, rel path, size_bytes, row_count|None,
+        src_snapshot, stats_json|None). Row counts and column stats
+        come from the per-snapshot file manifest (_filestats.json —
+        present whenever the stats/bloom property is on); sizes from
+        the filesystem. Cost bounded by the LIVE file count."""
+        sid = self._pin(snapshot_id, ref)
+        live, _ = self._resolve(sid, None, with_src=True)
+        cache: dict[str, dict | None] = {}
+        rows: list[tuple] = []
+        for k, (rel, src) in sorted(live.items()):
+            top = rel.split(os.sep)[0]
+            if top not in cache:
+                p = os.path.join(self.root, "data", top, _STATS_FILE)
+                if os.path.exists(p):
+                    with open(p) as f:
+                        cache[top] = json.load(f)
+                else:
+                    cache[top] = None
+            man = cache[top]
+            entries = (man["files"].get(k, [])
+                       if man is not None else [])
+            by_f = {e["f"]: e for e in entries}
+            d = os.path.join(self.root, "data", rel)
+            for f in sorted(os.listdir(d)):
+                if not f.endswith(".parquet"):
+                    continue
+                e = by_f.get(f)
+                rows.append((
+                    k, os.path.join(rel, f),
+                    os.path.getsize(os.path.join(d, f)),
+                    e.get("rows") if e else None,
+                    src,
+                    (json.dumps(e["cols"], sort_keys=True)
+                     if e and e.get("cols") else None)))
+        return rows
+
+    def files(self, snapshot_id: int | None = None,
+              ref: str | None = None) -> DataFrame:
+        """Per-FILE metadata table (Iceberg's ``.files``): one row per
+        live data file of the (pinned) view — partition key, path
+        relative to the data root, size, row count, the snapshot that
+        established the file's partition, and the recorded column
+        stats as JSON. Row counts/stats are None unless the table
+        carries the stats or bloom property (enable ``stats_cols=`` to
+        make this table footer-read-free); sizes always come from the
+        filesystem, bounded by the live file count — the ops surface
+        for skew checks, small-file detection and ``rewrite_files``
+        scheduling."""
+        return self.spark.createDataFrame(
+            self._file_meta(snapshot_id, ref),
+            "partition STRING, file STRING, size_bytes BIGINT, "
+            "row_count BIGINT, src_snapshot INT, stats STRING")
+
+    def partitions(self, snapshot_id: int | None = None,
+                   ref: str | None = None) -> DataFrame:
+        """Per-PARTITION metadata table (Iceberg's ``.partitions``):
+        file count, total bytes, total rows (None when any file lacks
+        a recorded count) and establishing snapshot per live partition
+        — the skew/compaction dashboard in one driver-side call."""
+        agg: dict[str, list] = {}
+        for k, _f, sz, n, src, _s in self._file_meta(snapshot_id, ref):
+            a = agg.setdefault(k, [0, 0, 0, True, src])
+            a[0] += 1
+            a[1] += sz
+            if n is None:
+                a[3] = False
+            else:
+                a[2] += n
+        rows = [(k, a[0], a[1], a[2] if a[3] else None, a[4])
+                for k, a in sorted(agg.items())]
+        return self.spark.createDataFrame(
+            rows,
+            "partition STRING, file_count INT, size_bytes BIGINT, "
+            "row_count BIGINT, src_snapshot INT")
+
+    def row_deletes(self) -> DataFrame:
+        """Pending-takedown metadata table (the merge-on-read ledger):
+        one row per recorded ``delete_where(mode="merge_on_read")``
+        entry still in the manifest, with its structured predicate,
+        the affected-partition bound recorded at delete time, and
+        whether it is still PENDING (applies to at least one live
+        partition — i.e. reads are paying its filter) or inert
+        (applied/baked in; expiry will retire the record). Driver-side
+        over the manifest."""
+        live, _ = self._resolve(None, None, with_src=True)
+        rows = []
+        for d in self._deletes_upto(None):
+            pending = any(self._delete_applies(d, k, src)
+                          for k, (_rel, src) in live.items())
+            rows.append((d["id"],
+                         json.dumps(d["predicate"]),
+                         sorted(d.get("affected") or []),
+                         pending))
+        return self.spark.createDataFrame(
+            rows,
+            "delete_id INT, predicate STRING, "
+            "affected ARRAY<STRING>, pending BOOLEAN")
+
     def history(self) -> DataFrame:
         """Snapshot metadata as a DataFrame (Iceberg's ``.history`` /
         ``.snapshots`` metadata tables): one row per commit with the

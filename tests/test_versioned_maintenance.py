@@ -270,3 +270,59 @@ def test_history_metadata_table(spark, tmp_path):
     assert h[4].committed_at is not None
     assert [h[i].operation for i in (1, 2, 3, 4)] == [
         "write", "write", "delete", "merge"]
+
+
+# ------------------------------------------------- metadata tables (.files)
+
+
+def test_files_partitions_metadata_tables(spark, tmp_path):
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.commit(_mk(spark, [(1, "a", 1), (1, "b", 2), (2, "c", 3)]),
+              "drop_id", stats_cols=["url"])                      # id 1
+    vt.commit(_mk(spark, [(3, "d", 4)]), "drop_id")               # id 2
+    f = vt.files().collect()
+    # one row per live parquet file, sizes real, rows from the manifest
+    assert all(r.size_bytes > 0 for r in f)
+    assert sum(r.row_count for r in f) == 4
+    assert {r.partition for r in f} == {"1", "2", "3"}
+    # src_snapshot = the commit that ESTABLISHED each partition
+    src = {r.partition: r.src_snapshot for r in f}
+    assert src == {"1": 1, "2": 1, "3": 2}
+    # recorded url stats ride along as JSON (per FILE — fold over the
+    # partition's files for the partition-level bound)
+    import json as J
+    assert min(J.loads(r.stats)["url"]["min"] for r in f
+               if r.partition == "1" and r.stats) == "a"
+    # the partitions rollup agrees with the file rows
+    p = {r.partition: r for r in vt.partitions().collect()}
+    assert p["1"].file_count >= 1 and p["1"].row_count == 2
+    assert sum(r.size_bytes for r in f) == \
+        sum(r.size_bytes for r in p.values())
+    # pinned: the metadata tables time-travel with the view
+    vt.delete_where(F.col("drop_id") == 3)                        # id 3
+    assert {r.partition for r in vt.files().collect()} == {"1", "2"}
+    assert {r.partition
+            for r in vt.files(snapshot_id=2).collect()} == \
+        {"1", "2", "3"}
+
+
+def test_files_without_stats_property_and_row_deletes(spark, tmp_path):
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.commit(_mk(spark, [(1, "a", 1), (2, "b", 2)]), "drop_id")  # id 1
+    # no stats/bloom property: sizes still real, counts honestly None
+    f = vt.files().collect()
+    assert all(r.size_bytes > 0 and r.row_count is None
+               and r.stats is None for r in f)
+    assert vt.partitions().collect()[0].row_count is None
+    # merge-on-read ledger: pending until applied, retired by expiry
+    assert vt.row_deletes().count() == 0
+    vt.delete_where([("url", "==", "a")], mode="merge_on_read")   # id 2
+    led = vt.row_deletes().collect()
+    assert len(led) == 1 and led[0].pending
+    assert led[0].predicate == '[["url", "==", "a"]]'
+    sid, _ = vt.apply_deletes()                                   # id 3
+    assert sid is not None
+    led2 = vt.row_deletes().collect()
+    assert len(led2) == 1 and not led2[0].pending
+    vt.expire_snapshots(keep_last=1)
+    assert vt.row_deletes().count() == 0
