@@ -1623,16 +1623,17 @@ class VersionedTable:
             evolved = [s["id"] for s in snaps
                        if s.get("operation") == "evolve"
                        and s["id"] > staged_id]
-            if evolved:
+            if evolved or _spec_at(snaps, staged_id) != _spec_at(snaps):
                 # HARD block (no force): the staged data was laid out
                 # under the pre-evolution spec — cherry-picking its
                 # partition keys into the evolved key space would mix
-                # two layouts in one live view
+                # two layouts in one live view. The spec comparison
+                # additionally catches a spec-crossing rollback_to.
                 raise ValueError(
                     f"cannot publish staged snapshot {staged_id}: the "
-                    f"partition spec evolved at snapshot(s) {evolved} "
-                    "after it was staged — re-stage the drop under the "
-                    "current spec")
+                    f"partition spec changed after it was staged "
+                    f"(evolve at {evolved or 'a rollback'}) — re-stage "
+                    "the drop under the current spec")
             idx = snaps.index(src)
             then = _fold_live(snaps[:idx])
             now = _fold_live(snaps)
@@ -1767,6 +1768,13 @@ class VersionedTable:
                                  "predicate": s["predicate"],
                                  "predicate_ids": s.get("predicate_ids"),
                                  "affected": s.get("affected")}
+            elif s.get("operation") == "rollback":
+                # restoring snapshot t restores its DELETE state too:
+                # records issued after t vanish from the restored
+                # lineage (their rows come back), records at or
+                # before t keep filtering exactly as they did at t
+                dels = {i: d for i, d in dels.items()
+                        if i <= s["target"]}
             for d in s.get("row_deletes", []):
                 dels.setdefault(d["id"], d)
         return [dels[i] for i in sorted(dels)]
@@ -2382,6 +2390,22 @@ class VersionedTable:
                 f"diff the sub-ranges {ranges} in order instead (each "
                 "stays within one spec; the evolve boundaries "
                 "themselves are zero-change)")
+        if from_snapshot > 0 and _spec_at(snaps, from_snapshot) != \
+                _spec_at(snaps, to_eff):
+            # the endpoints live under DIFFERENT partition specs with
+            # no evolve entry in range: a spec-crossing rollback_to.
+            # The partition-grain bounding below would compare views
+            # whose key strings collide across specs (identity "1" vs
+            # bucket "1") and emit spurious non-cancelled
+            # delete+insert pairs — fall back to the full-view
+            # multiset diff, the honest cost of comparing across
+            # layouts (exactly the rollback-undo consumers want).
+            new = self.read(snapshot_id=to_snapshot)
+            old = self._diff_aligned(
+                self.read(snapshot_id=from_snapshot), new,
+                row_diff=True)
+            return _tag(new.exceptAll(old), "insert").unionByName(
+                _tag(old.exceptAll(new), "delete"))
 
         pcol = _spec_at(snaps, to_snapshot)[0] if snaps else None
         if pcol is None:
@@ -2770,6 +2794,73 @@ class VersionedTable:
                            operation="evolve",
                            partition_transform=partition_transform,
                            note=note or spec_note)
+
+    def rollback_to(self, snapshot_id: int, note: str = "") -> int:
+        """Make an earlier snapshot the LIVE view again (Iceberg
+        ``rollback_to_snapshot``): one O(1) METADATA-ONLY manifest
+        entry whose parts are the target's resolved view — no data
+        file is read, rewritten or moved, and nothing after the target
+        is lost (the rolled-past snapshots stay pinned/readable until
+        expiry; roll forward by rolling "back" to one of them). The
+        recovery path when a bad drop was published without the
+        write-audit-publish gate.
+
+        Restoring a snapshot restores its WHOLE state:
+
+        * merge-on-read delete records issued AFTER the target stop
+          applying (their rows come back — they were not part of the
+          target's state), records at or before it keep filtering
+          exactly as they did (`_deletes_upto` is rollback-aware, so
+          pins between the target and the rollback still see their
+          own delete state);
+        * the partition SPEC active at the target is re-established
+          (``spec_set``), so a rollback across an
+          ``evolve_partition_spec`` restores the old layout and later
+          commits/maintenance run under it;
+        * table properties (stats/bloom cols, schema registry) are
+          deliberately NOT rolled back — they are harvest/metadata
+          config, not data state (the Iceberg rule: rollback moves
+          the current snapshot pointer, table metadata stays).
+
+        Incremental consumers see the restored partitions as
+        rewritten/dropped (``read_incremental`` raises — correct: the
+        rows they consumed changed underneath), and ``read_changes``
+        across the rollback returns exactly the net undo. Staged
+        snapshots whose spec no longer matches are blocked from
+        publish. Returns the rollback entry's snapshot id."""
+        with _ManifestLock(self.root):
+            snaps = self.snapshots()
+            if not snaps:
+                raise ValueError(
+                    f"VersionedTable at {self.root} has no snapshots")
+            tgt = next((s for s in snaps if s["id"] == snapshot_id),
+                       None)
+            if tgt is not None and tgt.get("staged"):
+                raise ValueError(
+                    f"cannot rollback to {snapshot_id}: a staged "
+                    "(write-audit-publish) snapshot is not on the "
+                    "published lineage — publish it instead")
+            if snapshot_id == snaps[-1]["id"]:
+                raise ValueError(
+                    f"snapshot {snapshot_id} is already the latest "
+                    f"view of {self.root}")
+            # resolves the published lineage at the target; raises on
+            # expired/unknown ids exactly like a pinned read would
+            view, _ = self._resolve(snapshot_id, None, with_src=True)
+            cp, ct = _spec_at(snaps, snapshot_id)
+            sid = snaps[-1]["id"] + 1
+            entry = {"id": sid, "ts": time.time(),
+                     "note": note or f"rollback to {snapshot_id}",
+                     "operation": "rollback", "target": snapshot_id,
+                     "partition_col": cp, "spec_set": True,
+                     "replace_all": True,
+                     "parts": {k: v[0] for k, v in view.items()},
+                     "part_src": {k: v[1] for k, v in view.items()}}
+            if ct is not None:
+                entry["transform"] = ct
+            snaps.append(entry)
+            self._write_manifest(snaps)
+        return sid
 
     def _file_meta(self, snapshot_id: int | None,
                    ref: str | None) -> list[tuple]:
