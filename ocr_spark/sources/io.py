@@ -1353,11 +1353,12 @@ class VersionedTable:
         cur_pcol, cur_tf = (_spec_at(snaps) if snaps
                             else (partition_col, tf_req))
         if operation == "evolve":
-            if not replace_all or not snaps:
+            if not replace_all or not snaps or staged:
                 raise ValueError(
                     "operation='evolve' is internal to "
-                    "evolve_partition_spec (replace_all rewrite of a "
-                    "non-empty table)")
+                    "evolve_partition_spec (an unstaged replace_all "
+                    "rewrite of a non-empty table — a STAGED evolve "
+                    "would make an invisible entry spec-setting)")
             tf = tf_req
         else:
             if snaps and cur_pcol != partition_col:
