@@ -311,8 +311,16 @@ def sync_keyed(spark: SparkSession, src_root: str, dst_root: str,
     evolves = [s["id"] for s in src.snapshots()
                if s.get("operation") == "evolve"
                and w < s["id"] <= latest]
-    targets = sorted({t for e in evolves
-                      for t in (e - 1, e) if t > w} | {latest})
+    # split points must be PUBLISHED ids (read_changes rejects staged
+    # endpoints): the pre-boundary target is the nearest published
+    # snapshot at or below e-1 — any staged entries skipped over are
+    # invisible to the changelog anyway
+    pub = sorted(s["id"] for s in src.snapshots()
+                 if not s.get("staged"))
+    pre_cuts = {max((i for i in pub if i < e), default=w)
+                for e in evolves}
+    targets = sorted({t for t in (pre_cuts | set(evolves))
+                      if t > w} | {latest})
     last_sid = (st or {}).get("dst_snapshot")
     committed = False
     tot_rw: set = set()

@@ -1762,23 +1762,37 @@ class VersionedTable:
         snaps = self.snapshots()
         if snapshot_id is not None:
             snaps = [s for s in snaps if s["id"] <= snapshot_id]
+        dels = self._fold_deletes(snaps)
+        return [dels[i] for i in sorted(dels)]
+
+    @classmethod
+    def _fold_deletes(cls, snaps: list[dict]) -> dict[int, dict]:
+        """Fold the manifest prefix to its VISIBLE delete-record set.
+        A rollback entry restores the delete state OF ITS TARGET —
+        computed recursively from the prefix at the target, so a
+        roll-forward (rollback to a snapshot that postdates an earlier
+        rollback) re-surfaces the records that snapshot was filtering
+        (a takedown must never silently resurrect rows). An
+        expiry-compacted entry with ``deletes_set`` is authoritative:
+        its carried ``row_deletes`` ARE the visible set at that id
+        (compaction may have truncated the rollback entry whose
+        filtering produced it)."""
         dels: dict[int, dict] = {}
         for s in snaps:
+            if s.get("deletes_set"):
+                dels = {d["id"]: d for d in s.get("row_deletes", [])}
+                continue
             if s.get("operation") == "row_delete":
                 dels[s["id"]] = {"id": s["id"],
                                  "predicate": s["predicate"],
                                  "predicate_ids": s.get("predicate_ids"),
                                  "affected": s.get("affected")}
             elif s.get("operation") == "rollback":
-                # restoring snapshot t restores its DELETE state too:
-                # records issued after t vanish from the restored
-                # lineage (their rows come back), records at or
-                # before t keep filtering exactly as they did at t
-                dels = {i: d for i, d in dels.items()
-                        if i <= s["target"]}
+                dels = cls._fold_deletes(
+                    [e for e in snaps if e["id"] <= s["target"]])
             for d in s.get("row_deletes", []):
                 dels.setdefault(d["id"], d)
-        return [dels[i] for i in sorted(dels)]
+        return dels
 
     @staticmethod
     def _delete_applies(d: dict, k: str, src: int) -> bool:
@@ -2229,6 +2243,24 @@ class VersionedTable:
                     and from_snapshot < s["id"] <= to):
                 rewritten.update(k for k in s.get("affected", [])
                                  if k in l1 and k not in appended)
+            elif (s.get("operation") == "rollback"
+                    and from_snapshot < s["id"] <= to):
+                # a rollback can change ROWS without moving any
+                # partition dir, by cancelling (or re-surfacing) MOR
+                # delete records: diff the visible-delete sets across
+                # the entry and count the changed records' affected
+                # partitions as rewritten (None = unbounded record →
+                # everything), so incremental consumers never miss a
+                # takedown undone underneath them
+                pre = self._fold_deletes(
+                    [e for e in snaps if e["id"] < s["id"]])
+                post = self._fold_deletes(
+                    [e for e in snaps if e["id"] <= s["id"]])
+                for did in set(pre) ^ set(post):
+                    aff = (pre.get(did) or post[did]).get("affected")
+                    rewritten.update(
+                        k for k in (l1 if aff is None else aff)
+                        if k in l1 and k not in appended)
         # a partition-spec evolution in range replaced the whole key
         # space (rows preserved): the old keys read as dropped, the new
         # ones as appended — surfaced separately so consumers can tell
@@ -2863,6 +2895,19 @@ class VersionedTable:
             self._write_manifest(snaps)
         return sid
 
+    def _stats_manifest(self, top: str, cache: dict) -> dict | None:
+        """The per-snapshot-dir file manifest (_filestats.json), cached
+        per top-level data dir; None when the commit carried no
+        stats/bloom property."""
+        if top not in cache:
+            p = os.path.join(self.root, "data", top, _STATS_FILE)
+            if os.path.exists(p):
+                with open(p) as f:
+                    cache[top] = json.load(f)
+            else:
+                cache[top] = None
+        return cache[top]
+
     def _file_meta(self, snapshot_id: int | None,
                    ref: str | None) -> list[tuple]:
         """Driver-side per-file metadata rows for the (pinned) live
@@ -2877,14 +2922,7 @@ class VersionedTable:
         rows: list[tuple] = []
         for k, (rel, src) in sorted(live.items()):
             top = rel.split(os.sep)[0]
-            if top not in cache:
-                p = os.path.join(self.root, "data", top, _STATS_FILE)
-                if os.path.exists(p):
-                    with open(p) as f:
-                        cache[top] = json.load(f)
-                else:
-                    cache[top] = None
-            man = cache[top]
+            man = self._stats_manifest(top, cache)
             entries = (man["files"].get(k, [])
                        if man is not None else [])
             by_f = {e["f"]: e for e in entries}
@@ -2955,9 +2993,13 @@ class VersionedTable:
         for d in self._deletes_upto(None):
             pending = any(self._delete_applies(d, k, src)
                           for k, (_rel, src) in live.items())
+            aff = d.get("affected")
             rows.append((d["id"],
                          json.dumps(d["predicate"]),
-                         sorted(d.get("affected") or []),
+                         # None = no recorded bound: the record applies
+                         # to EVERY predating partition — render NULL,
+                         # never an empty (touches-nothing) array
+                         sorted(aff) if aff is not None else None,
                          pending))
         return self.spark.createDataFrame(
             rows,
@@ -3216,6 +3258,17 @@ class VersionedTable:
                                for k, (_rel, src) in carry_items)]
                 if pend:
                     compacted["row_deletes"] = pend
+                if not s.get("staged"):
+                    # authoritative (deletes_set): the carried records
+                    # ARE the visible set at this id — a truncated
+                    # rollback entry's filtering must survive even
+                    # when an EARLIER surviving entry still carries a
+                    # record that the rollback had cancelled (expiry
+                    # must never change what a surviving id reads). A
+                    # staged compacted entry keeps the additive carry:
+                    # it is invisible to live folds, and resetting
+                    # there would corrupt the published lineage.
+                    compacted["deletes_set"] = True
                 # the stats/bloom properties must survive history
                 # truncation: each compacted entry inherits the newest
                 # set at or before its id (id-spelled form included, so
@@ -3377,14 +3430,7 @@ class VersionedTable:
         total = 0
         for k, rel in sorted(live.items()):
             top = rel.split(os.sep)[0]
-            if top not in cache:
-                p = os.path.join(self.root, "data", top, _STATS_FILE)
-                if os.path.exists(p):
-                    with open(p) as f:
-                        cache[top] = json.load(f)
-                else:
-                    cache[top] = None
-            man = cache[top]
+            man = self._stats_manifest(top, cache)
             entries = man["files"].get(k) if man is not None else None
             if entries is None:
                 # pre-property snapshot dir: no manifest, list + keep all

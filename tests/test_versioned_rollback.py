@@ -162,3 +162,67 @@ def test_rollback_guards(spark, tmp_path):
                        staged=True)                               # id 3
     with pytest.raises(ValueError, match="staged"):
         vt.rollback_to(staged)
+
+
+# ---- review findings (r4 session): rollback x merge-on-read deletes
+
+
+def test_roll_forward_restores_delete_records(spark, tmp_path):
+    """Roll-forward must restore the target's VISIBLE delete set: a
+    takedown cancelled by an intermediate rollback re-applies when a
+    later rollback restores the post-takedown snapshot — a
+    right-to-be-forgotten delete must never silently resurrect rows."""
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.commit(_mk(spark, [(1, "a", 1), (2, "b", 2)]), "drop_id")  # id 1
+    vt.delete_where([("url", "==", "a")],
+                    mode="merge_on_read")                         # id 2
+    vt.rollback_to(1)                                             # id 3
+    assert _rows(vt.read()) == [(1, "a", 1), (2, "b", 2)]
+    assert vt.row_deletes().count() == 0
+    vt.rollback_to(2)   # roll FORWARD to the post-takedown state   # id 4
+    assert _rows(vt.read()) == [(2, "b", 2)]
+    led = vt.row_deletes().collect()
+    assert len(led) == 1 and led[0].delete_id == 2 and led[0].pending
+
+
+def test_rollback_of_mor_delete_visible_to_consumers(spark, tmp_path):
+    """A rollback that undoes a metadata-only takedown changes ROWS
+    without moving any partition dir — incremental consumers must see
+    it (read_incremental raises; read_changes emits the restored rows
+    as inserts), never a silent zero-change range."""
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.commit(_mk(spark, [(1, "a", 1), (2, "b", 2)]), "drop_id",
+              stats_cols=["url"])                                 # id 1
+    vt.delete_where([("url", "==", "a")],
+                    mode="merge_on_read")                         # id 2
+    rid = vt.rollback_to(1)                                       # id 3
+    ch = vt.changed_partitions(2, rid)
+    assert ch["rewritten"], "delete-state change must mark rewrites"
+    with pytest.raises(ValueError, match="non-append"):
+        vt.read_incremental(2)
+    got = sorted(((r.drop_id, r.url, r.n), r._change_type)
+                 for r in vt.read_changes(2, rid).collect())
+    assert got == [((1, "a", 1), "insert")]
+
+
+def test_expiry_preserves_rollback_delete_cancellation(spark, tmp_path):
+    """Expiry must never change what the latest view reads: when the
+    rollback entry that cancelled a delete record is compacted away
+    while an EARLIER surviving (tagged) entry still carries the
+    record, the compacted base's authoritative delete set (deletes_set)
+    keeps the cancellation."""
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.commit(_mk(spark, [(1, "a", 1), (2, "b", 2)]), "drop_id")  # id 1
+    vt.delete_where([("url", "==", "a")],
+                    mode="merge_on_read")                         # id 2
+    vt.create_tag("audit", 2)
+    vt.commit(_mk(spark, [(3, "c", 3)]), "drop_id")               # id 3
+    vt.rollback_to(1)                                             # id 4
+    before = _rows(vt.read())
+    assert before == [(1, "a", 1), (2, "b", 2)]
+    vt.expire_snapshots(keep_last=1)
+    assert _rows(vt.read()) == before, \
+        "expiry changed the live view's delete state"
+    assert vt.row_deletes().count() == 0
+    # the tagged pre-rollback pin still reads ITS delete state
+    assert _rows(vt.read(ref="audit")) == [(2, "b", 2)]

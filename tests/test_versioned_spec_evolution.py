@@ -338,3 +338,30 @@ def test_sync_aligned_spec_change_is_contract_error(spark, tmp_path):
     with pytest.raises(ValueError, match="full_resync"):
         sync_aligned(spark, src.root, dst,
                      lambda df: df.select("drop_id", "url"))
+
+
+def test_sync_keyed_evolve_after_staged_snapshot(spark, tmp_path):
+    """Review finding: the evolve split point must land on a PUBLISHED
+    snapshot — when the entry just before the evolve is a staged
+    (quarantined) commit, the sub-range cut moves down to the nearest
+    published id instead of wedging every sync on the staged-endpoint
+    error."""
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    src.commit(spark.createDataFrame(
+        [(1, "a", "x y"), (1, "b", "z")], SCHEMA), "drop_id")     # id 1
+    dst = str(tmp_path / "dv")
+    res = sync_keyed(spark, src.root, dst, _words, key_col="url",
+                     n_buckets=4)
+    assert res["synced"] and res["keys_inserted"] == 2
+    # a failed-audit drop left pending, then the layout evolves
+    src.commit(spark.createDataFrame(
+        [(2, "q", "bad")], SCHEMA), "drop_id", staged=True)       # id 2
+    src.evolve_partition_spec("url", ("bucket", 4))               # id 3
+    res2 = sync_keyed(spark, src.root, dst, _words, key_col="url",
+                      n_buckets=4)
+    assert res2["synced"] and res2["keys_inserted"] == 0
+    assert res2["dst_snapshot"] is None
+    # the quarantined rows never reached the derived table
+    got = {r.url for r in
+           VersionedTable(spark, dst).read().select("url").collect()}
+    assert got == {"a", "b"}
