@@ -1253,6 +1253,7 @@ class VersionedTable:
                operation: str = "write",
                stats_cols: list[str] | None = None,
                bloom_cols: list[str] | None = None,
+               sort_order: list[str] | None = None,
                staged: bool = False,
                partition_transform=None) -> int:
         """Write ``df`` as a new snapshot. With ``partition_col``,
@@ -1330,6 +1331,26 @@ class VersionedTable:
         files this commit just wrote — opt-in for that reason);
         explicitly naming a non-string/integer column raises.
 
+        ``sort_order`` (a third inherited table property — Iceberg's
+        WRITE SORT ORDER, ``ALTER TABLE … WRITE ORDERED BY``): every
+        commit lays its rows out task-locally sorted by the named
+        columns before writing (``sortWithinPartitions`` — a local
+        sort, never an extra shuffle), so each data FILE is internally
+        clustered and its recorded min/max bounds stay tight. Because
+        the property is inherited by the internal delete_where /
+        merge_into / evolve / rewrite_files commits, maintenance
+        preserves clustering without every caller remembering
+        ``sort_by=`` — the footgun this closes: compacting a clustered
+        table with a bare ``rewrite_files()`` used to span every file
+        across the whole value range and silently kill file skipping
+        (``rewrite_files`` additionally defaults its range
+        distribution to this property). Task-local means bounds are
+        tight WITHIN each write task; for globally disjoint ranges
+        distribute first (``repartitionByRange`` upstream, or let
+        ``rewrite_files`` do it). Columns absent from one commit's
+        ``df`` (schema evolution) are skipped for that commit; pass
+        ``[]`` to switch the property off from this snapshot on.
+
         ``staged=True`` is the WRITE step of write-audit-publish
         (Iceberg WAP — ``spark.wap.id`` staged commits): the data is
         written and the snapshot recorded, but the LIVE view never
@@ -1399,6 +1420,19 @@ class VersionedTable:
         else:
             bloom_prop = self._inherited_prop(snaps, "bloom_cols",
                                               "bloom_col_ids")
+        if sort_order is not None:
+            missing = [c for c in sort_order if c not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"sort_order {missing} not in DataFrame columns "
+                    f"{df.columns}")
+            sort_prop: list[str] | None = list(sort_order)
+        else:
+            sort_prop = self._inherited_prop(snaps, "sort_order",
+                                             "sort_order_ids")
+        # write sort order: task-local (no shuffle) — each written file
+        # comes out internally sorted on the present order columns
+        sort_now = [c for c in (sort_prop or []) if c in df.columns]
         # PROVISIONAL id names the data dir (uuid suffix makes it
         # collision-free even when two writers race); the COMMITTED id
         # is assigned under the manifest lock below, so a concurrent
@@ -1410,7 +1444,8 @@ class VersionedTable:
         parts: dict[str, str]
         schema_dir: str | None = None
         if partition_col is None:
-            df.write.mode("errorifexists").parquet(out)
+            w = df.sortWithinPartitions(*sort_now) if sort_now else df
+            w.write.mode("errorifexists").parquet(out)
             parts = {"__table__": rel}
         else:
             # partition the LAYOUT on a duplicate string column so the
@@ -1428,8 +1463,15 @@ class VersionedTable:
                     f"partition column {partition_col!r} not in "
                     f"DataFrame columns {df.columns}")
             key = _transform_expr(tf, F.col(partition_col), ptype)
-            (df.withColumn("_pv", key)
-             .write.mode("errorifexists").partitionBy("_pv").parquet(out))
+            w = df.withColumn("_pv", key)
+            if sort_now:
+                # "_pv" leads so the writer's required per-task
+                # ordering on the partition column is already
+                # satisfied and FileFormatWriter skips its own
+                # (non-stable) re-sort, keeping the order columns'
+                # clustering intact within each file
+                w = w.sortWithinPartitions("_pv", *sort_now)
+            w.write.mode("errorifexists").partitionBy("_pv").parquet(out)
             # manifest keys come from the directories Spark ACTUALLY
             # wrote (Hive-escaped spelling) — never from a second
             # evaluation of df, which would re-run the upstream plan
@@ -1571,7 +1613,9 @@ class VersionedTable:
             for prop, pkey, ikey in ((stats_prop, "stats_cols",
                                       "stats_col_ids"),
                                      (bloom_prop, "bloom_cols",
-                                      "bloom_col_ids")):
+                                      "bloom_col_ids"),
+                                     (sort_prop, "sort_order",
+                                      "sort_order_ids")):
                 if prop is None:
                     continue
                 entry[pkey] = prop
@@ -2669,7 +2713,11 @@ class VersionedTable:
         whole value range and file-statistics skipping on it degrades
         to nothing — compaction of a zorder_layout table should pass
         its clustering columns here to keep ``read(where=...)``
-        pruning effective."""
+        pruning effective. ``None`` (default) inherits the table's
+        ``sort_order`` property when one is set, so a table declared
+        with a write sort order keeps its clustering through a bare
+        ``rewrite_files()``; pass ``[]`` to force the plain hash
+        layout on such a table."""
         import math
         from functools import reduce
 
@@ -2677,6 +2725,9 @@ class VersionedTable:
         if not snaps:
             raise ValueError(
                 f"VersionedTable at {self.root} has no snapshots")
+        if sort_by is None:
+            sort_by = self._inherited_prop(snaps, "sort_order",
+                                           "sort_order_ids")
         pcol = _spec_at(snaps)[0]
         live, _ = self._resolve(None, None)
         plan: dict[str, int] = {}
@@ -2724,6 +2775,20 @@ class VersionedTable:
                 if f.endswith(".parquet")])
             for rel in new_parts.values() if rel is not None)
         return sid, stats
+
+    def sort_order(self) -> list[str] | None:
+        """The table's WRITE SORT ORDER property as current logical
+        column names (None when never set, ``[]`` when explicitly
+        switched off) — the column list every commit task-locally
+        sorts by before writing and ``rewrite_files`` range-
+        distributes on by default. Renames follow via field ids like
+        the stats/bloom properties."""
+        snaps = self.snapshots()
+        if not snaps:
+            raise ValueError(
+                f"VersionedTable at {self.root} has no snapshots")
+        return self._inherited_prop(snaps, "sort_order",
+                                    "sort_order_ids")
 
     def partition_spec(self, snapshot_id: int | None = None,
                        ref: str | None = None) -> dict:
@@ -3274,7 +3339,8 @@ class VersionedTable:
                 # set at or before its id (id-spelled form included, so
                 # skipping keeps following renames)
                 for pkey, ikey in (("stats_cols", "stats_col_ids"),
-                                   ("bloom_cols", "bloom_col_ids")):
+                                   ("bloom_cols", "bloom_col_ids"),
+                                   ("sort_order", "sort_order_ids")):
                     prop = next((p for p in reversed(snaps)
                                  if p["id"] <= s["id"]
                                  and p.get(pkey) is not None), None)

@@ -118,6 +118,58 @@ def test_aligned_recrawl_and_mor_takedown_propagate(spark, src,
         _tcounts(src.read()), "drop_id", "url", "n")
 
 
+def test_aligned_sync_across_rollback_of_takedown(spark, src,
+                                                  tmp_path):
+    """The restore path end-to-end: takedown synced to the derived
+    table, then the takedown rolled back on the source — the next sync
+    must bring the rows BACK (a rollback undoing a metadata-only MOR
+    delete moves no partition dir; changed_partitions' delete-state
+    diff is what makes the restore visible to consumers)."""
+    dst = str(tmp_path / "dv")
+    sync_aligned(spark, src.root, dst, _tcounts)
+    pre = src.snapshots()[-1]["id"]
+    src.delete_where([("url", "==", "a")], mode="merge_on_read")
+    res = sync_aligned(spark, src.root, dst, _tcounts)
+    dvt = VersionedTable(spark, dst)
+    assert res["changed"] == ["1"]
+    assert _rows(dvt.read(), "url") == [("b",), ("c",)]
+    src.rollback_to(pre)
+    res = sync_aligned(spark, src.root, dst, _tcounts)
+    assert res["synced"] and "1" in res["changed"]
+    assert _rows(dvt.read(), "drop_id", "url", "n") == _rows(
+        _tcounts(src.read()), "drop_id", "url", "n")
+    assert ("a",) in _rows(dvt.read(), "url")
+
+
+def test_keyed_sync_across_rollback_restores_chunks(spark, src,
+                                                    tmp_path):
+    """sync_keyed across a rollback-of-takedown: the CDC changelog
+    emits the restored rows as inserts, the key re-derives, and only
+    the key's buckets rewrite — never a shard rebuild."""
+    dst = str(tmp_path / "dv")
+    sync_keyed(spark, src.root, dst, _words, key_col="url",
+               n_buckets=4)
+    pre = src.snapshots()[-1]["id"]
+    src.delete_where([("url", "==", "c")], mode="merge_on_read")
+    res = sync_keyed(spark, src.root, dst, _words, key_col="url",
+                     n_buckets=4)
+    assert res["keys_deleted"] == 1
+    dvt = VersionedTable(spark, dst)
+    assert ("c",) not in _rows(dvt.read(), "url")
+    src.rollback_to(pre)
+    res = sync_keyed(spark, src.root, dst, _words, key_col="url",
+                     n_buckets=4)
+    assert res["synced"] and res["keys_inserted"] == 1
+    # bounded: only c's bucket was touched in the restore sync
+    c_bucket = spark.createDataFrame([("c",)], "url STRING").select(
+        F.pmod(F.xxhash64("url"), F.lit(4)).cast("int").alias("b")
+    ).collect()[0].b
+    assert (set(res["buckets_rewritten"]) | set(res["buckets_dropped"])
+            ) == {c_bucket}
+    assert _rows(dvt.read(), "url", "pos", "w") == _rows(
+        _words(src.read()), "url", "pos", "w")
+
+
 def test_aligned_drop_only_and_layout_only_ranges(spark, src,
                                                   tmp_path):
     dst = str(tmp_path / "dv")
