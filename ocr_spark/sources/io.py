@@ -259,7 +259,8 @@ def _apply_entry(live: dict, s: dict) -> dict:
 
 def _fold_live(snaps: list[dict], skip_rewrites: bool = False,
                with_src: bool = False,
-               apply_staged_id: int | None = None) -> dict:
+               apply_staged_id: int | None = None,
+               apply_branch: tuple | None = None) -> dict:
     """Resolve a manifest prefix to its live view via _apply_entry,
     dropping tombstones. ``skip_rewrites`` leaves layout-only commits
     (operation="rewrite") unapplied — the LOGICAL view that
@@ -268,10 +269,26 @@ def _fold_live(snaps: list[dict], skip_rewrites: bool = False,
     :func:`_apply_entry`). ``apply_staged_id`` force-applies the
     staged entry with that id — the write-audit-publish AUDIT view,
     produced only for an EXPLICIT pin of the staged snapshot (the
-    latest live view never includes unpublished staged data)."""
+    latest live view never includes unpublished staged data).
+
+    ``apply_branch=(uid, base, pin)`` resolves a BRANCH lineage
+    instead: the published view as of the branch's fork point
+    (entries with id <= base) plus the branch's own commit chain
+    (entries stamped with ``branch_uid == uid``, id <= pin) — and
+    NOTHING else. Published entries AFTER the fork are deliberately
+    excluded: an Iceberg branch's lineage is its fork point plus its
+    own commits, never main's later history (that is what
+    fast_forward's conflict check is for)."""
     live: dict[str, tuple] = {}
     for s in snaps:
         if skip_rewrites and s.get("operation") == "rewrite":
+            continue
+        if apply_branch is not None:
+            uid, base, pin = apply_branch
+            if s.get("branch_uid") == uid and s["id"] <= pin:
+                live = _apply_entry(live, {**s, "staged": False})
+            elif not s.get("staged") and s["id"] <= base:
+                live = _apply_entry(live, s)
             continue
         if s.get("staged") and s["id"] == apply_staged_id:
             live = _apply_entry(live, {**s, "staged": False})
@@ -304,12 +321,34 @@ def _spec_at(snaps: list[dict], sid: int | None = None) -> tuple:
     (``spec_set``) re-establishes it from its own line; every other
     entry inherits. Per-snapshot resolution is what keeps a pinned read
     pruning under the spec ITS data was laid out with — the Iceberg
-    rule that each snapshot plans with its own partition spec."""
-    pcol = snaps[0]["partition_col"]
-    tf = snaps[0].get("transform")
-    for s in snaps[1:]:
+    rule that each snapshot plans with its own partition spec.
+
+    A BRANCH commit's spec is recorded ON the entry (``branch_spec``
+    — by the commit-time guard it equals the fork point's spec) and
+    returned directly for branch pins: a later main evolve must not
+    re-plan a branch pin, and the recorded spec survives even after
+    the fork point expires. For the PUBLISHED fold, STAGED entries are
+    skipped entirely — a compacted stale-branch entry must never
+    re-establish its fork-time spec into main's spec line; the seed is
+    the first non-staged entry in range (every entry records the
+    pcol/transform it was written under, and expiry re-states the
+    at-id spec on any survivor following a gap)."""
+    if sid is not None:
+        e = next((s for s in snaps if s["id"] == sid), None)
+        if e is not None and e.get("branch_base") is not None:
+            bs = e.get("branch_spec")
+            if bs is not None:
+                return bs[0], (bs[1] or None)
+            sid = e["branch_base"]
+    seed = next((s for s in snaps if not s.get("staged")
+                 and (sid is None or s["id"] <= sid)), snaps[0])
+    pcol = seed["partition_col"]
+    tf = seed.get("transform")
+    for s in snaps:
         if sid is not None and s["id"] > sid:
             break
+        if s["id"] <= seed["id"] or s.get("staged"):
+            continue
         if s.get("operation") == "evolve" or s.get("spec_set"):
             pcol = s["partition_col"]
             tf = s.get("transform")
@@ -926,14 +965,16 @@ class VersionedTable:
             return json.load(f)
 
     def refs(self) -> dict:
-        """Named snapshot references (Iceberg TAGS): ``{name:
-        {"snapshot_id": k, "ts": created}}``. A tag pins a snapshot by
-        NAME — "the corpus model v1 trained on" — and
+        """Named snapshot references (Iceberg TAGS and BRANCHES).
+        Tags — ``{name: {"snapshot_id": k, "ts": created}}`` — pin a
+        snapshot by NAME ("the corpus model v1 trained on");
         ``expire_snapshots`` keeps every tagged snapshot readable, so
         the pin survives retention policy instead of silently expiring
-        out from under the training run. Branches (writable refs with
-        their own commit line) are out of scope — one linear history,
-        stated."""
+        out from under the training run. Branches — ``{name: {"kind":
+        "branch", "base": fork, "head": last, "uid": ...}}`` — are
+        WRITABLE refs with their own commit chain (see
+        :meth:`create_branch`); expiry keeps a live branch's fork
+        point and chain readable the same way."""
         if not os.path.exists(self._refs_path):
             return {}
         with open(self._refs_path) as f:
@@ -966,6 +1007,10 @@ class VersionedTable:
                     f"{snaps[0]['id']}) in {self.root}")
             refs = self.refs()
             if name in refs:
+                if refs[name].get("kind") == "branch":
+                    raise ValueError(
+                        f"{name!r} is a branch in {self.root} — one "
+                        "namespace for refs; pick another tag name")
                 if refs[name]["snapshot_id"] == sid:
                     return sid
                 raise ValueError(
@@ -983,6 +1028,83 @@ class VersionedTable:
             refs = self.refs()
             if name not in refs:
                 return False
+            if refs[name].get("kind") == "branch":
+                raise ValueError(
+                    f"{name!r} is a branch in {self.root} — use "
+                    "drop_branch")
+            del refs[name]
+            self._write_refs(refs)
+        return True
+
+    def create_branch(self, name: str,
+                      from_snapshot: int | None = None) -> int:
+        """Create a writable BRANCH ref forked at ``from_snapshot``
+        (default: the latest PUBLISHED snapshot) — Iceberg
+        ``createBranch``, the multi-commit generalization of
+        write-audit-publish: ``commit(df, ..., branch=name)`` chains
+        staged snapshots on the branch, ``read(ref=name)`` shows the
+        fork-point view plus the whole chain (main never sees any of
+        it), and :meth:`fast_forward` publishes the chain's net effect
+        into the live view as one metadata-only entry. The audit
+        workflow for a multi-drop backfill: build it on a branch over
+        days, validate the branch view, fast-forward once.
+
+        Expiry keeps a live branch's fork point and chain readable;
+        ``drop_branch`` releases them. Re-creating an existing
+        unchanged branch at the same fork is a no-op (idempotent job
+        re-runs); any other name collision raises. Returns the fork
+        snapshot id."""
+        with _ManifestLock(self.root):
+            snaps = self.snapshots()
+            if not snaps:
+                raise ValueError(
+                    f"cannot branch empty table at {self.root}")
+            if from_snapshot is None:
+                pub = [s["id"] for s in snaps if not s.get("staged")]
+                if not pub:
+                    raise ValueError(
+                        f"table at {self.root} has only STAGED "
+                        "snapshots — nothing published to branch from")
+                sid = max(pub)
+            else:
+                sid = from_snapshot
+                e = next((s for s in snaps if s["id"] == sid), None)
+                if e is not None and e.get("staged"):
+                    raise ValueError(
+                        f"cannot branch from {sid}: a staged/branch "
+                        "snapshot is not on the published lineage")
+            self._resolve(sid, None)   # raises on future/expired ids
+            refs = self.refs()
+            if name in refs:
+                r = refs[name]
+                if (r.get("kind") == "branch" and r["base"] == sid
+                        and r["head"] == sid):
+                    return sid
+                raise ValueError(
+                    f"ref {name!r} already exists in {self.root} "
+                    f"({r}); drop it first — a moved ref must be "
+                    "explicit")
+            refs[name] = {"kind": "branch", "base": sid, "head": sid,
+                          "uid": uuid.uuid4().hex[:12],
+                          "ts": time.time()}
+            self._write_refs(refs)
+        return sid
+
+    def drop_branch(self, name: str) -> bool:
+        """Remove branch ``name``; its chain (and, if otherwise
+        unreferenced, its fork point) becomes expirable. An already
+        fast-forwarded branch's PUBLISHED data stays live — the
+        publish entry references the data directories, so GC keeps
+        them partition-grain. Returns False when the branch did not
+        exist (idempotent)."""
+        with _ManifestLock(self.root):
+            refs = self.refs()
+            r = refs.get(name)
+            if r is None:
+                return False
+            if r.get("kind") != "branch":
+                raise ValueError(
+                    f"{name!r} is a tag in {self.root} — use drop_tag")
             del refs[name]
             self._write_refs(refs)
         return True
@@ -993,7 +1115,13 @@ class VersionedTable:
             raise ValueError(
                 f"unknown ref {ref!r} in {self.root} "
                 f"(known: {sorted(refs) or 'none'})")
-        return refs[ref]["snapshot_id"]
+        r = refs[ref]
+        if r.get("kind") == "branch":
+            # the branch HEAD: its entry is self-describing
+            # (branch_uid/branch_base), so _resolve folds the chain;
+            # an empty branch's head IS its published fork point
+            return r["head"]
+        return r["snapshot_id"]
 
     def _write_manifest(self, snaps: list[dict]) -> None:
         tmp = self._manifest_path + f".tmp-{uuid.uuid4().hex[:8]}"
@@ -1255,6 +1383,7 @@ class VersionedTable:
                bloom_cols: list[str] | None = None,
                sort_order: list[str] | None = None,
                staged: bool = False,
+               branch: str | None = None,
                partition_transform=None) -> int:
         """Write ``df`` as a new snapshot. With ``partition_col``,
         default semantics are Iceberg DYNAMIC overwrite: partitions
@@ -1362,8 +1491,39 @@ class VersionedTable:
         :meth:`publish`, which cherry-picks its partitions after a
         conflict check. An abandoned staged snapshot (failed audit) is
         GC'd by ``expire_snapshots`` like any superseded commit; tag
-        it to keep the quarantined data inspectable past retention."""
+        it to keep the quarantined data inspectable past retention.
+
+        ``branch="name"`` commits to a BRANCH (see
+        :meth:`create_branch`) — the multi-commit generalization of
+        WAP: the entry is staged (invisible to the live view and to
+        every incremental/maintenance surface) and CHAINS on the
+        branch's previous commits, so ``read(ref="name")`` shows the
+        fork-point view plus the whole chain, and
+        :meth:`fast_forward` later publishes the chain's net effect
+        in one metadata-only entry. Branch commits are plain
+        dynamic-overwrite/append writes: ``replace_all``,
+        ``drop_partitions``, and combining with ``staged=True``
+        raise, and the commit is rejected when the table's partition
+        spec changed since the fork (same hard block as publish —
+        the branch's layout would no longer match the table's)."""
         snaps = self.snapshots()
+        if branch is not None:
+            if staged:
+                raise ValueError(
+                    "pass branch= OR staged=True, not both (a branch "
+                    "commit is staged by definition)")
+            if replace_all or drop_partitions:
+                raise ValueError(
+                    "branch commits support plain dynamic-overwrite/"
+                    "append writes only (no replace_all / "
+                    "drop_partitions) — apply such changes on main, "
+                    "or re-create the branch")
+            br0 = self.refs().get(branch)
+            if br0 is None or br0.get("kind") != "branch":
+                raise ValueError(
+                    f"unknown branch {branch!r} in {self.root} "
+                    "(create_branch first; tags are read-only refs)")
+            staged = True
         # hidden partitioning: the transform is a table property
         # established at the first commit — later commits inherit it
         # (maintenance never re-states it) and may only re-pass the
@@ -1596,6 +1756,26 @@ class VersionedTable:
                                 f"partition {k!r} is both rewritten and "
                                 f"dropped in one commit")
                         parts[k] = None
+            br = None
+            if branch is not None:
+                # re-validate under the lock: the branch must still
+                # exist and the spec at the fork must still be the
+                # live spec (an evolve/rollback between stage and now
+                # would mean this commit's layout no longer matches
+                # the lineage it chains onto — same hard block as
+                # publish, caught before the entry lands)
+                refs_now = self.refs()
+                br = refs_now.get(branch)
+                if br is None or br.get("kind") != "branch":
+                    raise ValueError(
+                        f"branch {branch!r} was dropped in {self.root} "
+                        "while this commit was writing")
+                if _spec_at(snaps) != _spec_at(snaps, br["base"]):
+                    raise ValueError(
+                        f"cannot commit to branch {branch!r}: the "
+                        "table's partition spec changed since the "
+                        "branch forked (evolve or rollback) — "
+                        "re-create the branch from a current snapshot")
             sid = (snaps[-1]["id"] + 1) if snaps else 1
             entry = {"id": sid, "ts": time.time(), "note": note,
                      "operation": operation,
@@ -1605,6 +1785,15 @@ class VersionedTable:
                 entry["transform"] = tf
             if staged:
                 entry["staged"] = True
+            if br is not None:
+                entry["branch"] = branch
+                entry["branch_uid"] = br["uid"]
+                entry["branch_base"] = br["base"]
+                # the spec this commit's layout was written under
+                # (== the fork's, by the guard above) — recorded so
+                # branch pins keep planning with it after a main
+                # evolve, and after the fork point itself expires
+                entry["branch_spec"] = [lock_pcol, lock_tf]
             if schema_dir is not None:
                 entry["schema_dir"] = schema_dir
             name_to_id = ({c["name"]: c["id"]
@@ -1626,6 +1815,10 @@ class VersionedTable:
                                    if n in name_to_id]
             snaps.append(entry)
             self._write_manifest(snaps)
+            if br is not None:
+                br["head"] = sid
+                refs_now[branch] = br
+                self._write_refs(refs_now)
         return sid
 
     def publish(self, staged_id: int, note: str = "",
@@ -1661,6 +1854,12 @@ class VersionedTable:
                 raise ValueError(
                     f"snapshot {staged_id} in {self.root} is not a "
                     "staged commit")
+            if src.get("branch_uid") is not None:
+                raise ValueError(
+                    f"snapshot {staged_id} belongs to branch "
+                    f"{src.get('branch')!r} — cherry-picking one link "
+                    "of a chain would skip its predecessors; publish "
+                    "the branch with fast_forward()")
             for s in snaps:
                 if (s.get("operation") == "publish"
                         and s.get("source") == staged_id):
@@ -1711,6 +1910,95 @@ class VersionedTable:
                      "parts": dict(src["parts"])}
             snaps.append(entry)
             self._write_manifest(snaps)
+        return sid
+
+    def fast_forward(self, name: str, note: str = "",
+                     force: bool = False) -> int | None:
+        """Publish branch ``name``'s whole chain into the live view
+        (Iceberg ``fast_forward main <branch>``): ONE metadata-only
+        manifest entry carrying the chain's NET delta vs the fork
+        point — partitions the branch (re)wrote map to their branch
+        data dirs, no data file is read or moved, publish is O(changed
+        partitions) however many commits the branch holds.
+
+        Conflict check (the cherry-pick validation, chain-wide): every
+        partition in the net delta must be UNCHANGED on main between
+        fork and now, and no merge-on-read delete recorded since the
+        fork may touch it — otherwise fast-forwarding would clobber
+        work the branch never saw; such a publish raises unless
+        ``force=True``. A partition-spec change since the fork
+        (evolve or spec-crossing rollback) is a HARD block, no force —
+        the branch's layout no longer matches the table's.
+
+        Idempotent: re-running after a crash between publish and the
+        caller's own marker returns the existing publish entry's id.
+        The branch ref survives (drop_branch to release it); an empty
+        branch (head == fork) publishes nothing and returns None."""
+        with _ManifestLock(self.root):
+            refs = self.refs()
+            br = refs.get(name)
+            if br is None or br.get("kind") != "branch":
+                raise ValueError(
+                    f"unknown branch {name!r} in {self.root} "
+                    f"(known branches: "
+                    f"{sorted(r for r in refs if refs[r].get('kind') == 'branch') or 'none'})")
+            base, head, uid = br["base"], br["head"], br["uid"]
+            snaps = self.snapshots()
+            for s in snaps:
+                if (s.get("operation") == "publish"
+                        and s.get("source") == head
+                        and s.get("branch_ff") == name):
+                    return s["id"]
+            if head == base:
+                return None
+            evolved = [s["id"] for s in snaps
+                       if s.get("operation") == "evolve"
+                       and s["id"] > base]
+            if evolved or _spec_at(snaps) != _spec_at(snaps, base):
+                raise ValueError(
+                    f"cannot fast_forward branch {name!r}: the "
+                    f"partition spec changed after it forked "
+                    f"(evolve at {evolved or 'a rollback'}) — "
+                    "re-create the branch under the current spec")
+            bview = _fold_live(snaps, with_src=True,
+                               apply_branch=(uid, base, head))
+            fork = _fold_live([s for s in snaps if s["id"] <= base])
+            bv = {k: v[0] for k, v in bview.items()}
+            delta: dict[str, str | None] = {
+                k: rel for k, rel in bv.items() if fork.get(k) != rel}
+            delta.update({k: None for k in fork if k not in bv})
+            now = _fold_live(snaps)
+            touched = set(delta)
+            conflicts = sorted(k for k in touched
+                               if fork.get(k) != now.get(k))
+            for d in snaps:
+                if (d.get("operation") == "row_delete"
+                        and d["id"] > base):
+                    aff = d.get("affected")
+                    hit = (touched if aff is None
+                           else touched & set(aff))
+                    conflicts.extend(f"{k} (row_delete {d['id']})"
+                                     for k in sorted(hit))
+            if conflicts and not force:
+                raise ValueError(
+                    f"cannot fast_forward branch {name!r}: partitions "
+                    f"changed on main since the fork — {conflicts}; "
+                    "re-create the branch against the current view or "
+                    "pass force=True to clobber")
+            sid = snaps[-1]["id"] + 1
+            pcol = _spec_at(snaps)[0]
+            entry = {"id": sid, "ts": time.time(),
+                     "note": note or f"fast_forward {name} @{head}",
+                     "operation": "publish", "source": head,
+                     "branch_ff": name,
+                     "partition_col": pcol,
+                     "replace_all": pcol is None,
+                     "parts": dict(delta)}
+            snaps.append(entry)
+            self._write_manifest(snaps)
+            br["published"] = sid
+            refs[name] = br
+            self._write_refs(refs)
         return sid
 
     def _inherited_prop(self, snaps: list[dict], key: str,
@@ -1802,10 +2090,25 @@ class VersionedTable:
         """All row-delete records visible at ``snapshot_id`` (default
         latest): top-level row_delete entries plus records carried in
         expiry-compacted base entries (``row_deletes``), deduped by
-        delete id. Driver-side over the manifest."""
+        delete id. Driver-side over the manifest.
+
+        A BRANCH pin sees the delete state of its FORK POINT: branch
+        commits cannot issue deletes and main's later takedowns are
+        not part of the branch lineage, so the fold runs over the
+        prefix at ``branch_base`` — plus the branch chain's own
+        entries, whose expiry-compacted carries (computed at the base)
+        keep the set alive even after the base itself expires."""
         snaps = self.snapshots()
         if snapshot_id is not None:
-            snaps = [s for s in snaps if s["id"] <= snapshot_id]
+            e = next((s for s in snaps if s["id"] == snapshot_id), None)
+            if e is not None and e.get("branch_base") is not None:
+                uid, base = e["branch_uid"], e["branch_base"]
+                snaps = [s for s in snaps
+                         if s["id"] <= base
+                         or (s.get("branch_uid") == uid
+                             and s["id"] <= snapshot_id)]
+            else:
+                snaps = [s for s in snaps if s["id"] <= snapshot_id]
         dels = self._fold_deletes(snaps)
         return [dels[i] for i in sorted(dels)]
 
@@ -3152,11 +3455,24 @@ class VersionedTable:
         # AUDIT view (parent + the staged changes — Iceberg WAP: a
         # full snapshot the table ref never points at); latest-view
         # resolution (snapshot_id=None) never applies unpublished
-        # staged data
+        # staged data. A pin of a BRANCH commit resolves the branch
+        # lineage (fork-point view + the branch's own chain up to the
+        # pin — earlier branch commits included, later main commits
+        # excluded); the entry is self-describing (branch_uid/
+        # branch_base), so branch pins stay readable even after the
+        # branch ref is dropped (e.g. a tagged branch snapshot).
+        branch_ctx = None
+        if (apply_staged and snapshot_id is not None
+                and meta["id"] == snapshot_id
+                and meta.get("branch_uid") is not None):
+            branch_ctx = (meta["branch_uid"], meta["branch_base"],
+                          snapshot_id)
         live = _fold_live(snaps, skip_rewrites=skip_rewrites,
                           with_src=with_src,
                           apply_staged_id=(snapshot_id if apply_staged
-                                           else None))
+                                           and branch_ctx is None
+                                           else None),
+                          apply_branch=branch_ctx)
         if partitions is not None:
             # match the on-disk spelling AND its percent-unescaped form
             # (Spark Hive-escapes special chars in partition dirs), with
@@ -3245,7 +3561,15 @@ class VersionedTable:
             recent = sum(1 for s in snaps if s["ts"] >= older_than)
             keep_last = max(keep_last, recent)
         keep_ids = {s["id"] for s in snaps[-keep_last:]}
-        keep_ids |= {r["snapshot_id"] for r in self.refs().values()}
+        for r in self.refs().values():
+            if r.get("kind") == "branch":
+                # a live branch pins its FORK POINT (the branch fold's
+                # published base) and its whole commit chain
+                keep_ids.add(r["base"])
+                keep_ids |= {s["id"] for s in snaps
+                             if s.get("branch_uid") == r["uid"]}
+            else:
+                keep_ids.add(r["snapshot_id"])
         if any(s["id"] not in keep_ids for s in snaps):
             # general keep-set truncation: walk the old manifest in
             # order; a kept snapshot straight after a dropped gap can no
@@ -3299,6 +3623,16 @@ class VersionedTable:
                     # audit view; the publish conflict check rejects
                     # it unless forced).
                     compacted["staged"] = True
+                    # a compacted BRANCH commit stays self-describing:
+                    # the branch fold and _deletes_upto key off these
+                    # fields, and _resolve above already produced the
+                    # BRANCH audit view for it (chain-aware), so the
+                    # compacted entry is a valid reset point of its
+                    # own chain
+                    for bk in ("branch", "branch_uid", "branch_base",
+                               "branch_spec"):
+                        if bk in s:
+                            compacted[bk] = s[bk]
                     parent_src = _fold_live(
                         [e for e in snaps if e["id"] <= s["id"]],
                         with_src=True)

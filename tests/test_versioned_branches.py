@@ -1,0 +1,211 @@
+"""Branch refs on VersionedTable — Iceberg BRANCHES + fast-forward
+publish, the multi-commit generalization of write-audit-publish.
+
+Contract under test (io.py):
+  * commit(branch=) chains staged snapshots: read(ref=branch) = the
+    fork-point view + the WHOLE chain (dynamic-overwrite shadowing
+    within the chain); main and every published surface never see any
+    of it; an explicit pin of a mid-chain id shows the chain UP TO it;
+  * fast_forward publishes the chain's net effect as ONE metadata-only
+    entry (no data read/moved), with the publish-style conflict check
+    chain-wide: partitions the branch touched must be unchanged on
+    main since the fork, merge-on-read deletes since the fork conflict,
+    and a spec change since the fork is a hard block (commit to the
+    branch included);
+  * a branch read sees the delete state OF ITS FORK: main's later
+    takedowns do not filter the branch lineage, earlier ones do;
+  * expiry keeps a live branch's fork point and chain readable
+    (compaction-aware); drop_branch releases them, fast-forwarded data
+    stays live via the publish entry's references;
+  * guards: one ref namespace, branch entries rejected by publish()/
+    rollback_to(), replace_all/drop_partitions/staged= rejected on
+    branch commits.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.sources.io import VersionedTable
+
+SCHEMA = "drop_id INT, url STRING, text STRING"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _rows(df, *cols):
+    cols = cols or ("drop_id", "url", "text")
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+@pytest.fixture()
+def vt(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(_df(spark, [(1, "a", "x"), (1, "b", "y"), (2, "c", "z")]),
+             "drop_id", stats_cols=["url"])
+    return t
+
+
+def test_branch_chain_read_and_isolation(spark, vt):
+    base = vt.create_branch("audit")
+    assert base == 1
+    s1 = vt.commit(_df(spark, [(3, "d", "new")]), "drop_id",
+                   branch="audit")
+    s2 = vt.commit(_df(spark, [(3, "d", "newer"), (4, "e", "v4")]),
+                   "drop_id", branch="audit")
+    # chain shadowing: the second branch commit rewrote partition 3
+    assert _rows(vt.read(ref="audit")) == [
+        (1, "a", "x"), (1, "b", "y"), (2, "c", "z"),
+        (3, "d", "newer"), (4, "e", "v4")]
+    # mid-chain pin: chain UP TO s1 (not just "parent + s1's parts")
+    assert _rows(vt.read(snapshot_id=s1)) == [
+        (1, "a", "x"), (1, "b", "y"), (2, "c", "z"), (3, "d", "new")]
+    # main never sees the branch
+    assert _rows(vt.read()) == [(1, "a", "x"), (1, "b", "y"),
+                                (2, "c", "z")]
+    assert vt.changed_partitions(1) == {
+        "appended": [], "rewritten": [], "dropped": [], "evolved": []}
+    r = vt.refs()["audit"]
+    assert r["base"] == 1 and r["head"] == s2
+
+
+def test_fast_forward_publishes_net_delta(spark, vt):
+    vt.create_branch("backfill")
+    vt.commit(_df(spark, [(3, "d", "v1")]), "drop_id", branch="backfill")
+    head = vt.commit(_df(spark, [(3, "d", "v2")]), "drop_id",
+                     branch="backfill")
+    # main advances on an UNTOUCHED partition meanwhile — no conflict
+    main_mid = vt.commit(_df(spark, [(5, "m", "mm")]), "drop_id")
+    ff = vt.fast_forward("backfill")
+    assert ff == head + 2
+    assert _rows(vt.read()) == [
+        (1, "a", "x"), (1, "b", "y"), (2, "c", "z"),
+        (3, "d", "v2"), (5, "m", "mm")]
+    # net delta: consumers see exactly the branch's partitions appear
+    ch = vt.changed_partitions(main_mid, ff)
+    assert ch["appended"] == ["3"] and ch["rewritten"] == []
+    # pre-ff pins byte-stable
+    assert _rows(vt.read(snapshot_id=main_mid)) == [
+        (1, "a", "x"), (1, "b", "y"), (2, "c", "z"), (5, "m", "mm")]
+    # idempotent replay
+    assert vt.fast_forward("backfill") == ff
+    # the branch ref survives and still reads its own lineage
+    assert (3, "d", "v2") in _rows(vt.read(ref="backfill"))
+    assert vt.drop_branch("backfill") is True
+    # published data survives the branch drop + expiry
+    vt.expire_snapshots(keep_last=1)
+    assert (3, "d", "v2") in _rows(vt.read())
+
+
+def test_fast_forward_conflicts_and_force(spark, vt):
+    vt.create_branch("b")
+    vt.commit(_df(spark, [(2, "c", "branch-version")]), "drop_id",
+              branch="b")
+    vt.commit(_df(spark, [(2, "c", "main-version")]), "drop_id")
+    with pytest.raises(ValueError, match="changed on main"):
+        vt.fast_forward("b")
+    ff = vt.fast_forward("b", force=True)
+    assert ff is not None
+    assert (2, "c", "branch-version") in _rows(vt.read())
+
+
+def test_fast_forward_blocks_on_mor_delete_since_fork(spark, vt):
+    vt.create_branch("b")
+    vt.commit(_df(spark, [(2, "c", "edited")]), "drop_id", branch="b")
+    vt.delete_where([("url", "==", "c")], mode="merge_on_read")
+    with pytest.raises(ValueError, match="row_delete"):
+        vt.fast_forward("b")
+
+
+def test_branch_sees_fork_delete_state(spark, vt):
+    # a takedown BEFORE the fork filters the branch lineage too
+    vt.delete_where([("url", "==", "a")], mode="merge_on_read")
+    vt.create_branch("b")
+    vt.commit(_df(spark, [(3, "d", "v")]), "drop_id", branch="b")
+    assert _rows(vt.read(ref="b"), "url") == [("b",), ("c",), ("d",)]
+    # a takedown AFTER the fork is not part of the branch lineage
+    vt.delete_where([("url", "==", "b")], mode="merge_on_read")
+    assert _rows(vt.read(), "url") == [("c",)]
+    assert _rows(vt.read(ref="b"), "url") == [("b",), ("c",), ("d",)]
+
+
+def test_branch_spec_guard_is_hard(spark, vt):
+    vt.create_branch("b")
+    vt.commit(_df(spark, [(3, "d", "v")]), "drop_id", branch="b")
+    vt.evolve_partition_spec("url", ("bucket", 4))
+    with pytest.raises(ValueError, match="spec changed"):
+        vt.commit(_df(spark, [(4, "e", "w")]), "url", branch="b")
+    with pytest.raises(ValueError, match="spec changed"):
+        vt.fast_forward("b", force=True)
+    # the stale branch pin still READS — under its own fork spec
+    assert (3, "d", "v") in _rows(vt.read(ref="b"))
+    assert vt.partition_spec(snapshot_id=vt.refs()["b"]["head"]) == {
+        "partition_col": "drop_id", "transform": None}
+
+
+def test_branch_survives_expiry(spark, vt):
+    vt.create_branch("keep")
+    vt.commit(_df(spark, [(3, "d", "v3")]), "drop_id", branch="keep")
+    vt.commit(_df(spark, [(4, "e", "v4")]), "drop_id", branch="keep")
+    for i in range(5, 9):
+        vt.commit(_df(spark, [(i, f"u{i}", "m")]), "drop_id")
+    before = _rows(vt.read(ref="keep"))
+    vt.expire_snapshots(keep_last=1)
+    assert _rows(vt.read(ref="keep")) == before
+    # and the chain can still fast-forward after truncation
+    ff = vt.fast_forward("keep")
+    assert ff is not None
+    got = _rows(vt.read())
+    assert (3, "d", "v3") in got and (4, "e", "v4") in got
+
+
+def test_branch_guards(spark, vt):
+    vt.create_branch("b")
+    with pytest.raises(ValueError, match="not both"):
+        vt.commit(_df(spark, [(3, "d", "v")]), "drop_id",
+                  branch="b", staged=True)
+    with pytest.raises(ValueError, match="plain dynamic"):
+        vt.commit(_df(spark, [(3, "d", "v")]), "drop_id",
+                  branch="b", replace_all=True)
+    with pytest.raises(ValueError, match="plain dynamic"):
+        vt.commit(_df(spark, [(3, "d", "v")]), "drop_id",
+                  branch="b", drop_partitions=["2"])
+    with pytest.raises(ValueError, match="unknown branch"):
+        vt.commit(_df(spark, [(3, "d", "v")]), "drop_id",
+                  branch="nope")
+    assert vt.create_branch("b") == 1   # unchanged re-create: no-op
+    with pytest.raises(ValueError, match="is a branch"):
+        vt.create_tag("b")
+    with pytest.raises(ValueError, match="is a branch"):
+        vt.drop_tag("b")
+    vt.create_tag("t1")
+    with pytest.raises(ValueError, match="is a tag"):
+        vt.drop_branch("t1")
+    sid = vt.commit(_df(spark, [(3, "d", "v")]), "drop_id", branch="b")
+    # a MOVED ref must be explicit: the branch now has a chain, so
+    # re-creating it (head != base) raises
+    with pytest.raises(ValueError, match="already exists"):
+        vt.create_branch("b")
+    with pytest.raises(ValueError, match="fast_forward"):
+        vt.publish(sid)
+    with pytest.raises(ValueError, match="staged"):
+        vt.rollback_to(sid)
+    # empty branch fast-forward publishes nothing
+    vt.create_branch("empty")
+    assert vt.fast_forward("empty") is None
+
+
+def test_branch_on_unpartitioned_table(spark, tmp_path):
+    vt = VersionedTable(spark, str(tmp_path / "u"))
+    vt.commit(_df(spark, [(1, "a", "x")]), None)
+    vt.create_branch("b")
+    vt.commit(_df(spark, [(1, "a", "x"), (2, "b", "y")]), None,
+              branch="b")
+    assert _rows(vt.read(ref="b"), "url") == [("a",), ("b",)]
+    assert _rows(vt.read(), "url") == [("a",)]
+    ff = vt.fast_forward("b")
+    assert ff is not None
+    assert _rows(vt.read(), "url") == [("a",), ("b",)]
