@@ -1879,8 +1879,14 @@ class VersionedTable:
                     f"(evolve at {evolved or 'a rollback'}) — re-stage "
                     "the drop under the current spec")
             idx = snaps.index(src)
-            then = _fold_live(snaps[:idx])
-            now = _fold_live(snaps)
+            # conflict check on the LOGICAL views (layout-only
+            # rewrite_files commits not applied, same rule as
+            # changed_partitions): a compaction between stage and
+            # publish moves partition dirs without touching rows and
+            # must not read as a conflict — publishing over it
+            # replaces the same row content
+            then = _fold_live(snaps[:idx], skip_rewrites=True)
+            now = _fold_live(snaps, skip_rewrites=True)
             if src["partition_col"] is None or src.get("replace_all"):
                 touched = set(then) | set(now)
             else:
@@ -1967,10 +1973,17 @@ class VersionedTable:
             delta: dict[str, str | None] = {
                 k: rel for k, rel in bv.items() if fork.get(k) != rel}
             delta.update({k: None for k in fork if k not in bv})
-            now = _fold_live(snaps)
             touched = set(delta)
+            # conflict check on the LOGICAL views (layout-only
+            # compaction commits not applied — same rule as publish/
+            # changed_partitions): a rewrite_files between fork and
+            # now moved dirs without touching rows, and fast-forward
+            # replaces the touched partitions' CONTENT anyway
+            fork_l = _fold_live([s for s in snaps if s["id"] <= base],
+                                skip_rewrites=True)
+            now_l = _fold_live(snaps, skip_rewrites=True)
             conflicts = sorted(k for k in touched
-                               if fork.get(k) != now.get(k))
+                               if fork_l.get(k) != now_l.get(k))
             for d in snaps:
                 if (d.get("operation") == "row_delete"
                         and d["id"] > base):
@@ -2011,9 +2024,23 @@ class VersionedTable:
         and inheritance maps id → current name; a pre-registry
         recorder maps through the registry's init-time names. Dropped
         columns fall out of the property (their stats are meaningless
-        against the current schema)."""
+        against the current schema).
+
+        Staged/branch recordings are PREFERRED AGAINST: an explicit
+        property on a quarantined commit must not rewrite main's
+        table configuration (the fold falls back to the newest staged
+        recording only when no published commit ever recorded the
+        property — the stage-first bootstrap)."""
         rec = next((s for s in reversed(snaps)
-                    if s.get(key) is not None), None)
+                    if s.get(key) is not None
+                    and not s.get("staged")), None)
+        if rec is None:
+            # plain-staged fallback only: BRANCH recordings never
+            # feed inheritance — a branch's explicit property stays
+            # its own even when main never configured one
+            rec = next((s for s in reversed(snaps)
+                        if s.get(key) is not None
+                        and s.get("branch_uid") is None), None)
         if rec is None:
             return None
         reg = self.registry()
@@ -2099,21 +2126,25 @@ class VersionedTable:
         entries, whose expiry-compacted carries (computed at the base)
         keep the set alive even after the base itself expires."""
         snaps = self.snapshots()
+        carry_uid = None
         if snapshot_id is not None:
             e = next((s for s in snaps if s["id"] == snapshot_id), None)
             if e is not None and e.get("branch_base") is not None:
                 uid, base = e["branch_uid"], e["branch_base"]
+                carry_uid = uid
                 snaps = [s for s in snaps
                          if s["id"] <= base
                          or (s.get("branch_uid") == uid
                              and s["id"] <= snapshot_id)]
             else:
                 snaps = [s for s in snaps if s["id"] <= snapshot_id]
-        dels = self._fold_deletes(snaps)
+        dels = self._fold_deletes(snaps, pin=snapshot_id,
+                                  carry_uid=carry_uid)
         return [dels[i] for i in sorted(dels)]
 
     @classmethod
-    def _fold_deletes(cls, snaps: list[dict]) -> dict[int, dict]:
+    def _fold_deletes(cls, snaps: list[dict], pin: int | None = None,
+                      carry_uid: str | None = None) -> dict[int, dict]:
         """Fold the manifest prefix to its VISIBLE delete-record set.
         A rollback entry restores the delete state OF ITS TARGET —
         computed recursively from the prefix at the target, so a
@@ -2123,7 +2154,17 @@ class VersionedTable:
         expiry-compacted entry with ``deletes_set`` is authoritative:
         its carried ``row_deletes`` ARE the visible set at that id
         (compaction may have truncated the rollback entry whose
-        filtering produced it)."""
+        filtering produced it).
+
+        A STAGED entry's additive carry is scoped to ITS OWN pin: for
+        the published fold it is skipped entirely — a compacted
+        branch-chain entry carries the records visible at its FORK,
+        and re-adding one a later surviving rollback had cancelled
+        would change the live view. ``pin`` enables the carry for
+        exactly the pinned staged entry; ``carry_uid`` additionally
+        enables a whole branch chain's carries for a branch pin (an
+        earlier compacted chain entry may hold the fork-state records
+        after the fork itself expired)."""
         dels: dict[int, dict] = {}
         for s in snaps:
             if s.get("deletes_set"):
@@ -2136,7 +2177,13 @@ class VersionedTable:
                                  "affected": s.get("affected")}
             elif s.get("operation") == "rollback":
                 dels = cls._fold_deletes(
-                    [e for e in snaps if e["id"] <= s["target"]])
+                    [e for e in snaps if e["id"] <= s["target"]],
+                    pin=s["target"])
+            if s.get("staged") and not (
+                    s["id"] == pin
+                    or (carry_uid is not None
+                        and s.get("branch_uid") == carry_uid)):
+                continue
             for d in s.get("row_deletes", []):
                 dels.setdefault(d["id"], d)
         return dels
@@ -3561,6 +3608,14 @@ class VersionedTable:
             recent = sum(1 for s in snaps if s["ts"] >= older_than)
             keep_last = max(keep_last, recent)
         keep_ids = {s["id"] for s in snaps[-keep_last:]}
+        # the newest PUBLISHED entry always survives: a staged/branch
+        # tail can push it out of the keep_last window, and dropping
+        # it would leave no published survivor to compact the live
+        # state onto (the delete-record fold would silently lose the
+        # last takedowns/rollbacks underneath the staged tail)
+        pub_ids = [s["id"] for s in snaps if not s.get("staged")]
+        if pub_ids:
+            keep_ids.add(max(pub_ids))
         for r in self.refs().values():
             if r.get("kind") == "branch":
                 # a live branch pins its FORK POINT (the branch fold's
@@ -3675,9 +3730,20 @@ class VersionedTable:
                 for pkey, ikey in (("stats_cols", "stats_col_ids"),
                                    ("bloom_cols", "bloom_col_ids"),
                                    ("sort_order", "sort_order_ids")):
+                    # prefer published recordings (same rule as
+                    # _inherited_prop: a staged/branch commit's
+                    # explicit property must not rewrite main's
+                    # configuration through the compaction carry)
                     prop = next((p for p in reversed(snaps)
                                  if p["id"] <= s["id"]
-                                 and p.get(pkey) is not None), None)
+                                 and p.get(pkey) is not None
+                                 and not p.get("staged")), None)
+                    if prop is None:
+                        prop = next((p for p in reversed(snaps)
+                                     if p["id"] <= s["id"]
+                                     and p.get(pkey) is not None
+                                     and p.get("branch_uid") is None),
+                                    None)
                     if prop is not None:
                         compacted[pkey] = prop[pkey]
                         if prop.get(ikey) is not None:
@@ -3685,7 +3751,14 @@ class VersionedTable:
                 if ct is not None:
                     compacted["transform"] = ct
                 new_snaps.append(compacted)
-                gap = False
+                # a compacted STAGED survivor does NOT heal the gap:
+                # it is invisible to live folds, so the PUBLISHED
+                # lineage is still truncated underneath the next
+                # published survivor — which must compact too, or a
+                # dropped rollback's cancellation (its deletes_set
+                # reset) would silently vanish from the live view
+                if not s.get("staged"):
+                    gap = False
             self._write_manifest(new_snaps)
             snaps = new_snaps
         # the sweep ALWAYS runs (even when nothing was truncated) so a

@@ -198,6 +198,142 @@ def test_branch_guards(spark, vt):
     assert vt.fast_forward("empty") is None
 
 
+def test_fast_forward_ignores_layout_only_compaction(spark, tmp_path):
+    """A rewrite_files compaction on main between fork and publish
+    moves partition dirs without touching rows — it must NOT read as
+    a conflict (the check diffs LOGICAL views, like
+    changed_partitions), and fast-forward replaces the touched
+    partition's content as intended."""
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    # each partition split over 2 tasks -> 2 files per partition dir,
+    # deterministically (union keeps the slices separate)
+    p1 = _df(spark, [(1, "a", "x"), (1, "b", "y")]).repartition(2)
+    p2 = _df(spark, [(2, "c", "z"), (2, "d", "w")]).repartition(2)
+    vt.commit(p1.unionByName(p2), "drop_id")
+    vt.create_branch("b")
+    vt.commit(_df(spark, [(2, "c", "edited"), (2, "d", "w")]),
+              "drop_id", branch="b")
+    # main compacts BOTH partitions (2 files -> 1): layout only
+    sid, stats = vt.rewrite_files(target_bytes=1 << 30)
+    assert stats["partitions_rewritten"] == 2
+    ff = vt.fast_forward("b")
+    assert ff is not None
+    assert (2, "c", "edited") in _rows(vt.read())
+    assert (1, "a", "x") in _rows(vt.read())
+
+
+def test_publish_ignores_layout_only_compaction(spark, tmp_path):
+    """Same rule for single-commit WAP: stage, compact on main,
+    publish — no false conflict."""
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    p1 = _df(spark, [(1, "a", "x"), (1, "b", "y")]).repartition(2)
+    p2 = _df(spark, [(2, "c", "z"), (2, "d", "w")]).repartition(2)
+    vt.commit(p1.unionByName(p2), "drop_id")
+    aid = vt.commit(_df(spark, [(2, "c", "edited")]), "drop_id",
+                    staged=True)
+    sid, stats = vt.rewrite_files(target_bytes=1 << 30)
+    assert stats["partitions_rewritten"] == 2
+    sid = vt.publish(aid)
+    assert sid is not None
+    assert (2, "c", "edited") in _rows(vt.read())
+
+
+def test_staged_branch_property_does_not_leak(spark, vt):
+    """An explicit table property on a quarantined (branch/staged)
+    commit must not rewrite MAIN's configuration: inheritance prefers
+    published recordings."""
+    vt.create_branch("b")
+    vt.commit(_df(spark, [(3, "d", "v")]), "drop_id", branch="b",
+              stats_cols=["text"], sort_order=["text"])
+    sid = vt.commit(_df(spark, [(5, "m", "mm")]), "drop_id")
+    e = next(s for s in vt.snapshots() if s["id"] == sid)
+    assert e["stats_cols"] == ["url"]       # the fixture's property
+    assert e.get("sort_order") is None or e["sort_order"] == []
+    assert vt.sort_order() is None
+
+
+def test_expiry_gap_not_healed_by_staged_survivor(spark, tmp_path):
+    """Expiry must never change the live view — the kept-branch
+    regression: a compacted STAGED survivor sits between a DROPPED
+    rollback and the next published survivor. The staged entry is
+    invisible to live folds, so it must not 'heal' the truncation gap:
+    the next published survivor still has to compact (re-stating the
+    rollback's delete-state and view), or the rollback's cancellation
+    of a takedown — and its removal of a partition — silently
+    reappear after a pure maintenance op."""
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.commit(_df(spark, [(1, "a", "x"), (2, "c", "z")]), "drop_id",
+              stats_cols=["url"])                              # id 1
+    vt.delete_where([("url", "==", "a")], mode="merge_on_read")  # id 2
+    vt.commit(_df(spark, [(7, "g", "gg")]), "drop_id")           # id 3
+    vt.create_branch("keep")                                   # base 3
+    vt.rollback_to(1)            # id 4: url a back, partition 7 gone
+    vt.commit(_df(spark, [(9, "i", "ii")]), "drop_id",
+              branch="keep")                                     # id 5
+    vt.commit(_df(spark, [(8, "h", "hh")]), "drop_id")           # id 6
+    vt.commit(_df(spark, [(6, "f", "ff")]), "drop_id")           # id 7
+    before = _rows(vt.read())
+    assert ("a",) in {(u,) for _, u, _ in before}
+    assert (7, "g", "gg") not in before
+    vt.expire_snapshots(keep_last=2)   # drops ids 1, 2, 4
+    assert _rows(vt.read()) == before
+    # the branch pin keeps ITS fork state: url a filtered, p7 present
+    got = _rows(vt.read(ref="keep"))
+    assert ("a",) not in {(u,) for _, u, _ in got}
+    assert (7, "g", "gg") in got and (9, "i", "ii") in got
+
+
+def test_expiry_keeps_last_published_under_staged_tail(spark,
+                                                       tmp_path):
+    """A branch tail must not push the newest PUBLISHED entry out of
+    the keep window: dropping it would lose the last takedowns from
+    the live fold (no published survivor left to compact them onto)."""
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.commit(_df(spark, [(1, "a", "x"), (2, "c", "z")]), "drop_id",
+              stats_cols=["url"])                              # id 1
+    vt.create_branch("b")                                      # base 1
+    vt.delete_where([("url", "==", "a")], mode="merge_on_read")  # id 2
+    vt.commit(_df(spark, [(7, "g", "gg")]), "drop_id")           # id 3
+    vt.commit(_df(spark, [(9, "i", "ii")]), "drop_id",
+              branch="b")                                        # id 4
+    vt.commit(_df(spark, [(9, "i", "jj")]), "drop_id",
+              branch="b")                                        # id 5
+    before = _rows(vt.read())
+    assert ("a",) not in {(u,) for _, u, _ in before}
+    vt.expire_snapshots(keep_last=2)   # tail = the two branch entries
+    assert _rows(vt.read()) == before  # takedown still applies
+    # and the branch pin still sees ITS fork state (a present — the
+    # takedown postdates the fork)
+    got = _rows(vt.read(ref="b"))
+    assert ("a",) in {(u,) for _, u, _ in got}
+    assert (9, "i", "jj") in got and (9, "i", "ii") not in got
+
+
+def test_branch_pin_delete_state_survives_fork_expiry(spark,
+                                                      tmp_path):
+    """Positive carry coverage: after the prefix at the fork is
+    truncated, a compacted chain entry's carried records still serve
+    the BRANCH pin's fold (scoped by branch uid — never the live
+    fold)."""
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.commit(_df(spark, [(1, "a", "x"), (2, "c", "z")]), "drop_id",
+              stats_cols=["url"])                              # id 1
+    vt.delete_where([("url", "==", "a")], mode="merge_on_read")  # id 2
+    vt.create_branch("b")                                      # base 2
+    vt.commit(_df(spark, [(9, "i", "ii")]), "drop_id",
+              branch="b")                                        # id 3
+    vt.rollback_to(1)                  # id 4: url a back on MAIN
+    vt.commit(_df(spark, [(8, "h", "hh")]), "drop_id")           # id 5
+    vt.commit(_df(spark, [(6, "f", "ff")]), "drop_id")           # id 6
+    vt.expire_snapshots(keep_last=2)
+    # main: rollback restored a
+    assert ("a",) in {(u,) for _, u, _ in _rows(vt.read())}
+    # branch: fork predates the rollback — a stays filtered
+    got = _rows(vt.read(ref="b"))
+    assert ("a",) not in {(u,) for _, u, _ in got}
+    assert (9, "i", "ii") in got
+
+
 def test_branch_on_unpartitioned_table(spark, tmp_path):
     vt = VersionedTable(spark, str(tmp_path / "u"))
     vt.commit(_df(spark, [(1, "a", "x")]), None)
