@@ -3421,6 +3421,26 @@ class VersionedTable:
             "delete_id INT, predicate STRING, "
             "affected ARRAY<STRING>, pending BOOLEAN")
 
+    def refs_table(self) -> DataFrame:
+        """Named-refs metadata table (Iceberg's ``.refs``): one row
+        per tag and branch — tags carry their pinned snapshot, a
+        branch its fork point (``base``), chain head, and the publish
+        entry's id once fast-forwarded. Driver-side over the ref
+        store; pass a row's name to ``read(ref=)``."""
+        rows = []
+        for name, r in sorted(self.refs().items()):
+            if r.get("kind") == "branch":
+                rows.append((name, "branch", r["head"], r["base"],
+                             r["head"], r.get("published"),
+                             float(r["ts"])))
+            else:
+                rows.append((name, "tag", r["snapshot_id"], None,
+                             None, None, float(r["ts"])))
+        return self.spark.createDataFrame(
+            rows,
+            "name STRING, kind STRING, snapshot_id INT, base INT, "
+            "head INT, published INT, created_ts DOUBLE")
+
     def history(self) -> DataFrame:
         """Snapshot metadata as a DataFrame (Iceberg's ``.history`` /
         ``.snapshots`` metadata tables): one row per commit with the

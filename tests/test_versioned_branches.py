@@ -334,6 +334,24 @@ def test_branch_pin_delete_state_survives_fork_expiry(spark,
     assert (9, "i", "ii") in got
 
 
+def test_refs_metadata_table(spark, vt):
+    """The .refs metadata table: tags and branches in one listing,
+    branch rows tracking head and the fast-forward publish id."""
+    vt.create_tag("v1")
+    vt.create_branch("b")
+    head = vt.commit(_df(spark, [(3, "d", "v")]), "drop_id",
+                     branch="b")
+    rows = {r.name: r for r in vt.refs_table().collect()}
+    assert rows["v1"].kind == "tag" and rows["v1"].snapshot_id == 1
+    assert rows["v1"].base is None
+    b = rows["b"]
+    assert (b.kind, b.base, b.head, b.published) == (
+        "branch", 1, head, None)
+    ff = vt.fast_forward("b")
+    assert {r.name: r.published
+            for r in vt.refs_table().collect()}["b"] == ff
+
+
 def test_branch_on_unpartitioned_table(spark, tmp_path):
     vt = VersionedTable(spark, str(tmp_path / "u"))
     vt.commit(_df(spark, [(1, "a", "x")]), None)
