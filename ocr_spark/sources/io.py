@@ -1937,9 +1937,21 @@ class VersionedTable:
         the branch's layout no longer matches the table's.
 
         Idempotent: re-running after a crash between publish and the
-        caller's own marker returns the existing publish entry's id.
-        The branch ref survives (drop_branch to release it); an empty
-        branch (head == fork) publishes nothing and returns None."""
+        caller's own marker returns the existing publish entry's id
+        (repairing the ref's ``published`` pointer if the crash split
+        them). The branch ref survives (drop_branch to release it);
+        an empty branch (head == fork) publishes nothing and returns
+        None.
+
+        REPEATED fast-forward of an advancing branch works (commit →
+        ff → commit more → ff again, Iceberg's continuous-promotion
+        shape): partitions main already carries at exactly a version
+        this branch published are neither conflicts nor re-stated in
+        the delta — each publish carries only the chain's new work,
+        and re-stamping would otherwise un-scope merge-on-read
+        records issued since the earlier publish. Any third-party
+        change to a touched partition since the fork still
+        conflicts."""
         with _ManifestLock(self.root):
             refs = self.refs()
             br = refs.get(name)
@@ -1954,6 +1966,12 @@ class VersionedTable:
                 if (s.get("operation") == "publish"
                         and s.get("source") == head
                         and s.get("branch_ff") == name):
+                    if br.get("published") != s["id"]:
+                        # crash between manifest write and ref update:
+                        # repair the published pointer on replay
+                        br["published"] = s["id"]
+                        refs[name] = br
+                        self._write_refs(refs)
                     return s["id"]
             if head == base:
                 return None
@@ -1970,10 +1988,23 @@ class VersionedTable:
                                apply_branch=(uid, base, head))
             fork = _fold_live([s for s in snaps if s["id"] <= base])
             bv = {k: v[0] for k, v in bview.items()}
+            # the net delta vs the fork, MINUS partitions main already
+            # carries at exactly the branch's version (a previous
+            # fast_forward of this branch published them): re-stating
+            # those would pointlessly bump their src ids — and a
+            # re-stamp would un-scope merge-on-read records issued
+            # since. Dropping them is what makes REPEATED fast-forward
+            # of an advancing branch work (commit → ff → commit → ff),
+            # each publish carrying only the chain's new work.
+            now_l = _fold_live(snaps, skip_rewrites=True)
             delta: dict[str, str | None] = {
-                k: rel for k, rel in bv.items() if fork.get(k) != rel}
-            delta.update({k: None for k in fork if k not in bv})
+                k: rel for k, rel in bv.items()
+                if fork.get(k) != rel and now_l.get(k) != rel}
+            delta.update({k: None for k in fork
+                          if k not in bv and k in now_l})
             touched = set(delta)
+            if not delta:
+                return None   # everything already on main
             # conflict check on the LOGICAL views (layout-only
             # compaction commits not applied — same rule as publish/
             # changed_partitions): a rewrite_files between fork and
@@ -1981,9 +2012,21 @@ class VersionedTable:
             # replaces the touched partitions' CONTENT anyway
             fork_l = _fold_live([s for s in snaps if s["id"] <= base],
                                 skip_rewrites=True)
-            now_l = _fold_live(snaps, skip_rewrites=True)
-            conflicts = sorted(k for k in touched
-                               if fork_l.get(k) != now_l.get(k))
+            # main's current version of a partition is NOT a conflict
+            # when it is one THIS branch previously published (the
+            # repeated-ff workflow: commit → ff → rewrite the same
+            # partition on the branch → ff again); any third-party
+            # change since the fork still conflicts
+            prior_pub: dict[str, str | None] = {}
+            for s in snaps:
+                if (s.get("operation") == "publish"
+                        and s.get("branch_ff_uid") == uid):
+                    prior_pub.update(s["parts"])
+            conflicts = sorted(
+                k for k in touched
+                if fork_l.get(k) != now_l.get(k)
+                and (k not in prior_pub
+                     or prior_pub[k] != now_l.get(k)))
             for d in snaps:
                 if (d.get("operation") == "row_delete"
                         and d["id"] > base):
@@ -2004,6 +2047,10 @@ class VersionedTable:
                      "note": note or f"fast_forward {name} @{head}",
                      "operation": "publish", "source": head,
                      "branch_ff": name,
+                     # uid under its OWN key: chain membership is
+                     # keyed on branch_uid, and the publish entry is
+                     # main lineage, never part of the chain fold
+                     "branch_ff_uid": uid,
                      "partition_col": pcol,
                      "replace_all": pcol is None,
                      "parts": dict(delta)}

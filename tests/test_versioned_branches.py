@@ -100,6 +100,31 @@ def test_fast_forward_publishes_net_delta(spark, vt):
     assert (3, "d", "v2") in _rows(vt.read())
 
 
+def test_repeated_fast_forward_of_advancing_branch(spark, vt):
+    """The Iceberg continuous-promotion workflow: commit → ff →
+    commit more (rewriting the SAME partition) → ff again. Main
+    carrying exactly a version THIS branch published is not a
+    conflict, each publish carries only the chain's new work, and a
+    genuine third-party change on main still conflicts."""
+    vt.create_branch("b")
+    vt.commit(_df(spark, [(3, "d", "v1")]), "drop_id", branch="b")
+    ff1 = vt.fast_forward("b")
+    assert (3, "d", "v1") in _rows(vt.read())
+    vt.commit(_df(spark, [(3, "d", "v2"), (4, "e", "w")]),
+              "drop_id", branch="b")
+    ff2 = vt.fast_forward("b")
+    assert ff2 is not None and ff2 != ff1
+    got = _rows(vt.read())
+    assert (3, "d", "v2") in got and (4, "e", "w") in got
+    ch = vt.changed_partitions(ff1, ff2)
+    assert set(ch["appended"]) | set(ch["rewritten"]) == {"3", "4"}
+    # third-party rewrite of a branch partition still conflicts
+    vt.commit(_df(spark, [(3, "d", "main")]), "drop_id")
+    vt.commit(_df(spark, [(3, "d", "v3")]), "drop_id", branch="b")
+    with pytest.raises(ValueError, match="changed on main"):
+        vt.fast_forward("b")
+
+
 def test_fast_forward_conflicts_and_force(spark, vt):
     vt.create_branch("b")
     vt.commit(_df(spark, [(2, "c", "branch-version")]), "drop_id",
