@@ -204,6 +204,89 @@ def compact_history(spark: SparkSession, out_dir: str) -> dict:
             "compact_id": new_id}
 
 
+def retract_drop(spark: SparkSession, out_dir: str, drop: str) -> dict:
+    """Undo an ingested drop END-TO-END — the admin op a bad drop
+    needs when it was published without the audit gate. The
+    table-level ``VersionedTable.rollback_to`` alone is NOT enough
+    here: it restores the results view but leaves the drop's
+    fingerprints in the dedup history and its MinHash rows in the
+    near-dup index, so a future re-ingest of the same content would be
+    silently dropped as already-seen — data loss dressed as recovery.
+
+    Steps, each IDEMPOTENT so a crash mid-retraction is resumed by
+    simply re-running (the drop stays done-marked until the final
+    step, so the ingest loop never half-re-ingests it in between):
+
+    1. the drop's fingerprint dir leaves the dedup history — REFUSED
+       when a compaction already folded it (the compact table carries
+       no drop attribution, so exact subtraction is impossible):
+       retract before compaction covers the drop, or accept that
+       recrawls of its content stay deduped;
+    2. its near-dup index partition is tombstoned (when the index
+       exists — ``neardup=`` ingests);
+    3. its results partition is tombstoned (copy-on-write: earlier
+       snapshots still read the drop until ``expire_snapshots``;
+       physical purge is the usual delete→expire pipeline). APPEND
+       mode only — a ``merge_latest`` table rewrote OTHER urls' rows
+       in place, so partition-grain retraction is unsound there and
+       this raises, pointing at ``rollback_to`` + history rebuild;
+    4. the done marker is removed — the drop becomes PENDING again,
+       and the next ``run_ingest_job`` re-ingests it from the WARC
+       source if its files still exist (fresh attempt number; the
+       re-ingest dedups against the history WITHOUT this drop, so
+       its novel content extracts again).
+
+    Lineage/metrics rows are deliberately kept: they are the audit
+    log that the extraction attempt happened. Single-writer like the
+    ingest loop — never run concurrently with one."""
+    import shutil
+
+    manifest = DropManifest(os.path.join(out_dir, "_checkpoints"))
+    if drop not in manifest.done_drops():
+        raise ValueError(
+            f"drop {drop!r} is not done in {out_dir} "
+            "(nothing to retract)")
+    vt = VersionedTable(spark, os.path.join(out_dir, "results"))
+    if any(s.get("operation") == "merge" for s in vt.snapshots()):
+        raise ValueError(
+            "retract_drop requires an append-mode results table: a "
+            "merge_latest ingest rewrote other urls' rows in place, "
+            "so partition-grain retraction would lose them — use "
+            "VersionedTable.rollback_to on the results table and "
+            "rebuild the fingerprint/neardup histories")
+    hist_root = os.path.join(out_dir, "_history")
+    marker = os.path.join(hist_root, "_compact.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if drop in json.load(f)["covers"]:
+                raise ValueError(
+                    f"drop {drop!r} was folded into the compacted "
+                    "fingerprint history — no drop attribution "
+                    "survives compaction, so its hashes cannot be "
+                    "subtracted exactly. Retract before compaction "
+                    "covers a drop, or accept that recrawls of its "
+                    "content stay deduplicated")
+    shutil.rmtree(os.path.join(hist_root, f"drop={drop}"),
+                  ignore_errors=True)
+    stats: dict = {"drop": drop, "neardup_snapshot": None,
+                   "results_snapshot": None, "rows_deleted": 0}
+    nd_root = os.path.join(out_dir, "neardup_index")
+    if os.path.isdir(nd_root):
+        ndvt = VersionedTable(spark, nd_root)
+        if ndvt.snapshots():
+            sid, _ = ndvt.delete_where(
+                [("drop_id", "==", drop)], note=f"retract {drop}")
+            stats["neardup_snapshot"] = sid
+    sid, dstats = vt.delete_where(
+        [("drop_id", "==", drop)], note=f"retract drop {drop}")
+    stats["results_snapshot"] = sid
+    stats["rows_deleted"] = dstats["rows_deleted"]
+    p = os.path.join(manifest.root, f"drop-{drop}.done")
+    if os.path.exists(p):
+        os.remove(p)
+    return stats
+
+
 def keep_latest_within_drop(pages: DataFrame) -> DataFrame:
     """One capture per url within a drop: newest ``warc_ts``, then raw
     content hash, then the ``text``/``lang`` hint columns — a TOTAL

@@ -9,7 +9,8 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from ocr_spark.plans.ingest_job import run_ingest_job
+from ocr_spark.plans.ingest_job import (compact_history, retract_drop,
+                                        run_ingest_job)
 from ocr_spark.sources.io import VersionedTable
 from ocr_spark.sources.warc import build_warc_bytes
 
@@ -335,6 +336,84 @@ def test_keep_latest_within_drop_total_order_and_null_urls(spark):
         out = [(r.url, r.lang)
                for r in keep_latest_within_drop(df).collect()]
         assert out == [("u", "en")]
+
+
+def test_retract_drop_end_to_end(spark, tmp_path):
+    """retract_drop undoes an ingested drop EVERYWHERE the ingest
+    protocol recorded it: the results partition tombstones, the drop's
+    fingerprints leave the dedup history (a table-level rollback alone
+    would leave them — a re-ingest would then silently drop the
+    content as already-seen), and the done marker clears so the next
+    run RE-INGESTS the drop to a byte-identical state."""
+    drops = str(tmp_path / "drops")
+    dup = ("https://w.example.com/u2", "2026-01-01T00:00:00Z",
+           _page("two"))
+    _write_drop(drops, "day1", [
+        ("https://w.example.com/u1", "2026-01-01T00:00:00Z",
+         _page("one")), dup])
+    _write_drop(drops, "day2", [
+        dup,   # already-seen vs day1: not extracted either time
+        ("https://w.example.com/u4", "2026-01-02T00:00:00Z",
+         _page("four"))])
+    out = str(tmp_path / "out")
+    run_ingest_job(spark, drops, out, n_buckets=8)
+    ref = _latest(spark, out)
+    assert {u for u, _, _ in ref} == {
+        "https://w.example.com/u1", "https://w.example.com/u2",
+        "https://w.example.com/u4"}
+
+    st = retract_drop(spark, out, "day2")
+    assert st["rows_deleted"] == 1 and st["results_snapshot"] is not None
+    # live view = day1 only; day1's rows untouched
+    assert {u for u, _, _ in _latest(spark, out)} == {
+        "https://w.example.com/u1", "https://w.example.com/u2"}
+    # history excludes day2's fingerprints and the marker is gone
+    assert not os.path.isdir(
+        os.path.join(out, "_history", "drop=day2"))
+    assert not os.path.exists(
+        os.path.join(out, "_checkpoints", "drop-day2.done"))
+    # a completed retraction re-run raises (nothing left to retract)
+    with pytest.raises(ValueError, match="not done"):
+        retract_drop(spark, out, "day2")
+
+    # re-ingest: day2 comes back byte-identical — its novel page
+    # extracts again (fingerprints really left the history), the
+    # already-seen page stays deduped vs day1
+    st2 = run_ingest_job(spark, drops, out, n_buckets=8)
+    assert st2["completed"]
+    assert _latest(spark, out) == ref
+
+
+def test_retract_drop_guards(spark, tmp_path):
+    """Compacted-away fingerprints and merge_latest tables refuse
+    retraction with directed errors (exact subtraction impossible /
+    partition-grain unsound)."""
+    drops = str(tmp_path / "drops")
+    _write_drop(drops, "day1", [
+        ("https://w.example.com/u1", "2026-01-01T00:00:00Z",
+         _page("one"))])
+    out = str(tmp_path / "out")
+    run_ingest_job(spark, drops, out, n_buckets=8)
+    compact_history(spark, out)
+    with pytest.raises(ValueError, match="compacted"):
+        retract_drop(spark, out, "day1")
+    with pytest.raises(ValueError, match="not done"):
+        retract_drop(spark, out, "nope")
+
+    # merge_latest: the guard keys on an actual merge having happened
+    # (a single plain bootstrap commit is still partition-sound)
+    drops2 = str(tmp_path / "drops2")
+    _write_drop(drops2, "day1", [
+        ("https://w.example.com/u1", "2026-01-01T00:00:00Z",
+         _page("one"))])
+    _write_drop(drops2, "day2", [
+        ("https://w.example.com/u1", "2026-01-02T00:00:00Z",
+         _page("one-v2"))])
+    out2 = str(tmp_path / "out2")
+    run_ingest_job(spark, drops2, out2, n_buckets=8,
+                   recrawl="merge_latest")
+    with pytest.raises(ValueError, match="merge_latest"):
+        retract_drop(spark, out2, "day2")
 
 
 def test_ingest_url_stats_power_point_lookup_and_takedown(spark, tmp_path):
