@@ -238,7 +238,15 @@ def retract_drop(spark: SparkSession, out_dir: str, drop: str) -> dict:
 
     Lineage/metrics rows are deliberately kept: they are the audit
     log that the extraction attempt happened. Single-writer like the
-    ingest loop — never run concurrently with one."""
+    ingest loop — never run concurrently with one.
+
+    Works on the STREAMING twin's tables too (same layout; drops are
+    named ``batch-NNNNNN``) with one caveat: the stream's checkpoint
+    WAL already committed the retracted file's offsets, so a
+    restarted stream will NOT re-read it — re-ingestion there means
+    re-dropping the file under a new name (or running the batch job
+    over the directory), and the reduced fingerprint history is what
+    lets the re-dropped content extract again."""
     import shutil
 
     manifest = DropManifest(os.path.join(out_dir, "_checkpoints"))

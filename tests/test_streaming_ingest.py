@@ -121,6 +121,43 @@ def test_streaming_ingest_crash_resume_byte_identical(spark, tmp_path):
     assert st3["batches_run"] == []
 
 
+def test_streaming_retract_batch_then_redrop(spark, tmp_path):
+    """retract_drop on the STREAMING twin's tables (same layout, drops
+    named batch-N): the retracted batch leaves the live view and the
+    dedup history. The stream's WAL will not replay the original file
+    (offsets committed) — re-ingestion is a RE-DROP under a new name,
+    and the reduced history is what lets the content extract again."""
+    from ocr_spark.plans.ingest_job import retract_drop
+
+    stream = _seed_stream(tmp_path)
+    out = str(tmp_path / "o")
+    ck = str(tmp_path / "ck")
+    run_streaming_ingest(spark, stream, out, ck, n_buckets=4)
+    ref = _latest(spark, out)
+    assert len(ref) == 5
+
+    st = retract_drop(spark, out, "batch-000001")
+    assert st["rows_deleted"] == 2
+    assert {u for u, _, _ in _latest(spark, out)} == {
+        "https://s.example.com/u1", "https://s.example.com/u2",
+        "https://s.example.com/u3"}
+    # a restarted stream drains nothing (WAL has the file)
+    st2 = run_streaming_ingest(spark, stream, out, ck, n_buckets=4)
+    assert st2["batches_run"] == []
+    # re-drop the same content under a new name: the reduced history
+    # lets it extract again, byte-identical rows (new batch id)
+    _write_file(stream, "f2-redrop.parquet", [
+        DUP,
+        _row("https://s.example.com/u4", "four"),
+        _row("https://s.example.com/u5", "five"),
+    ], mtime=1_700_000_200)
+    st3 = run_streaming_ingest(spark, stream, out, ck, n_buckets=4)
+    assert len(st3["batches_run"]) == 1
+    got = _latest(spark, out)
+    assert ([(u, b) for u, _, b in got]
+            == [(u, b) for u, _, b in ref])
+
+
 def test_streaming_ingest_late_arrival_one_new_row(spark, tmp_path):
     """The continuous upload-endpoint shape: after the stream has
     drained, one more file arrives carrying an already-seen page plus
