@@ -40,6 +40,17 @@ CHECKS = {
         "files' row groups. At 100 TB this is the Iceberg "
         "manifest-pruned scan: a narrow range or point lookup opens a "
         "bounded file subset, not the corpus."),
+    "sortorder_compacted_scan": (
+        "VersionedTable.read(where=[narrow range]) AFTER a bare "
+        "rewrite_files() on a table declared with a WRITE SORT ORDER "
+        "(commit(sort_order=)): the compaction inherited the property, "
+        "range-distributed its output, and the FileScan Location again "
+        "holds a BOUNDED file subset — before the property existed, a "
+        "bare compaction of a clustered table spanned every output "
+        "file across the whole value range and this same scan opened "
+        "everything. At 100 TB this is what makes scheduled compaction "
+        "safe to automate: maintenance can never silently destroy the "
+        "manifest-pruned scan."),
     "schema_evolved_aligned_read": (
         "VersionedTable.read() over a table whose url column was RENAMED "
         "mid-history (field-id registry): a Union of exactly ONE FileScan "
@@ -424,6 +435,41 @@ def main() -> None:
                 f"plan_files: kept {len(skipped['files'])} of "
                 f"{skipped['files_total']} files "
                 f"({skipped['files_skipped']} skipped driver-side)")
+        elif name == "sortorder_compacted_scan":
+            from pyspark.sql import functions as F
+            from ocr_spark.sources.io import VersionedTable
+            vt = VersionedTable(spark,
+                                os.path.join(REPO, "BENCH",
+                                             "_plans_vtsort"))
+            if not vt.snapshots():
+                # hash-scattered small files: every file spans the
+                # whole seq range, so pre-compaction the narrow scan
+                # keeps everything
+                base = (spark.range(0, 20_000)
+                        .select(F.col("id").alias("seq"),
+                                (F.col("id") % 2).cast("int")
+                                .alias("drop_id"),
+                                F.md5(F.col("id").cast("string"))
+                                .alias("payload"))
+                        .repartition(8))
+                vt.commit(base, "drop_id",
+                          sort_order=["seq"], stats_cols=["seq"])
+                pre = vt.plan_files(
+                    where=[("seq", "between", (1000, 1999))])
+                sid, st = vt.rewrite_files(target_bytes=120_000)
+                extra_note[name] = (
+                    f"pre-compaction (hash-scattered files): kept "
+                    f"{len(pre['files'])} of {pre['files_total']}; ")
+            else:
+                extra_note[name] = ""
+            skipped = vt.plan_files(
+                where=[("seq", "between", (1000, 1999))])
+            df = vt.read(where=[("seq", "between", (1000, 1999))])
+            extra_note[name] = (extra_note.get(name, "") + (
+                f"after a BARE rewrite_files() (sort order inherited): "
+                f"kept {len(skipped['files'])} of "
+                f"{skipped['files_total']} files "
+                f"({skipped['files_skipped']} skipped driver-side)"))
         elif name == "schema_evolved_aligned_read":
             from pyspark.sql import functions as F
             from ocr_spark.sources.io import VersionedTable
