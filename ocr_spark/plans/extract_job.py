@@ -248,6 +248,7 @@ def run_extract_job(
     reextract_stale: bool = False,
     stats_cols: tuple[str, ...] | None = ("url",),
     stats_bloom_cols: tuple[str, ...] | None = ("url",),
+    sort_order: tuple[str, ...] | None = ("url",),
 ) -> dict:
     """Resumable driver loop: process pending buckets in groups.
 
@@ -393,13 +394,20 @@ def run_extract_job(
         if vt is not None:
             # stats_cols: file-level min/max on url (versioned sink
             # only) — a takedown/point lookup via read(where=[("url",
-            # "==", u)]) skips the result files whose bounds exclude it
+            # "==", u)]) skips the result files whose bounds exclude
+            # it. sort_order: within-file url clustering — under the
+            # hash-bucketed layout file-level bounds prune nothing,
+            # but the pushed url predicate then skips ROW GROUPS
+            # inside each bloom-surviving file (and maintenance
+            # rewrites keep the clustering, it's a table property)
             vt.commit(out_cols, "bucket",
                       note=f"run {snapshot_id} buckets {group}",
                       stats_cols=(list(stats_cols) if stats_cols
                                   else None),
                       bloom_cols=(list(stats_bloom_cols)
-                                  if stats_bloom_cols else None))
+                                  if stats_bloom_cols else None),
+                      sort_order=(list(sort_order) if sort_order
+                                  else None))
         else:
             io.overwrite_partitions(out_cols, "results", ["bucket"])
         attempt = max(manifest.attempt_of(b) for b in group)

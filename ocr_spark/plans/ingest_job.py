@@ -343,6 +343,7 @@ def commit_drop_results(vt: VersionedTable, out_cols: DataFrame,
                         recrawl: str, note: str,
                         stats_cols: tuple[str, ...] | None = None,
                         bloom_cols: tuple[str, ...] | None = None,
+                        sort_order: tuple[str, ...] | None = ("url",),
                         audit=None) -> int | None:
     """One results commit per drop under either recrawl policy — the
     shared unit of the batch and streaming ingest jobs (semantics in
@@ -368,6 +369,12 @@ def commit_drop_results(vt: VersionedTable, out_cols: DataFrame,
     min/max bounds prune nothing for a point lookup, while the bloom
     skips every file that cannot hold the url (cost: one url-column
     re-read of the drop's just-written files, bounded by the drop).
+    ``sort_order`` (default ``("url",)``) declares the table's WRITE
+    SORT ORDER: each data file comes out internally url-clustered
+    (task-local sort, no extra shuffle), so the pushed url predicate
+    additionally skips ROW GROUPS inside each bloom-surviving file —
+    and being a table property, maintenance rewrites (merge,
+    takedown, compaction) keep the clustering.
 
     ``audit`` (write-audit-publish — ``recrawl="append"`` only; the
     merge path commits inside ``merge_into`` and cannot stage) gates
@@ -396,12 +403,16 @@ def commit_drop_results(vt: VersionedTable, out_cols: DataFrame,
                          stats_cols=list(stats_cols) if stats_cols
                          else None,
                          bloom_cols=list(bloom_cols) if bloom_cols
+                         else None,
+                         sort_order=list(sort_order) if sort_order
                          else None)
     staged_id = vt.commit(out_cols, "drop_id", note=note + " (staged)",
                           staged=True,
                           stats_cols=list(stats_cols) if stats_cols
                           else None,
                           bloom_cols=list(bloom_cols) if bloom_cols
+                          else None,
+                          sort_order=list(sort_order) if sort_order
                           else None)
     staged_parts = next(s for s in vt.snapshots()
                         if s["id"] == staged_id)["parts"]

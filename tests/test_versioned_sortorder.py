@@ -121,7 +121,22 @@ def test_disable_and_validation(spark, tmp_path):
     assert [v for vals in per_file for v in vals] == ks
 
 
-def test_rename_follows_and_expiry_carries(spark, tmp_path):
+def test_production_sinks_declare_url_sort_order(spark, tmp_path):
+    """The versioned extract sink and the ingest results table declare
+    sort_order=["url"] by default: every data file is internally
+    url-clustered, so the pushed url predicate skips row groups inside
+    bloom-surviving files, and maintenance keeps the clustering."""
+    from ocr_spark.plans.extract_job import run_extract_job
+    from ocr_spark.synth import write_corpus
+
+    pages, _ = write_corpus(str(tmp_path / "c"), 60, seed=5)
+    run_extract_job(spark, pages, str(tmp_path / "o"), n_buckets=4,
+                    group_size=4, versioned=True)
+    vt = VersionedTable(spark, str(tmp_path / "o" / "results"))
+    assert vt.sort_order() == ["url"]
+    parts = vt.snapshots()[-1]["parts"]
+    rel = next(r for r in parts.values() if r is not None)
+    _assert_files_sorted(vt.root, rel, col="url")
     vt = VersionedTable(spark, str(tmp_path / "t"))
     vt.commit(_shuffled(spark, 1), "p", sort_order=["k"])
     vt.rename_column("k", "key")
