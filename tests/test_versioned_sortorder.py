@@ -137,6 +137,9 @@ def test_production_sinks_declare_url_sort_order(spark, tmp_path):
     parts = vt.snapshots()[-1]["parts"]
     rel = next(r for r in parts.values() if r is not None)
     _assert_files_sorted(vt.root, rel, col="url")
+
+
+def test_rename_follows_and_expiry_carries(spark, tmp_path):
     vt = VersionedTable(spark, str(tmp_path / "t"))
     vt.commit(_shuffled(spark, 1), "p", sort_order=["k"])
     vt.rename_column("k", "key")
