@@ -232,8 +232,14 @@ def test_versioned_table_random_walk_matches_model(spark, tmp_path, seed,
                     sid = fid
                 else:
                     sid = None   # empty branch: nothing published
-                vt.drop_branch(st["name"])
-                branch_st[0] = None
+                if fid is None or rnd.random() < 0.5:
+                    vt.drop_branch(st["name"])
+                    branch_st[0] = None
+                # else: branch kept ALIVE post-publish — later
+                # branch_commits extend the chain and a later
+                # branch_ff exercises REPEATED fast-forward (main at
+                # this branch's own published versions is not a
+                # conflict; each publish carries only new work)
         else:
             keep = rnd.randint(2, 4)
             vt.expire_snapshots(keep)
