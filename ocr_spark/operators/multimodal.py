@@ -14,8 +14,10 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    IntegerType, LongType, StringType, StructField, StructType,
+    DoubleType, IntegerType, LongType, StringType, StructField,
+    StructType,
 )
 
 MEDIA_META_SCHEMA = StructType([
@@ -140,61 +142,49 @@ def sample_frames(df: DataFrame, id_col: str = "doc_id",
 FEATURE_SCHEMA = StructType([
     StructField("doc_id", LongType()),
     StructField("dim", IntegerType()),
-    StructField("feat", LongType()),
+    StructField("feat", DoubleType()),
 ])
 
 
-class _StubFeaturizer:
-    """Stand-in for a heavy model artifact (weights file, ONNX session...).
-
-    Construction is the expensive step a real model pays once; featurize()
-    is the per-batch forward pass. Deterministic byte-length arithmetic so
-    the DuckDB oracle can verify outputs.
-    """
-
-    def __init__(self) -> None:
-        self.n_batches = 0
-
-    def featurize(self, n_bytes: int, n_dims: int) -> list[int]:
-        return [(n_bytes * j) % 997 for j in range(1, n_dims + 1)]
-
-
-# Per-executor lazy singleton (SURVEY.md S8): loaded at most ONCE per
-# Python worker process and reused across every Arrow batch and task the
-# worker handles (spark.python.worker.reuse). This is the reference's CLI
-# pattern — model loaded once, batch predict (/root/reference/
-# hebrew-letter-segmentation.py:146, func.py:34-60) — and explicitly NOT
-# its web-path bug of reloading the model per request (func.py:202).
-_MODEL: _StubFeaturizer | None = None
-_MODEL_INITS = 0
-
-
-def _get_model() -> _StubFeaturizer:
-    global _MODEL, _MODEL_INITS
-    if _MODEL is None:
-        _MODEL = _StubFeaturizer()
-        _MODEL_INITS += 1
-    return _MODEL
-
-
 def extract_features(df: DataFrame, id_col: str = "doc_id",
-                     blob_col: str = "blob", n_dims: int = 8) -> DataFrame:
-    """Feature extraction plumbing: blob -> n_dims (doc_id, dim, feat)
-    rows, through the per-executor singleton featurizer (_get_model)."""
+                     blob_col: str = "blob", n_dims: int | None = None,
+                     round_to: int = 4) -> DataFrame:
+    """Feature extraction through the REAL model: decode the blob as
+    UTF-8 text and run the seeded from-scratch numpy MLP
+    (:class:`ocr_spark.operators.embedding.MLPFeaturizer`, the
+    per-executor lazy singleton — SURVEY.md S8, the reference's
+    loaded-once + batch-predict pattern, /root/reference/
+    hebrew-letter-segmentation.py:146, func.py:34-60), emitting
+    (doc_id, dim, feat) rows, ``feat`` rounded to ``round_to``.
+    ``n_dims`` (<= the model's dim_out) keeps only the leading dims.
+    Values are engine-portable (embedding module contract), so the
+    DuckDB oracle verifies them via
+    :func:`ocr_spark.operators.embedding.sql_feature_rows`."""
+    from ocr_spark.operators.embedding import DIM_OUT, get_mlp
+
+    n_keep = DIM_OUT if n_dims is None else n_dims
+    if n_keep > DIM_OUT:
+        raise ValueError(f"n_dims {n_keep} > model dim_out {DIM_OUT}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        model = _get_model()
+        model = get_mlp()
         for pdf in batches:
             model.n_batches += 1
+            texts = [bytes(b).decode("utf-8", errors="replace")
+                     if b is not None else ""
+                     for b in pdf[blob_col]]
+            E = model.embed(texts)
             rows = []
-            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
-                n = len(bytes(blob)) if blob is not None else 0
-                for j, feat in enumerate(model.featurize(n, n_dims), 1):
-                    rows.append((int(doc_id), j, feat))
+            for r, doc_id in enumerate(pdf[id_col]):
+                for j in range(n_keep):
+                    rows.append((int(doc_id), j + 1, float(E[r, j])))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
 
-    return df.select(id_col, blob_col).mapInPandas(run, FEATURE_SCHEMA)
+    # round JVM-side (F.round == DuckDB round, half away from zero);
+    # Python's round() is half-to-even and would diverge on exact ties
+    return (df.select(id_col, blob_col).mapInPandas(run, FEATURE_SCHEMA)
+            .withColumn("feat", F.round("feat", round_to)))
 
 
 WORKER_STATS_SCHEMA = StructType([
@@ -216,13 +206,13 @@ def worker_model_stats(spark, n_tasks: int = 64) -> DataFrame:
         import os
         # Read the WORKER's module instance: cloudpickle snapshots plain
         # global references by value at driver pickle time, which would
-        # report the driver's (0, None) instead of the worker state.
-        from ocr_spark.operators import multimodal as M
+        # report the driver's (0, {}) instead of the worker state.
+        from ocr_spark.operators import embedding as E
         for _ in batches:
             pass
         yield pd.DataFrame(
-            [(os.getpid(), M._MODEL_INITS,
-              M._MODEL.n_batches if M._MODEL is not None else 0)],
+            [(os.getpid(), E._MODEL_INITS,
+              sum(m.n_batches for m in E._MODELS.values()))],
             columns=[f.name for f in WORKER_STATS_SCHEMA.fields])
 
     return (spark.range(n_tasks).repartition(n_tasks)

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ocr_spark.operators.embedding import sql_feature_rows
 from ocr_spark.operators.multimodal import (
     decode_media_meta, extract_features, resize_meta, sample_frames,
 )
@@ -86,9 +87,9 @@ def _features_spark(spark, sf):
 QUERIES.append(QuerySpec(
     "multimodal_feature_extract",
     _features_spark,
-    "SELECT doc_id, CAST(j AS INT) AS dim, "
-    "CAST((octet_length(encode(text)) * j) % 997 AS BIGINT) AS feat "
-    "FROM documents CROSS JOIN (SELECT unnest(range(1, 9)) AS j)",
-    "multimodal: per-blob feature extraction plumbing (stub featurizer; "
-    "real model = per-executor lazy singleton)",
+    sql_feature_rows("documents", "doc_id", "text", n_dims=8),
+    "multimodal: per-blob feature extraction through the REAL model — "
+    "seeded from-scratch numpy MLP (relu, hashed char-trigram features) "
+    "as the per-executor lazy singleton; oracle replays the identical "
+    "forward pass in SQL (bit-exact: IEEE-only ops, pinned fold order)",
 ))
