@@ -685,6 +685,34 @@ def pq_adc_topk(codes_df: DataFrame, id_col: str, codes_col: str,
             .limit(k))
 
 
+def residual_vectors(df: DataFrame, id_col: str, vec_col: str,
+                     centroids: list[list[float]],
+                     out_col: str = "resid") -> DataFrame:
+    """(id, resid array<double>) — ``v - centroid[cell(v)]``, the
+    training-side twin of :func:`ivf_pq_encode`: IVFADC codebooks must
+    be trained on exactly the residuals the encoder will quantize
+    (Jégou 2011 §IV-A), so the cell assignment here is the identical
+    ARGMAX_ROUND-stable cosine argmax over the identical broadcast
+    centroid matrix. Narrow Arrow-batched map — no join, no shuffle."""
+    C = np.asarray(centroids, dtype=np.float64)
+    bc = df.sparkSession.sparkContext.broadcast(C)
+
+    @F.pandas_udf("array<double>")
+    def res(vecs: pd.Series) -> pd.Series:
+        out = pd.Series([None] * len(vecs), dtype="object",
+                        index=vecs.index)
+        valid = vecs.notna()
+        if valid.any():
+            V = np.array(vecs[valid].tolist(), dtype=np.float64)
+            sims = np.round(_cosine_matrix(V, bc.value), ARGMAX_ROUND)
+            R = V - bc.value[np.argmax(sims, axis=1)]
+            out[valid] = pd.Series([r.tolist() for r in R],
+                                   index=out.index[valid], dtype="object")
+        return out
+
+    return df.select(F.col(id_col), res(F.col(vec_col)).alias(out_col))
+
+
 def ivf_pq_encode(df: DataFrame, id_col: str, vec_col: str,
                   centroids: list[list[float]],
                   codebooks: list[list[list[float]]]) -> DataFrame:

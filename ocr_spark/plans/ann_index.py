@@ -1,0 +1,200 @@
+"""Semantic ANN index as an incrementally-synced derived table.
+
+Composes the round-4/5 flagship blocks end-to-end: the REAL seeded
+numpy MLP (operators/embedding.py) embeds each document's extracted
+text; an IVFADC encoder (operators/similarity.py — coarse cells +
+residual product quantization, Jégou 2011) compresses the vectors to
+``(url, cell, codes)`` rows; and :func:`ocr_spark.plans.derived.
+sync_keyed` maintains those rows as a hash-bucketed derived table over
+the VERSIONED ingest results — the "100 TB semantic index that tracks
+the corpus" story:
+
+* a new drop lands in the results table  -> the next sync embeds and
+  encodes ONLY the drop's docs and rewrites only their url-buckets;
+* a recrawl (``merge_into``) re-encodes the url's new capture — the
+  stale codes leave by key reconciliation;
+* a TAKEDOWN (``delete_where`` / ``retract_drop``) on the results
+  table retracts the url's codes at the next sync, bounded by the
+  url's buckets — the right-to-be-forgotten path for the semantic
+  index, never an index rebuild.
+
+The model (embedding seed/dims, k-means centroids, residual PQ
+codebooks) is trained ONCE at first sync — in-pipeline, distributed
+(zero-shuffle Lloyd + per-subspace k-means on the true residuals) —
+and FROZEN in a ``_ann_model.json`` sidecar at the index root:
+sync_keyed's replay/exactly-once contract requires the transform be
+deterministic across runs, so the model is part of the derived
+contract (its fingerprint is recorded at first sync; a retrain needs a
+new index root or ``full_resync`` with an explicit model). Crash
+windows: sidecar written atomically BEFORE the first sync commit; a
+crash before the sidecar lands retrains (no index commits exist yet),
+a crash after replays under the frozen model and converges.
+
+Scale shape (100 TB): training scans the corpus once (bounded
+k-means/PQ state, nothing corpus-sized on the driver); each sync pays
+only embed+encode of the changed keys (narrow Arrow-batched maps — no
+join, no shuffle of vectors) plus the affected buckets' rewrite; the
+index row is an int cell + m small ints per doc (the 32x compression
+that makes a 10^12-vector index feasible); queries are zero-Exchange
+scan -> cell filter -> ADC fold -> TakeOrderedAndProject over the
+index's VersionedTable view.
+
+Reference parity: the reference's retrieval step re-embeds its whole
+directory per run (hebrew-letter-segmentation.py:230-272); this plan
+is that capability restated as an incrementally-maintained index.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_spark.operators import embedding as E
+from ocr_spark.operators.similarity import (
+    ivf_pq_encode, ivf_pq_search, kmeans_fit, pq_train_codebooks,
+    residual_vectors,
+)
+from ocr_spark.plans.derived import sync_keyed
+from ocr_spark.sources.io import VersionedTable
+
+MODEL_FILE = "_ann_model.json"
+
+
+def _model_path(index_root: str) -> str:
+    return os.path.join(index_root, MODEL_FILE)
+
+
+def model_fingerprint(model: dict) -> str:
+    """Stable content hash — ties the derived contract to the exact
+    frozen parameters (a different model is a different index)."""
+    return hashlib.md5(
+        json.dumps(model, sort_keys=True).encode()).hexdigest()
+
+
+def load_ann_model(index_root: str) -> dict | None:
+    p = _model_path(index_root)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _save_ann_model(index_root: str, model: dict) -> None:
+    os.makedirs(index_root, exist_ok=True)
+    tmp = _model_path(index_root) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(model, f)
+    os.replace(tmp, _model_path(index_root))  # atomic publish
+
+
+def train_ann_model(spark: SparkSession, results_root: str,
+                    n_cells: int = 8, m: int = 4, ksub: int = 16,
+                    kmeans_iters: int = 4, pq_iters: int = 4,
+                    embed_seed: int = E.SEED, key_col: str = "url",
+                    text_col: str = "extracted_text") -> dict:
+    """Train the frozen index model on the results table's CURRENT
+    published view: embed -> spherical k-means coarse quantizer ->
+    per-subspace k-means on the TRUE residuals (the vectors minus
+    their assigned centroid — residual_vectors shares ivf_pq_encode's
+    exact assignment, so the codebooks quantize what the encoder will
+    actually see). Deterministic: k-means init is the ``n_cells`` /
+    ``ksub`` lowest-key vectors, every step ARGMAX_ROUND-stable."""
+    src = VersionedTable(spark, results_root)
+    rows = src.read().select(key_col, text_col)
+    emb = E.embed_text(rows, key_col, text_col, seed=embed_seed).persist()
+    try:
+        init = [r[key_col] for r in
+                emb.select(key_col).orderBy(key_col)
+                .limit(n_cells).collect()]
+        if len(init) < n_cells:
+            raise ValueError(
+                f"train_ann_model: need >= {n_cells} docs, "
+                f"have {len(init)}")
+        cents = kmeans_fit(emb, key_col, "emb", init,
+                           n_iters=kmeans_iters)
+        resid = residual_vectors(emb, key_col, "emb", cents)
+        books = pq_train_codebooks(resid, key_col, "resid", m, ksub,
+                                   n_iters=pq_iters)
+    finally:
+        emb.unpersist()
+    return {"embed_seed": embed_seed, "dim_in": E.DIM_IN,
+            "dim_hidden": E.DIM_HIDDEN, "dim_out": E.DIM_OUT,
+            "key_col": key_col, "text_col": text_col,
+            "n_cells": n_cells, "m": m, "ksub": ksub,
+            "centroids": cents, "codebooks": books}
+
+
+def _encode_transform(model: dict):
+    key, text = model["key_col"], model["text_col"]
+    seed = model["embed_seed"]
+    cents, books = model["centroids"], model["codebooks"]
+
+    def transform(rows: DataFrame) -> DataFrame:
+        emb = E.embed_text(rows.select(key, text), key, text, seed=seed)
+        return ivf_pq_encode(emb, key, "emb", cents, books)
+
+    return transform
+
+
+def sync_ann_index(spark: SparkSession, results_root: str,
+                   index_root: str, n_buckets: int = 8,
+                   full_resync: bool = False, model: dict | None = None,
+                   **train_kw) -> dict:
+    """Bring the ANN index in step with the versioned results table.
+
+    First call trains + freezes the model (sidecar) then full-derives;
+    every later call reconciles incrementally by key (sync_keyed:
+    appends/recrawls/takedowns propagate, only affected buckets
+    rewrite). Pass ``model`` to reuse/rebuild under an existing frozen
+    model (the rebuild-equivalence path); extra kwargs go to
+    :func:`train_ann_model` on the training call only."""
+    frozen = load_ann_model(index_root)
+    if model is not None:
+        if frozen is not None and \
+                model_fingerprint(frozen) != model_fingerprint(model):
+            raise ValueError(
+                "sync_ann_index: explicit model differs from the index's "
+                "frozen sidecar — a different model is a different index "
+                "(use a fresh index_root)")
+        if frozen is None:
+            _save_ann_model(index_root, model)
+        frozen = model
+    elif frozen is None:
+        frozen = train_ann_model(spark, results_root, **train_kw)
+        _save_ann_model(index_root, frozen)
+    res = sync_keyed(
+        spark, results_root, index_root, _encode_transform(frozen),
+        key_col=frozen["key_col"], n_buckets=n_buckets,
+        note="ann-index sync", full_resync=full_resync,
+        contract_extra={"ann_model": model_fingerprint(frozen)})
+    res["model_fingerprint"] = model_fingerprint(frozen)
+    return res
+
+
+def search_ann_index(spark: SparkSession, index_root: str,
+                     query_text: str | None = None,
+                     query_vec: list[float] | None = None,
+                     k: int = 5, nprobe: int = 2,
+                     snapshot_id: int | None = None) -> DataFrame:
+    """IVFADC query against the index's VersionedTable view (time
+    travel via ``snapshot_id``). ``query_text`` embeds through the SAME
+    frozen model driver-side; the plan is the zero-Exchange
+    scan -> cell filter -> ADC fold -> top-k."""
+    model = load_ann_model(index_root)
+    if model is None:
+        raise ValueError(f"no ANN model sidecar at {index_root}")
+    if (query_text is None) == (query_vec is None):
+        raise ValueError("pass exactly one of query_text / query_vec")
+    if query_vec is None:
+        feat = E.MLPFeaturizer(model["embed_seed"], model["dim_in"],
+                               model["dim_hidden"], model["dim_out"])
+        query_vec = feat.embed([query_text])[0].tolist()
+    vt = VersionedTable(spark, index_root)
+    codes = vt.read(snapshot_id=snapshot_id)
+    return ivf_pq_search(codes, model["key_col"], query_vec,
+                         model["centroids"], model["codebooks"],
+                         k=k, nprobe=nprobe)
