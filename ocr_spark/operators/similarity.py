@@ -416,6 +416,76 @@ def kmeans_fit(df: DataFrame, id_col: str, vec_col: str,
         work.unpersist()
 
 
+def lsh_params(n_docs: int, dup_cos: float = 0.99, recall: float = 0.9,
+               bg_cos: float = 0.0, max_cand_per_doc: int = 64,
+               max_bands: int = 64) -> tuple[int, int, int]:
+    """Size banded hyperplane-LSH for a corpus: ``(n_planes, bands,
+    rows_per_band)`` — the (threshold, corpus_size) -> (b, r) policy
+    that keeps the candidate self-join bounded as the corpus grows
+    (VERDICT r4: fixed (b, r) is correct at one scale and quadratic at
+    100x).
+
+    S-curve math (the MinHash-LSH analysis applied to sign-random-
+    projection): two vectors at angle theta agree on one hyperplane
+    with p = 1 - theta/pi (Goemans-Williamson), so a band of r planes
+    collides with p^r and b bands catch a pair with 1 - (1 - p^r)^b.
+
+    * RECALL constraint: at the near-dup similarity ``dup_cos``
+      (p_dup), need 1 - (1 - p_dup^r)^b >= recall, i.e.
+      b >= ln(1 - recall) / ln(1 - p_dup^r).
+    * COST constraint: a background pair (``bg_cos``, default
+      orthogonal -> p_bg = 1/2) collides somewhere with <= b * p_bg^r,
+      so the expected candidate partners per doc are
+      b * p_bg^r * (n_docs - 1); keep <= ``max_cand_per_doc`` so the
+      within-bucket self-join stays O(N), never O(N^2).
+
+    The search takes the smallest r whose recall-minimal b meets the
+    cost bound — it always terminates for p_bg < p_dup, since
+    b * p_bg^r ~ ln(1/(1-recall)) * (p_bg/p_dup)^r -> 0. Growth shape:
+    r ~ log2(n_docs / max_cand_per_doc) (+ the slowly-growing b), the
+    occupancy invariant test_lsh_policy pins over n_docs 10^3 -> 10^7.
+    """
+    import math
+    if not 0 < recall < 1 or not -1 <= bg_cos < dup_cos <= 1:
+        raise ValueError("need 0<recall<1 and -1<=bg_cos<dup_cos<=1")
+    p_dup = 1.0 - math.acos(dup_cos) / math.pi
+    p_bg = 1.0 - math.acos(bg_cos) / math.pi
+    for r in range(2, 65):
+        pr = p_dup ** r
+        if 1.0 - pr >= 1.0:  # pr underflow: recall unreachable here
+            continue
+        b = max(1, math.ceil(math.log(1.0 - recall)
+                             / math.log(1.0 - pr)))
+        if b > max_bands:
+            continue
+        if b * (p_bg ** r) * max(n_docs - 1, 0) <= max_cand_per_doc:
+            return b * r, b, r
+    raise ValueError(
+        f"lsh_params: no (b<={max_bands}, r<=64) meets recall={recall} "
+        f"at dup_cos={dup_cos} within {max_cand_per_doc} cand/doc for "
+        f"n_docs={n_docs}")
+
+
+def embedding_near_dup_pairs_auto(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float,
+    dim: int, n_docs: int | None = None, dup_cos: float = 0.99,
+    recall: float = 0.9, max_cand_per_doc: int = 64,
+    seed: int = 123, round_to: int = 4,
+) -> DataFrame:
+    """Self-sizing banded near-dup pairs: derive (n_planes, b, r) from
+    :func:`lsh_params` at the actual corpus size, then run
+    :func:`embedding_near_dup_pairs_banded`. ``n_docs=None`` pays one
+    count() of the input (a cheap column-pruned scan; pass the known
+    corpus size in production to skip it)."""
+    if n_docs is None:
+        n_docs = df.count()
+    n_planes, b, _ = lsh_params(n_docs, dup_cos=dup_cos, recall=recall,
+                                max_cand_per_doc=max_cand_per_doc)
+    planes = hyperplanes(n_planes, dim, seed=seed)
+    return embedding_near_dup_pairs_banded(
+        df, id_col, vec_col, planes, b, threshold, round_to=round_to)
+
+
 def embedding_near_dup_pairs_banded(
     df: DataFrame, id_col: str, vec_col: str,
     planes: list[list[float]], n_bands: int, threshold: float,

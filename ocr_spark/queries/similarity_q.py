@@ -19,9 +19,17 @@ QUERIES: list[QuerySpec] = []
 # production compensators are load-bearing — Hamming<=2 multiprobe for
 # the ANN queries, banding (N_BANDS x 6 planes) for near-dup pairing.
 # r1/r2 ran a toy 4-plane config whose 16 buckets made every probe look
-# easy.
-N_PLANES = 12
-N_BANDS = 2
+# easy. Since r5 the banding comes from the SIZING POLICY
+# (similarity.lsh_params — S-curve recall x bounded candidate cost),
+# pinned at the registry's design scale: the oracle SQL inlines the
+# identical planes, so the registered spelling must be one fixed
+# config; production paths size dynamically per corpus
+# (embedding_near_dup_pairs_auto / minhash_lsh_pairs_auto).
+_DESIGN_N_DOCS = 2000  # the sf0.001-0.01 testdata scale
+N_PLANES, N_BANDS, _POLICY_R = S.lsh_params(
+    _DESIGN_N_DOCS, dup_cos=0.99, recall=0.9, max_cand_per_doc=64)
+assert (N_PLANES, N_BANDS) == (12, 2), "policy drift would silently " \
+    "change every registered LSH spelling and oracle"
 PROBE_HAMMING = 2
 DIM = 64
 PLANES = S.hyperplanes(N_PLANES, DIM, seed=123)
