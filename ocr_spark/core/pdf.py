@@ -1,8 +1,17 @@
 """Minimal PDF content-stream text extractor with reading-order rules.
 
 From-scratch (no pypdf in the environment). Scope is the generated-PDF
-subset pinned in FIXTURES.md: xref-less object scan, FlateDecode streams,
-text operators BT/ET, Tf, TL, Td/TD/Tm/T*, Tj/TJ/'/".
+subset pinned in FIXTURES.md: xref-less object scan, filter chains of
+FlateDecode / ASCIIHexDecode / ASCII85Decode (array order; unknown
+filters skip the stream), object streams (/Type/ObjStm members join
+the object table — where modern writers put page/font dicts), xref
+STREAMS (inert to the scan-based reader, never a parse error), a
+/ToUnicode CMap subset (bfchar + bfrange incl. the array form, 1- and
+2-byte codes, UTF-16BE targets; fonts without a CMap pass latin-1
+bytes through), and text operators BT/ET, Tf, TL, Td/TD/Tm/T*,
+Tj/TJ/'/". Still OUT of scope (r5 line): LZW/DCT/encryption,
+CID-keyed /Encoding CMaps without ToUnicode, and cross-reference-
+driven page selection (the reader scans every stream).
 
 Reading-order rule (fixed; the analog of RTL ordering + line-offset
 rebasing, /root/reference/utils.py:175 and
@@ -44,6 +53,265 @@ _OP_RE = re.compile(rb"[A-Za-z'\"*]{1,3}")
 
 def is_pdf(data: bytes) -> bool:
     return data.startswith(PDF_MAGIC)
+
+
+# ------------------------------------------------------- stream filters --
+
+_FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
+_FNAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
+_WS = b" \t\r\n\0\x0c"
+
+
+def _asciihex_decode(data: bytes) -> bytes | None:
+    """ASCIIHexDecode: hex digits up to '>', whitespace ignored, odd
+    count padded with 0. None on any non-hex byte (total)."""
+    end = data.find(b">")
+    if end >= 0:
+        data = data[:end]
+    data = bytes(c for c in data if c not in _WS)
+    if not re.fullmatch(rb"[0-9a-fA-F]*", data):
+        return None
+    if len(data) % 2:
+        data += b"0"
+    return bytes.fromhex(data.decode("ascii"))
+
+
+def _ascii85_decode(data: bytes) -> bytes | None:
+    """ASCII85Decode: base-85 groups of 5 chars -> 4 bytes, 'z' = four
+    zero bytes, optional '<~'/'~>' frame, whitespace ignored, partial
+    trailing group padded with 'u' and truncated. None on any invalid
+    byte or overlong group (total)."""
+    if data.startswith(b"<~"):
+        data = data[2:]
+    end = data.find(b"~>")
+    if end >= 0:
+        data = data[:end]
+    out = bytearray()
+    group: list[int] = []
+    for c in data:
+        if c in _WS:
+            continue
+        if c == 0x7A:  # 'z'
+            if group:
+                return None
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not 0x21 <= c <= 0x75:
+            return None
+        group.append(c - 0x21)
+        if len(group) == 5:
+            n = 0
+            for d in group:
+                n = n * 85 + d
+            if n > 0xFFFFFFFF:
+                return None
+            out += n.to_bytes(4, "big")
+            group = []
+    if group:
+        if len(group) == 1:
+            return None
+        k = len(group)
+        group += [84] * (5 - k)  # pad 'u'
+        n = 0
+        for d in group:
+            n = n * 85 + d
+        if n > 0xFFFFFFFF:
+            return None
+        out += n.to_bytes(4, "big")[: k - 1]
+    return bytes(out)
+
+
+def _stream_filters(obj_dict: bytes) -> list[str]:
+    m = _FILTER_RE.search(obj_dict)
+    if not m:
+        return []
+    return [g.decode("ascii") for g in _FNAME_RE.findall(m.group(1))]
+
+
+def _decode_stream(obj_dict: bytes, body: bytes) -> bytes | None:
+    """Apply the /Filter chain in array order. None (skip the stream,
+    never raise) on an unknown filter or a decode failure — the
+    totality contract."""
+    for f in _stream_filters(obj_dict):
+        if f == "FlateDecode":
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:
+                return None
+        elif f == "ASCIIHexDecode":
+            body = _asciihex_decode(body)
+        elif f == "ASCII85Decode":
+            body = _ascii85_decode(body)
+        else:
+            return None
+        if body is None:
+            return None
+    return body
+
+
+def _strip_stream_eol(body: bytes) -> bytes:
+    """Stream bodies end with EOL before 'endstream'."""
+    if body.endswith(b"\r\n"):
+        return body[:-2]
+    if body.endswith(b"\n") or body.endswith(b"\r"):
+        return body[:-1]
+    return body
+
+
+# ------------------------------------- object table + ToUnicode CMaps --
+
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.DOTALL)
+_TOUNI_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+_FONTRES_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.DOTALL)
+_FONTREF_RE = re.compile(rb"/(\w+)\s+(\d+)\s+\d+\s+R")
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+
+
+def _scan_objects(data: bytes) -> dict[int, bytes]:
+    """objnum -> object body, top-level scan (no xref needed) PLUS the
+    members of every /Type/ObjStm object stream — the modern layout
+    packs page/font/resource dicts there (streams themselves cannot
+    live in an ObjStm, so content extraction stays a top-level scan)."""
+    objs: dict[int, bytes] = {}
+    for m in _OBJ_RE.finditer(data):
+        objs[int(m.group(1))] = m.group(2)
+    for body in list(objs.values()):
+        sm = _STREAM_RE.search(body)
+        if not sm or b"/ObjStm" not in sm.group(1):
+            continue
+        dec = _decode_stream(sm.group(1), _strip_stream_eol(sm.group(2)))
+        mn = re.search(rb"/N\s+(\d+)", sm.group(1))
+        mf = re.search(rb"/First\s+(\d+)", sm.group(1))
+        if dec is None or not mn or not mf:
+            continue
+        n, first = int(mn.group(1)), int(mf.group(1))
+        head = dec[:first].split()
+        try:
+            pairs = [(int(head[2 * i]), int(head[2 * i + 1]))
+                     for i in range(n)]
+        except (ValueError, IndexError):
+            continue
+        for i, (onum, off) in enumerate(pairs):
+            end = pairs[i + 1][1] if i + 1 < n else len(dec) - first
+            objs[onum] = dec[first + off:first + end]
+    return objs
+
+
+def _dst_str(hexs: bytes) -> str | None:
+    """CMap destination hex -> str (UTF-16BE code units)."""
+    try:
+        b = bytes.fromhex(hexs.decode("ascii"))
+    except (ValueError, UnicodeDecodeError):
+        return None
+    if len(b) % 2:
+        return None
+    try:
+        return b.decode("utf-16-be")
+    except UnicodeDecodeError:
+        return None
+
+
+def _parse_cmap(body: bytes) -> tuple[dict[int, str], int] | None:
+    """bfchar/bfrange subset -> ({code: text}, code byte length)."""
+    mapping: dict[int, str] = {}
+    nbytes = 0
+    for sec in _BFCHAR_RE.findall(body):
+        toks = re.findall(rb"<([0-9a-fA-F]+)>", sec)
+        for i in range(0, len(toks) - 1, 2):
+            src, dst = toks[i], toks[i + 1]
+            s = _dst_str(dst)
+            if s is not None:
+                nbytes = max(nbytes, (len(src) + 1) // 2)
+                mapping[int(src, 16)] = s
+    for sec in _BFRANGE_RE.findall(body):
+        items: list[tuple[str, object]] = []
+        for m in re.finditer(rb"<([0-9a-fA-F]+)>|(\[[^\]]*\])", sec):
+            if m.group(1) is not None:
+                items.append(("h", m.group(1)))
+            else:
+                items.append(("a", re.findall(rb"<([0-9a-fA-F]+)>",
+                                              m.group(2))))
+        for i in range(0, len(items) - 2, 3):
+            (k1, lo), (k2, hi), (k3, dst) = items[i:i + 3]
+            if k1 != "h" or k2 != "h":
+                continue
+            lo_i, hi_i = int(lo, 16), int(hi, 16)
+            if hi_i < lo_i or hi_i - lo_i > 0xFFFF:
+                continue
+            nbytes = max(nbytes, (len(lo) + 1) // 2)
+            if k3 == "h":
+                base = _dst_str(dst)
+                if base is None or not base:
+                    continue
+                # increment applies to the LAST code unit (spec)
+                head, last = base[:-1], ord(base[-1])
+                for c in range(lo_i, hi_i + 1):
+                    mapping[c] = head + chr(last + (c - lo_i))
+            else:
+                for j, d in enumerate(dst):
+                    if lo_i + j > hi_i:
+                        break
+                    s = _dst_str(d)
+                    if s is not None:
+                        mapping[lo_i + j] = s
+    if not mapping or nbytes == 0:
+        return None
+    return mapping, nbytes
+
+
+def _font_cmaps(objs: dict[int, bytes]) -> dict[str, tuple]:
+    """Resource font NAME (e.g. 'F1') -> parsed ToUnicode CMap, walked
+    through the object table: font resources dicts reference font
+    objects, font objects reference their /ToUnicode streams. Scoped
+    globally (last definition of a name wins) — the stated subset; a
+    page-scoped resolution needs the page tree the scan-based reader
+    deliberately does not require."""
+    by_obj: dict[int, tuple] = {}
+    for num, body in objs.items():
+        if b"/Font" not in body:
+            continue
+        m = _TOUNI_RE.search(body)
+        if not m:
+            continue
+        tob = objs.get(int(m.group(1)))
+        if tob is None:
+            continue
+        sm = _STREAM_RE.search(tob)
+        if not sm:
+            continue
+        dec = _decode_stream(sm.group(1), _strip_stream_eol(sm.group(2)))
+        if dec is None:
+            continue
+        parsed = _parse_cmap(dec)
+        if parsed:
+            by_obj[num] = parsed
+    cmaps: dict[str, tuple] = {}
+    if by_obj:
+        for body in objs.values():
+            for fm in _FONTRES_RE.finditer(body):
+                for name, ref in _FONTREF_RE.findall(fm.group(1)):
+                    cm = by_obj.get(int(ref))
+                    if cm:
+                        cmaps[name.decode("latin-1")] = cm
+    return cmaps
+
+
+def _map_text(s: str, cm: tuple | None) -> str:
+    """Apply a font's ToUnicode CMap to a decoded string (latin-1 byte
+    semantics preserved by the tokenizer): group the raw bytes by the
+    CMap's code width and map; unmapped codes and a trailing partial
+    code drop (total). No CMap -> passthrough."""
+    if cm is None:
+        return s
+    mapping, nbytes = cm
+    raw = s.encode("latin-1", "ignore")
+    out: list[str] = []
+    for i in range(0, len(raw) - len(raw) % nbytes, nbytes):
+        t = mapping.get(int.from_bytes(raw[i:i + nbytes], "big"))
+        if t is not None:
+            out.append(t)
+    return "".join(out)
 
 
 def _decode_pdf_string(raw: bytes) -> str:
@@ -143,13 +411,18 @@ def _tokenize_content(data: bytes):
         i += 1  # unknown byte: skip (total)
 
 
-def _extract_segments(content: bytes) -> list[tuple[float, float, str]]:
-    """Interpret text operators -> [(x, y, text)] segments."""
+def _extract_segments(content: bytes,
+                      cmaps: dict[str, tuple] | None = None
+                      ) -> list[tuple[float, float, str]]:
+    """Interpret text operators -> [(x, y, text)] segments. ``cmaps``
+    (resource font name -> ToUnicode CMap) remaps shown strings of the
+    Tf-selected font; fonts without a CMap pass through."""
     segs: list[tuple[float, float, str]] = []
     x = y = 0.0
     line_x = line_y = 0.0
     leading = 12.0
     operands: list = []
+    cur_cm: tuple | None = None
 
     for kind, val in _tokenize_content(content):
         if kind in ("str", "num", "name", "arr"):
@@ -174,26 +447,35 @@ def _extract_segments(content: bytes) -> list[tuple[float, float, str]]:
             x, y = line_x, line_y
         elif op == "TL" and nums:
             leading = nums[-1]
+        elif op == "Tf":
+            names = [v for k, v in operands if k == "name"]
+            cur_cm = (cmaps or {}).get(names[-1][1:]) if names else None
         elif op == "T*":
             line_y -= leading
             x, y = line_x, line_y
         elif op == "Tj":
             if strs and strs[-1]:
-                segs.append((x, y, strs[-1]))
+                t = _map_text(strs[-1], cur_cm)
+                if t:
+                    segs.append((x, y, t))
         elif op == "TJ":
-            text = "".join(strs)
+            text = "".join(_map_text(sv, cur_cm) for sv in strs)
             if text:
                 segs.append((x, y, text))
         elif op == "'":
             line_y -= leading
             x, y = line_x, line_y
             if strs and strs[-1]:
-                segs.append((x, y, strs[-1]))
+                t = _map_text(strs[-1], cur_cm)
+                if t:
+                    segs.append((x, y, t))
         elif op == '"':
             line_y -= leading
             x, y = line_x, line_y
             if strs and strs[-1]:
-                segs.append((x, y, strs[-1]))
+                t = _map_text(strs[-1], cur_cm)
+                if t:
+                    segs.append((x, y, t))
         operands = []
     return segs
 
@@ -228,24 +510,27 @@ def _assemble_segments(segs: list[tuple[float, float, str]]) -> str:
 
 
 def extract_pdf_text(data: bytes) -> str:
-    """PDF bytes -> extracted text under the fixed reading-order rule."""
+    """PDF bytes -> extracted text under the fixed reading-order rule.
+
+    Orchestration: build the object table (top-level scan + ObjStm
+    expansion) to resolve ToUnicode CMaps, then decode every top-level
+    stream through its filter chain and interpret the ones carrying
+    text operators. xref streams and other non-text streams fall out
+    naturally (no BT after decode, or an unknown filter)."""
     try:
+        cmaps: dict[str, tuple] = {}
+        # fast-path gate: the font graph is only walked when a CMap can
+        # exist — the marker may hide inside a compressed ObjStm, so
+        # that container's presence opens the gate too
+        if b"/ToUnicode" in data or b"/ObjStm" in data:
+            cmaps = _font_cmaps(_scan_objects(data))
         segs: list[tuple[float, float, str]] = []
         for m in _STREAM_RE.finditer(data):
-            obj_dict, body = m.group(1), m.group(2)
-            # stream bodies end with EOL before 'endstream'
-            if body.endswith(b"\r\n"):
-                body = body[:-2]
-            elif body.endswith(b"\n") or body.endswith(b"\r"):
-                body = body[:-1]
-            if b"/FlateDecode" in obj_dict:
-                try:
-                    body = zlib.decompress(body)
-                except zlib.error:
-                    continue
-            if b"BT" not in body:
+            body = _decode_stream(m.group(1),
+                                  _strip_stream_eol(m.group(2)))
+            if body is None or b"BT" not in body:
                 continue
-            segs.extend(_extract_segments(body))
+            segs.extend(_extract_segments(body, cmaps))
         return _assemble_segments(segs)
     except Exception:
         return ""

@@ -226,6 +226,118 @@ def make_pdf(lines: list[str], two_column: bool = False) -> bytes:
     return bytes(out)
 
 
+def make_pdf_modern(lines: list[str], encoder: str = "ascii85",
+                    use_objstm: bool = True, xref_stream: bool = True,
+                    tounicode_shift: int = 3) -> bytes:
+    """Modern-layout single-page PDF with the SAME text semantics as
+    :func:`make_pdf`: content stream behind an ``encoder`` filter chain
+    ("ascii85"/"asciihex" chained before FlateDecode, or plain
+    "flate"), text bytes shifted down by ``tounicode_shift`` and mapped
+    back through a /ToUnicode CMap (so the map is provably
+    load-bearing), page + font dicts packed in a /Type/ObjStm object
+    stream (``use_objstm``), and a binary xref STREAM instead of the
+    classic xref table (``xref_stream``). Exercises the r5 scope of
+    core/pdf.py; extraction output must equal the legacy generator's."""
+    import base64
+
+    sh = tounicode_shift
+    ops = ["BT", "/F2 12 Tf", "72 720 Td", "14 TL"]
+    for i, ln in enumerate(lines):
+        if i:
+            ops.append("T*")
+        code = bytes((ord(c) - sh) & 0xFF
+                     for c in ln).hex()
+        ops.append(f"<{code}> Tj")
+    ops.append("ET")
+    raw = "\n".join(ops).encode("latin-1")
+    if encoder == "flate":
+        body, filt = zlib.compress(raw), b"/Filter /FlateDecode"
+    elif encoder == "ascii85":
+        body = base64.a85encode(zlib.compress(raw)) + b"~>"
+        filt = b"/Filter [/ASCII85Decode /FlateDecode]"
+    elif encoder == "asciihex":
+        body = zlib.compress(raw).hex().encode("ascii") + b">"
+        filt = b"/Filter [/ASCIIHexDecode /FlateDecode]"
+    else:
+        raise ValueError(f"unknown encoder {encoder!r}")
+    cmap = zlib.compress(
+        (f"begincmap\n1 begincodespacerange\n<00> <ff>\n"
+         f"endcodespacerange\n1 beginbfrange\n<00> <ff> <{sh:04x}>\n"
+         f"endbfrange\nendcmap").encode("ascii"))
+    page = (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R /Resources << /Font << /F2 5 0 R >> "
+            b">> >>")
+    font = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/ToUnicode 6 0 R >>")
+    top: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        4: (b"<< /Length " + str(len(body)).encode() + b" " + filt
+            + b" >>\nstream\n" + body + b"\nendstream"),
+        6: (b"<< /Length " + str(len(cmap)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n" + cmap
+            + b"\nendstream"),
+    }
+    in_stm: dict[int, int] = {}  # objnum -> index within the ObjStm
+    if use_objstm:
+        members = [(3, page), (5, font)]
+        offs, payload = [], b""
+        for _, b_ in members:
+            offs.append(len(payload))
+            payload += b_ + b"\n"
+        head = " ".join(f"{n} {o}" for (n, _), o in
+                        zip(members, offs)).encode("ascii") + b"\n"
+        packed = zlib.compress(head + payload)
+        top[7] = (b"<< /Type /ObjStm /N " + str(len(members)).encode()
+                  + b" /First " + str(len(head)).encode()
+                  + b" /Length " + str(len(packed)).encode()
+                  + b" /Filter /FlateDecode >>\nstream\n" + packed
+                  + b"\nendstream")
+        in_stm = {n: i for i, (n, _) in enumerate(members)}
+    else:
+        top[3], top[5] = page, font
+    out = bytearray(b"%PDF-1.7\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(top):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + top[num] + b"\nendobj\n"
+    max_obj = max(list(top) + list(in_stm))
+    if xref_stream:
+        # binary xref stream, W [1 2 2]: type 0 free / 1 offset /
+        # 2 (objstm, index); it doubles as the trailer dict
+        xr_num = max_obj + 1
+        xref_at = len(out)
+        rows = bytearray(b"\x00\x00\x00\xff\xff")  # obj 0: free
+        for n in range(1, xr_num + 1):
+            if n in in_stm:
+                rows += b"\x02" + (7).to_bytes(2, "big") \
+                    + in_stm[n].to_bytes(2, "big")
+            elif n in offsets:
+                rows += b"\x01" + offsets[n].to_bytes(2, "big") \
+                    + b"\x00\x00"
+            elif n == xr_num:
+                rows += b"\x01" + xref_at.to_bytes(2, "big") + b"\x00\x00"
+            else:
+                rows += b"\x00\x00\x00\x00\x00"
+        xbody = zlib.compress(bytes(rows))
+        out += (f"{xr_num} 0 obj\n".encode()
+                + b"<< /Type /XRef /Size " + str(xr_num + 1).encode()
+                + b" /W [1 2 2] /Root 1 0 R /Length "
+                + str(len(xbody)).encode()
+                + b" /Filter /FlateDecode >>\nstream\n" + xbody
+                + b"\nendstream\nendobj\n")
+        out += f"startxref\n{xref_at}\n%%EOF\n".encode()
+    else:
+        xref_at = len(out)
+        out += f"xref\n0 {max_obj + 1}\n".encode()
+        out += b"0000000000 65535 f \n"
+        for n in range(1, max_obj + 1):
+            out += (f"{offsets.get(n, 0):010d} 00000 n \n").encode()
+        out += (f"trailer\n<< /Size {max_obj + 1} /Root 1 0 R >>\n"
+                f"startxref\n{xref_at}\n%%EOF\n").encode()
+    return bytes(out)
+
+
 def _tmpl_pdf(rng: random.Random, two_column: bool = False) -> bytes:
     lines = [_sentence(rng, rng.randint(4, 9)) for _ in range(rng.randint(4, 14))]
     return make_pdf(lines, two_column=two_column)
