@@ -326,3 +326,64 @@ def test_files_without_stats_property_and_row_deletes(spark, tmp_path):
     assert len(led2) == 1 and not led2[0].pending
     vt.expire_snapshots(keep_last=1)
     assert vt.row_deletes().count() == 0
+
+
+def test_maintenance_planner_and_executor(spark, tmp_path):
+    """plan_maintenance (VERDICT r4 #9) reads the metadata tables and
+    returns the ordered worklist; run_maintenance executes it. Pins:
+    the plan names the pending takedown, the fragmented partition, the
+    expiry, and the orphan sweep in that order; after execution the
+    partition is under the file-count threshold, no takedown record is
+    pending, snapshot count is within the keep window, and the aged
+    orphan dir is gone. A freshly-maintained table plans (almost)
+    nothing."""
+    import time as _time
+
+    root = str(tmp_path / "t")
+    vt = VersionedTable(spark, root)
+    df = spark.range(200).select(
+        (F.col("id") % 2).cast("int").alias("p"),
+        F.col("id").alias("v"))
+    vt.commit(df.repartition(12), "p", note="fragmented write")
+    vt.commit(spark.createDataFrame([(2, 999)], "p INT, v LONG"), "p")
+    vt.delete_where([("v", "==", 3)], mode="merge_on_read")
+    # an aged never-referenced dir (a crashed commit's leftovers)
+    orphan = os.path.join(root, "data", "snap-999999-deadbeef")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "junk.parquet"), "w") as f:
+        f.write("x")
+    old = _time.time() - 10 * 86400
+    os.utime(orphan, (old, old))
+
+    plan = vt.plan_maintenance(max_files_per_partition=8,
+                               keep_last=2, orphan_age_s=86400.0)
+    acts = [s["action"] for s in plan]
+    assert acts == ["apply_deletes", "rewrite_files",
+                    "expire_snapshots", "remove_orphan_files"]
+    assert plan[0]["pending_records"] == 1
+    assert plan[1]["partitions"] == ["0", "1"]  # 6 files each > ... no:
+    # 12 tasks over 2 partitions -> up to 12 files per partition dir?
+    # assert on the real threshold instead of the layout detail:
+    fragged = {r["partition"]: r["file_count"]
+               for r in vt.partitions().collect()}
+    assert all(fragged[p] > 8 for p in plan[1]["partitions"])
+
+    done = vt.run_maintenance(plan)
+    assert [s["action"] for s in done] == acts
+    assert done[0]["result"]["snapshot_id"] is not None
+    # the aged orphan is swept — by the expiry GC or the orphan step,
+    # whichever reaches it first
+    assert not os.path.exists(orphan)
+    swept = (done[2]["result"] or []) + (done[3]["result"] or [])
+    assert any("snap-999999-deadbeef" in d for d in swept)
+    after = {r["partition"]: r["file_count"]
+             for r in vt.partitions().collect()}
+    assert all(c <= 8 for c in after.values()), after
+    assert not any(r["pending"] for r in vt.row_deletes().collect())
+    assert len(vt.snapshots()) <= 3  # keep window (+the view survives)
+    rows = {(r["p"], r["v"]) for r in vt.read().collect()}
+    assert (2, 999) in rows and not any(v == 3 for _, v in rows)
+    assert len(rows) == 200  # 200 ids - v==3 + the (2,999) row
+    # steady state: a fresh plan finds only the orphan sweep
+    plan2 = vt.plan_maintenance(max_files_per_partition=8, keep_last=5)
+    assert [s["action"] for s in plan2] == ["remove_orphan_files"]
