@@ -92,6 +92,14 @@ class DropManifest:
             json.dump({"drop": drop, "ts": time.time(), **info}, f)
         os.replace(tmp, self._path(drop))
 
+    def info_of(self, drop: str) -> dict | None:
+        """The done marker's recorded info (None while not done)."""
+        try:
+            with open(self._path(drop)) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
     def attempt_of(self, drop: str) -> int:
         p = os.path.join(self.root, f"drop-{drop}.attempts")
         n = 0

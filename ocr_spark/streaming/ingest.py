@@ -70,6 +70,8 @@ def run_streaming_ingest(
     stats_bloom_cols: tuple[str, ...] | None = ("url",),
     audit=None,
     neardup: dict | None = None,
+    allowed_lateness_s: float | None = None,
+    late_policy: str = "quarantine",
 ) -> dict:
     """Drain every unprocessed page file under ``pages_dir`` into the
     versioned results table at ``out_dir`` (see module docstring for the
@@ -107,6 +109,10 @@ def run_streaming_ingest(
     from ocr_spark.functions.bucketing import SKEW_FACTOR, hot_hosts
     from ocr_spark.operators.dedup import dedup_incremental_vs_hashes
 
+    if late_policy not in ("quarantine", "drop", "accept"):
+        raise ValueError(
+            f"late_policy must be quarantine/drop/accept, "
+            f"got {late_policy!r}")
     if recrawl not in ("append", "merge_latest"):
         raise ValueError(
             f"recrawl must be 'append' or 'merge_latest', got {recrawl!r}")
@@ -116,13 +122,61 @@ def run_streaming_ingest(
     hist_root = os.path.join(out_dir, "_history")
     ran: list[str] = []
 
+    def _event_watermark() -> float | None:
+        """High event-time watermark minus allowed lateness, derived
+        from DONE batches' markers ONLY (never in-flight state) — the
+        same discipline as the fingerprint history, so a replayed
+        batch recomputes the identical on-time/late split."""
+        mxs = [i.get("max_warc_ts")
+               for i in (manifest.info_of(d)
+                         for d in manifest.done_drops()) if i]
+        mxs = [m for m in mxs if m is not None]
+        if not mxs:
+            return None
+        return max(mxs) - allowed_lateness_s
+
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         drop = f"batch-{batch_id:06d}"
         if drop in manifest.done_drops():
             return  # replay of a batch that crashed post-mark: no-op
         attempt = manifest.attempt_of(drop)
-        pages = batch_df.persist()
+        base = batch_df.persist()  # unpersist target (pages may narrow)
+        pages = base
+        late_n = 0
+        batch_max_ts = None
         try:
+            if allowed_lateness_s is not None:
+                # event-time watermark + late-arrival policy: pages
+                # whose warc_ts predates the watermark are quarantined
+                # to a side table (reprocessable), dropped, or
+                # accepted-with-count — a continuously-running ingest
+                # has a bounded-state answer for stragglers instead of
+                # silently folding months-old captures into today's
+                # snapshot. Epochs compared as seconds (timestamp cast
+                # to double) so the marker value is engine-stable.
+                # NTZ timestamps cast to epoch via TIMESTAMP (wall
+                # clock in the session tz — fixed per deployment, so
+                # replays compute identical epochs)
+                ts = F.col("warc_ts").cast("timestamp").cast("double")
+                row = pages.agg(F.max(ts).alias("m")).collect()[0]
+                batch_max_ts = (float(row["m"])
+                                if row["m"] is not None else None)
+                wm = _event_watermark()
+                if wm is not None:
+                    is_late = ts < F.lit(wm)
+                    late_df = pages.where(is_late)
+                    late_n = late_df.count()
+                    if late_n and late_policy == "quarantine":
+                        # idempotent overwrite per batch: a replayed
+                        # crash re-quarantines the same rows
+                        (late_df.write.mode("overwrite").parquet(
+                            os.path.join(out_dir, "late_pages",
+                                         f"drop={drop}")))
+                    if late_n and late_policy != "accept":
+                        # null warc_ts is never "late": ~is_late alone
+                        # would silently drop it with the stragglers
+                        pages = pages.where(~is_late
+                                            | F.col("warc_ts").isNull())
             hist_dirs = _history_view_dirs(out_dir,
                                            manifest.done_drops())
             if hist_dirs:
@@ -172,12 +226,15 @@ def run_streaming_ingest(
                 nd_rows.unpersist()
             results.unpersist()
         finally:
-            pages.unpersist()
+            base.unpersist()
         if fail_once_pre_mark_at == batch_id and attempt == 1:
             raise InjectedCrash(f"pre-mark crash in batch {batch_id}")
         info = {"snapshot_id": sid}
         if neardup is not None:
             info["neardup_dropped"] = nd_dropped
+        if allowed_lateness_s is not None:
+            info["max_warc_ts"] = batch_max_ts
+            info["late_pages"] = late_n
         manifest.mark_done(drop, info)
         ran.append(drop)
         if (compact_history_every is not None
@@ -198,6 +255,17 @@ def run_streaming_ingest(
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", max_files_per_trigger)
               .parquet(pages_dir))
+    if allowed_lateness_s is not None:
+        # event-time annotation for Spark's own stateful operators —
+        # only legal on TIMESTAMP (not NTZ) columns, and purely
+        # advisory here: under foreachBatch the POLICY is enforced by
+        # the done-marker watermark above (deterministic across
+        # replays, which Spark's in-memory watermark is not after a
+        # restart)
+        from pyspark.sql.types import TimestampType
+        if isinstance(stream.schema["warc_ts"].dataType, TimestampType):
+            stream = stream.withWatermark(
+                "warc_ts", f"{int(allowed_lateness_s)} seconds")
     q = (stream.writeStream.foreachBatch(_process)
          .trigger(availableNow=True)
          .option("checkpointLocation", checkpoint).start())
