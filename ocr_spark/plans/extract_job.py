@@ -249,6 +249,7 @@ def run_extract_job(
     stats_cols: tuple[str, ...] | None = ("url",),
     stats_bloom_cols: tuple[str, ...] | None = ("url",),
     sort_order: tuple[str, ...] | None = ("url",),
+    io=None,
 ) -> dict:
     """Resumable driver loop: process pending buckets in groups.
 
@@ -298,7 +299,11 @@ def run_extract_job(
     expression, which parquet cannot prune — a G-groups x full-scan cost
     multiplier that is fine at sandbox scale and flagged for 100 TB.
     """
-    io = TableIO(spark, out_dir)
+    # the IO seam (SURVEY §7): default parquet TableIO; pass an
+    # IcebergTableIO (sources/io.py make_table_io) to land results/
+    # lineage/metrics in an Iceberg catalog instead — the sinks only
+    # speak the four seam verbs
+    io = io if io is not None else TableIO(spark, out_dir)
     vt = None
     if versioned:
         from ocr_spark.sources.io import VersionedTable
