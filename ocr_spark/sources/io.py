@@ -3147,7 +3147,9 @@ class VersionedTable:
         return old.select(*new.columns)
 
     def merge_into(self, source: DataFrame, key_cols: list[str],
-                   note: str = "") -> tuple[int | None, dict]:
+                   note: str = "",
+                   probe_partitions: list | None = None
+                   ) -> tuple[int | None, dict]:
         """Keyed UPSERT (Iceberg ``MERGE INTO … WHEN MATCHED THEN
         UPDATE WHEN NOT MATCHED THEN INSERT``, replace semantics): rows
         of ``source`` replace table rows sharing their ``key_cols``;
@@ -3171,6 +3173,16 @@ class VersionedTable:
         bounded by the source's key range, so file statistics on the
         key skip the corpus files that cannot hold a match. Single
         logical writer, like commit.
+
+        ``probe_partitions`` bounds the match probe to the named live
+        partitions instead of a (stats-pruned) corpus scan — the
+        side-index fast path (e.g. the ingest job's url-bucket ->
+        partition sidecar). CONTRACT: the list must be a SUPERSET of
+        every live partition holding a matched key; a missed partition
+        would leave its old row alongside the merged one (the caller's
+        index maintenance discipline is the correctness argument, and
+        a conservative/stale index is always safe). Partitions not
+        currently live are ignored.
 
         Returns ``(snapshot_id, stats)``; ``snapshot_id`` is None when
         ``source`` is empty."""
@@ -3229,7 +3241,19 @@ class VersionedTable:
             # keeps every file) — never a semantics change.
             import datetime
             probe_src = None
-            if len(key_cols) == 1:
+            probe_empty = False
+            if probe_partitions is not None:
+                live0 = self._resolve(None, None)[0]
+                want = sorted(
+                    {k for k in live0
+                     for v in probe_partitions
+                     if k == _norm_pv(v) or unquote(k) == _norm_pv(v)},
+                    key=_norm_pv)
+                if want:
+                    probe_src = self.read(partitions=want)
+                else:
+                    probe_empty = True  # index names nothing live
+            if probe_src is None and not probe_empty                     and len(key_cols) == 1:
                 kc = key_cols[0]
                 b = src.agg(F.min(kc).alias("lo"),
                             F.max(kc).alias("hi")).collect()[0]
@@ -3239,9 +3263,9 @@ class VersionedTable:
                         and isinstance(b["hi"], ok_types)):
                     probe_src = self.read(
                         where=[(kc, "between", (b["lo"], b["hi"]))])
-            if probe_src is None:
+            if probe_src is None and not probe_empty:
                 probe_src = self.read()
-            matched_parts = sorted(
+            matched_parts = [] if probe_empty else sorted(
                 {r[0] for r in probe_src.join(keys, key_cols, "semi")
                  .select(self._row_key_expr(probe_src, pcol)
                          .alias("_k")).distinct().collect()},

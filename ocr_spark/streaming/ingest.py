@@ -205,15 +205,39 @@ def run_streaming_ingest(
                 out_cols, nd_rows, nd_dropped = apply_neardup_gate(
                     spark, out_dir, out_cols, manifest.done_drops(),
                     neardup)
+            probe = drop_bks = None
+            if recrawl == "merge_latest" and vt.snapshots():
+                # url-bucket side index bounds the merge probe (see
+                # plans/ingest_job.UrlBucketIndex — shared discipline:
+                # recorded post-commit/pre-marker, own partition added
+                # for replay safety)
+                from ocr_spark.plans.ingest_job import UrlBucketIndex
+                uidx = UrlBucketIndex(out_dir)
+                if uidx.load() is None:
+                    uidx.bootstrap(vt)
+                drop_bks = uidx.buckets_of(out_cols)
+                probe = sorted(
+                    set(uidx.partitions_for(drop_bks) or []) | {drop})
             sid = commit_drop_results(vt, out_cols, recrawl,
                                       f"stream batch {batch_id}",
                                       stats_cols=stats_cols,
                                       bloom_cols=stats_bloom_cols,
-                                      audit=audit)
+                                      audit=audit,
+                                      probe_partitions=probe)
             io.append(lineage_of(results, attempt, f"stream:{sid}"),
                       "lineage")
             io.append(metrics_of(results, attempt, f"stream:{sid}"),
                       "metrics")
+            if recrawl == "merge_latest":
+                from ocr_spark.plans.ingest_job import UrlBucketIndex
+                uidx = UrlBucketIndex(out_dir)
+                if drop_bks is None:
+                    if uidx.load() is None:
+                        uidx.bootstrap(vt)  # first-commit batch
+                        drop_bks = []
+                    else:
+                        drop_bks = uidx.buckets_of(out_cols)
+                uidx.update(drop_bks, drop)
             (pages.select(_content_key().alias("_h")).distinct()
              .write.mode("overwrite")
              .parquet(os.path.join(hist_root, f"drop={drop}")))
