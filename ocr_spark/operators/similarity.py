@@ -842,6 +842,66 @@ def ivf_pq_encode(df: DataFrame, id_col: str, vec_col: str,
                      s["codes"].alias("codes"))
 
 
+def ivf_pq_search_batch(codes_df: DataFrame, id_col: str,
+                        queries_df: DataFrame, qid_col: str,
+                        qvec_col: str, centroids: list[list[float]],
+                        codebooks: list[list[list[float]]], k: int = 5,
+                        nprobe: int = 2, round_to: int = 4,
+                        cell_col: str = "cell",
+                        codes_col: str = "codes",
+                        broadcast_max_bytes: int = 64 << 20
+                        ) -> DataFrame:
+    """Q queries answered in ONE pass over the codes table — the query
+    WORKLOAD shape: at 10^12 codes a per-query probe never amortizes
+    the scan, so the whole batch rides a single scan -> join ->
+    windowed top-k. Returns (qid, id, cell, ivfpq_adc, rank<=k), each
+    query's ranking identical to :func:`ivf_pq_search` (same residual
+    LUTs, same ADC fold, same (adc, id) tie order).
+
+    Shape: the queries collect driver-side (a workload batch — 10^3-
+    10^5 rows, NOT a corpus; each becomes nprobe rows of m*ksub LUT
+    doubles) into a (qid, cell, lut) table joined to the codes on the
+    cell column — broadcast while the LUT table fits
+    ``broadcast_max_bytes``, shuffle-join past it (the same size-gated
+    hint discipline as operators/util.maybe_broadcast). The ADC fold
+    reads the joined row's LUT array; per-query top-k is one window
+    over (qid), shuffling only probed-cell rows with their m-int
+    codes."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
+                                   StructField, StructType)
+
+    m, ksub = len(codebooks), len(codebooks[0])
+    lut_rows = []
+    for r in queries_df.select(qid_col, qvec_col).collect():
+        qv = [float(x) for x in r[qvec_col]]
+        for cell in nearest_cells(qv, centroids, nprobe):
+            qr = [q - c for q, c in zip(qv, centroids[cell - 1])]
+            lut = pq_adc_lut(qr, codebooks)
+            lut_rows.append((r[qid_col], cell,
+                             [x for row_ in lut for x in row_]))
+    schema = StructType([queries_df.schema[qid_col],
+                         StructField(cell_col, IntegerType()),
+                         StructField("_lut", ArrayType(DoubleType()))])
+    ldf = codes_df.sparkSession.createDataFrame(lut_rows, schema)
+    if len(lut_rows) * (m * ksub + 2) * 8 <= broadcast_max_bytes:
+        ldf = F.broadcast(ldf)
+    joined = codes_df.join(ldf, cell_col)
+    codes = F.col(codes_col)
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0),
+        lambda a, s: a + F.element_at(
+            F.col("_lut"),
+            s * ksub + F.element_at(codes, s + F.lit(1)) + F.lit(1)))
+    scored = joined.select(
+        F.col(qid_col), F.col(id_col), F.col(cell_col),
+        F.round(adc, round_to).alias("ivfpq_adc"))
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("ivfpq_adc").asc(), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
 def ivf_pq_search(codes_df: DataFrame, id_col: str,
                   query_vec: list[float], centroids: list[list[float]],
                   codebooks: list[list[list[float]]], k: int = 5,
