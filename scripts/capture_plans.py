@@ -153,6 +153,29 @@ CHECKS = {
         "like any exact-path query vector); the codebook and centroid "
         "matrices never enter the plan, so the same shape holds at "
         "k ~ 10^5 cells and 10^12 codes."),
+    "ivfpq_batch_search": (
+        "the batched query-workload shape (ivf_pq_search_batch): ONE "
+        "scan of the materialized codes table joined to the per-query "
+        "(qid, cell, residual-LUT) table via BroadcastHashJoin on the "
+        "cell column (look for BroadcastExchange on the tiny LUT side), "
+        "the ADC fold reading the joined LUT array inside codegen, and "
+        "one window per qid for the top-k — with WindowGroupLimit "
+        "pushed BELOW the Exchange, so each map-side partition forwards "
+        "at most k rows per qid (id + cell + m small ints), never the "
+        "probed population. Q queries never re-scan the index; at "
+        "10^12 codes this is the only shape that amortizes the scan "
+        "across a query batch."),
+    "ann_index_encode": (
+        "the derived ANN index's sync transform (plans/ann_index.py): "
+        "embed_text's MLP forward and ivf_pq_encode's "
+        "cell+residual-codes pass FUSED by Catalyst into a single "
+        "ArrowEvalPython stage (enc(fwd(text)) — one Python round-trip, "
+        "not two) over the pruned scan, ZERO Exchange anywhere, and NO "
+        "model literals in the plan (centroids/codebooks ship as Spark "
+        "broadcasts; the MLP weights live in the per-worker singleton). This is the "
+        "per-drop cost of keeping the semantic index in step with the "
+        "corpus: embed+encode of the changed keys only, never a "
+        "shuffle of vectors."),
     "curation_pipeline": (
         "the text column appears in NO Exchange beyond the tiny-input "
         "pre-spread (a no-op at corpus scale): repetition features are "
@@ -722,6 +745,44 @@ def main() -> None:
             idx = spark.read.parquet(idx_dir)
             df = S2.ivf_pq_search(idx, "vec_id", qv, cents, _PQ_CB,
                                   k=5, nprobe=2)
+        elif name == "ivfpq_batch_search":
+            from pyspark.sql import functions as F
+            from ocr_spark.operators import similarity as S2
+            from ocr_spark.queries import load
+            from ocr_spark.queries.similarity_q import (
+                _PQ_CB, _centroids)
+            emb = load(spark, SF, "embeddings")
+            cents = _centroids(spark, SF)
+            idx_dir = os.path.join(REPO, "BENCH", "_plans_ivfpq")
+            if not os.path.exists(idx_dir):
+                S2.ivf_pq_encode(emb.where(F.col("vec_id") != 0),
+                                 "vec_id", "embedding", cents,
+                                 _PQ_CB).write.parquet(idx_dir)
+            idx = spark.read.parquet(idx_dir)
+            qdf = spark.createDataFrame(
+                [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+                 for r in emb.orderBy("vec_id").limit(8).collect()],
+                "qid int, qvec array<double>")
+            df = S2.ivf_pq_search_batch(idx, "vec_id", qdf, "qid",
+                                        "qvec", cents, _PQ_CB, k=5,
+                                        nprobe=2)
+        elif name == "ann_index_encode":
+            from pyspark.sql import functions as F
+            from ocr_spark.operators import embedding as E2
+            from ocr_spark.operators import similarity as S2
+            from ocr_spark.queries import load
+            docs = load(spark, SF, "documents").select(
+                F.col("doc_id").cast("string").alias("url"),
+                F.col("text").alias("extracted_text"))
+            feat = E2.MLPFeaturizer()
+            T = [r["extracted_text"] or ""
+                 for r in docs.limit(6).collect()]
+            Emat = feat.embed(T)
+            cents8 = [row.tolist() for row in Emat[:4]]
+            cb8 = [[Emat[i][sub * 2:(sub + 1) * 2].tolist()
+                    for i in range(4)] for sub in range(4)]
+            emb8 = E2.embed_text(docs, "url", "extracted_text")
+            df = S2.ivf_pq_encode(emb8, "url", "emb", cents8, cb8)
         elif name == "dedup_components_star_round":
             # The registered dedup_cluster_components query is iterative
             # (eager checkpoints between rounds), so its final plan is a
