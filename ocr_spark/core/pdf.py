@@ -2,14 +2,15 @@
 
 From-scratch (no pypdf in the environment). Scope is the generated-PDF
 subset pinned in FIXTURES.md: xref-less object scan, filter chains of
-FlateDecode / ASCIIHexDecode / ASCII85Decode (array order; unknown
+FlateDecode / LZWDecode (9-12 bit, EarlyChange honored) /
+ASCIIHexDecode / ASCII85Decode (array order; unknown
 filters skip the stream), object streams (/Type/ObjStm members join
 the object table — where modern writers put page/font dicts), xref
 STREAMS (inert to the scan-based reader, never a parse error), a
 /ToUnicode CMap subset (bfchar + bfrange incl. the array form, 1- and
 2-byte codes, UTF-16BE targets; fonts without a CMap pass latin-1
 bytes through), and text operators BT/ET, Tf, TL, Td/TD/Tm/T*,
-Tj/TJ/'/". Still OUT of scope (r5 line): LZW/DCT/encryption,
+Tj/TJ/'/". Still OUT of scope (r5 line): DCT/JPX/encryption,
 CID-keyed /Encoding CMaps without ToUnicode, and cross-reference-
 driven page selection (the reader scans every stream).
 
@@ -121,6 +122,100 @@ def _ascii85_decode(data: bytes) -> bytes | None:
     return bytes(out)
 
 
+def _lzw_decode(data: bytes, early: int = 1) -> bytes | None:
+    """LZWDecode (PDF 32000 §7.4.4, the TIFF/GIF variant PDF uses):
+    MSB-first variable-width codes 9→12 bits, 256 = clear table,
+    257 = EOD, new entries from 258; the code width grows when
+    ``next_code + early`` reaches the width's capacity (EarlyChange=1
+    default — set 0 via /DecodeParms). None on any malformed code
+    (total)."""
+    dict_init = {i: bytes([i]) for i in range(256)}
+    dict_ = dict(dict_init)
+    next_code, width = 258, 9
+    prev: bytes | None = None
+    out = bytearray()
+    buf = nbits = 0
+    for byte in data:
+        buf = (buf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (buf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                dict_ = dict(dict_init)
+                next_code, width, prev = 258, 9, None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = dict_.get(code)
+                if entry is None:
+                    return None
+                out += entry
+                prev = entry
+                continue
+            if code in dict_:
+                entry = dict_[code]
+            elif code == next_code:
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                return None
+            out += entry
+            dict_[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code + early >= (1 << width) and width < 12:
+                width += 1
+            prev = entry
+    return bytes(out)  # EOD missing: accept what decoded (total)
+
+
+def lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """LZW encoder (generator/tests side of :func:`_lzw_decode` —
+    same width-growth rule, clear emitted at table capacity)."""
+    out_codes: list[tuple[int, int]] = []  # (code, width at emit)
+    dict_ = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    out_codes.append((256, width))
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in dict_:
+            w = wc
+            continue
+        out_codes.append((dict_[w], width))
+        dict_[wc] = next_code
+        next_code += 1
+        # the decoder's dictionary trails this one by ONE entry (it
+        # can only add after consuming the next code), so the width
+        # bump — judged by the DECODER's table size, the pdfminer/
+        # real-world convention — fires one entry later here
+        if next_code - 1 + early >= (1 << width):
+            if width < 12:
+                width += 1
+            else:
+                out_codes.append((256, width))
+                dict_ = {bytes([i]): i for i in range(256)}
+                next_code, width = 258, 9
+        w = bytes([b])
+    if w:
+        out_codes.append((dict_[w], width))
+    out_codes.append((257, width))
+    buf = nbits = 0
+    out = bytearray()
+    for code, cw in out_codes:
+        buf = (buf << cw) | code
+        nbits += cw
+        while nbits >= 8:
+            out.append((buf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+_EARLY_RE = re.compile(rb"/EarlyChange\s+(\d+)")
+
+
 def _stream_filters(obj_dict: bytes) -> list[str]:
     m = _FILTER_RE.search(obj_dict)
     if not m:
@@ -142,6 +237,9 @@ def _decode_stream(obj_dict: bytes, body: bytes) -> bytes | None:
             body = _asciihex_decode(body)
         elif f == "ASCII85Decode":
             body = _ascii85_decode(body)
+        elif f == "LZWDecode":
+            m = _EARLY_RE.search(obj_dict)
+            body = _lzw_decode(body, early=int(m.group(1)) if m else 1)
         else:
             return None
         if body is None:

@@ -252,6 +252,9 @@ def make_pdf_modern(lines: list[str], encoder: str = "ascii85",
     raw = "\n".join(ops).encode("latin-1")
     if encoder == "flate":
         body, filt = zlib.compress(raw), b"/Filter /FlateDecode"
+    elif encoder == "lzw":
+        from ocr_spark.core.pdf import lzw_encode
+        body, filt = lzw_encode(raw), b"/Filter /LZWDecode"
     elif encoder == "ascii85":
         body = base64.a85encode(zlib.compress(raw)) + b"~>"
         filt = b"/Filter [/ASCII85Decode /FlateDecode]"

@@ -38,7 +38,7 @@ LINES = [
 def test_modern_pdf_matches_legacy_text():
     legacy = extract_pdf_text(make_pdf(LINES))
     assert legacy  # sanity: the oracle text is non-empty
-    for enc in ("ascii85", "asciihex", "flate"):
+    for enc in ("ascii85", "asciihex", "flate", "lzw"):
         for objstm in (False, True):
             modern = make_pdf_modern(LINES, encoder=enc,
                                      use_objstm=objstm)
@@ -78,8 +78,11 @@ def test_filter_chain_order_and_unknown_filter():
         + str(len(hexed)).encode() + b" >>", hexed)
     assert extract_pdf_text(pdf2) == "chained text"
     # unknown filter: stream skipped, never garbage, never a raise
-    pdf3 = _stream_pdf(b"<< /Filter /LZWDecode >>", b"\x80\x0b\x60garbage")
+    pdf3 = _stream_pdf(b"<< /Filter /DCTDecode >>", b"\xff\xd8garbage")
     assert extract_pdf_text(pdf3) == ""
+    # known filter, malformed body: decode fails -> skipped, no raise
+    pdf4 = _stream_pdf(b"<< /Filter /LZWDecode >>", b"\x80\x0b\x60junk")
+    assert extract_pdf_text(pdf4) == ""
 
 
 def test_bfchar_and_two_byte_bfrange():
@@ -136,9 +139,47 @@ def test_ascii_decoders_units():
     assert _asciihex_decode(b"zz") is None
 
 
+def test_lzw_codec_units():
+    from ocr_spark.core.pdf import _lzw_decode, lzw_encode
+
+    # hand-packed 9-bit stream (independent of our encoder):
+    # CLEAR, 'A', 'B', 258, 258, EOD -> "ABABAB"
+    buf = nbits = 0
+    packed = bytearray()
+    for c in (256, 65, 66, 258, 258, 257):
+        buf = (buf << 9) | c
+        nbits += 9
+        while nbits >= 8:
+            packed.append((buf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+    if nbits:
+        packed.append((buf << (8 - nbits)) & 0xFF)
+    assert _lzw_decode(bytes(packed)) == b"ABABAB"
+    # round-trips across width growth (9->12), a table-full clear,
+    # and the EarlyChange=0 variant
+    rng = random.Random(11)
+    small = bytes(rng.randrange(64, 80) for _ in range(40000))
+    assert _lzw_decode(lzw_encode(small)) == small
+    full = bytes(rng.randrange(256) for _ in range(20000))
+    assert _lzw_decode(lzw_encode(full)) == full
+    assert _lzw_decode(lzw_encode(small, early=0), early=0) == small
+    # malformed: an out-of-table code is refused, never a raise
+    assert _lzw_decode(b"\xff\xff\xff\xff") is None
+
+
+def test_lzw_stream_with_earlychange_parm():
+    from ocr_spark.core.pdf import lzw_encode
+    ops = b"BT /F1 12 Tf 72 720 Td (lzw text) Tj ET"
+    body = lzw_encode(ops, early=0)
+    pdf = _stream_pdf(
+        b"<< /Filter /LZWDecode /DecodeParms << /EarlyChange 0 >> "
+        b"/Length " + str(len(body)).encode() + b" >>", body)
+    assert extract_pdf_text(pdf) == "lzw text"
+
+
 def test_totality_fuzz_on_modern_pdfs():
     rng = random.Random(99)
-    for enc in ("ascii85", "asciihex", "flate"):
+    for enc in ("ascii85", "asciihex", "flate", "lzw"):
         base = bytearray(make_pdf_modern(LINES, encoder=enc))
         for _ in range(60):
             mut = bytearray(base)
