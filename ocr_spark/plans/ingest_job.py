@@ -533,6 +533,41 @@ def _content_key():
 NEARDUP_DEFAULTS = {"threshold": 0.8, "n_hashes": 16, "band_size": 2,
                     "shingle_k": 3}
 
+# cfg keys that SHAPE the signatures: rows written under different
+# values are incomparable, so they freeze at index creation
+_NEARDUP_SHAPE_KEYS = ("n_hashes", "band_size", "shingle_k")
+
+
+def _freeze_neardup_params(out_dir: str, c: dict) -> dict:
+    """Pin the signature-shaping gate params in a sidecar at index
+    creation (the ann-model discipline): the persisted MinHash rows
+    are only comparable under ONE (n_hashes, band_size, shingle_k),
+    so later drops load the frozen values and a conflicting explicit
+    config raises instead of silently corrupting every future match.
+    Atomic write; deterministic re-derivation makes the
+    crash-before-first-commit replay converge."""
+    path = os.path.join(out_dir, "neardup_index", "_gate_params.json")
+    try:
+        with open(path) as f:
+            frozen = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        frozen = None
+    shape = {k: c[k] for k in _NEARDUP_SHAPE_KEYS}
+    if frozen is None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(shape, f)
+        os.replace(tmp, path)
+        return c
+    if frozen != shape:
+        raise ValueError(
+            f"neardup gate params {shape} conflict with the index's "
+            f"frozen {frozen} at {path} — signatures written under "
+            "different params are incomparable (rebuild the index "
+            "under a new out_dir to re-size)")
+    return c
+
 
 def apply_neardup_gate(spark: SparkSession, out_dir: str,
                        out_cols: DataFrame, done_drops: set[str],
@@ -556,6 +591,18 @@ def apply_neardup_gate(spark: SparkSession, out_dir: str,
     from ocr_spark.operators import neardup as ND
 
     c = {**NEARDUP_DEFAULTS, **cfg}
+    if "corpus_docs" in c:
+        # self-sizing via the S-curve policy (operators/dedup.py
+        # minhash_lsh_params): size the signature for the EXPECTED
+        # corpus scale at the gate's threshold; explicit
+        # n_hashes/band_size in cfg are overridden by the derivation
+        # (pass them without corpus_docs to pin manually)
+        from ocr_spark.operators.dedup import minhash_lsh_params
+        n_docs = c.pop("corpus_docs")
+        c["n_hashes"], _, c["band_size"] = minhash_lsh_params(
+            n_docs, dup_jaccard=c["threshold"],
+            recall=c.pop("recall", 0.9))
+    c = _freeze_neardup_params(out_dir, c)
     rows = ND.minhash_index_rows(
         out_cols, "url", "extracted_text", n_hashes=c["n_hashes"],
         band_size=c["band_size"], shingle_k=c["shingle_k"]).persist()

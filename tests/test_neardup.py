@@ -207,3 +207,43 @@ def test_ingest_neardup_replay_never_matches_itself(spark, tmp_path):
 
     assert rows(out_b) == rows(out_a)
     assert _urls(spark, out_b) == ["a", "b", "c", "d1"]
+
+
+def test_gate_auto_sizing_and_frozen_params(spark, tmp_path):
+    """Self-sizing gate (corpus_docs -> minhash_lsh_params) + the
+    frozen-params sidecar: auto-derived signature params equal the
+    policy's, land in the sidecar at index creation, later drops run
+    under them, and a CONFLICTING explicit config raises instead of
+    silently writing incomparable signatures."""
+    import json as _json
+
+    from ocr_spark.operators.dedup import minhash_lsh_params
+    from ocr_spark.plans.ingest_job import NEARDUP_DEFAULTS
+
+    drops = _drops(tmp_path)
+    out = str(tmp_path / "out")
+    nd = {"threshold": 0.7, "corpus_docs": 100_000}
+    st = run_ingest_job(spark, drops, out, n_buckets=8, neardup=nd)
+    assert st["completed"]
+    # same semantic outcome as the fixed-config gate on this corpus
+    assert _urls(spark, out) == ["a", "b", "c", "d1"]
+    n_hashes, _, band_size = minhash_lsh_params(100_000,
+                                                dup_jaccard=0.7)
+    with open(os.path.join(out, "neardup_index",
+                           "_gate_params.json")) as f:
+        frozen = _json.load(f)
+    assert frozen == {"n_hashes": n_hashes, "band_size": band_size,
+                      "shingle_k": NEARDUP_DEFAULTS["shingle_k"]}
+    # a later drop under a conflicting explicit shape is refused
+    _write_drop(drops, "day3", [
+        ("https://w.example.com/e", "2026-01-03T00:00:00Z", _page(
+            "yet another entirely fresh essay about vectorized "
+            "expression evaluation and whole stage code generation"))])
+    with pytest.raises(ValueError, match="incomparable"):
+        run_ingest_job(spark, drops, out, n_buckets=8,
+                       neardup={"threshold": 0.7, "n_hashes": 8,
+                                "band_size": 4})
+    # the SAME auto config keeps working (deterministic re-derivation)
+    st3 = run_ingest_job(spark, drops, out, n_buckets=8, neardup=nd)
+    assert st3["completed"]
+    assert _urls(spark, out) == ["a", "b", "c", "d1", "e"]
