@@ -390,6 +390,53 @@ def run_default() -> None:
                   drop_partitions=["inc"])
         vd.expire_snapshots(keep_last=1)
 
+    # Semantic ANN index segment (plans/ann_index.py — the r5 flagship
+    # composed): in-pipeline model train + freeze + full derive over
+    # the cached source table, a drop-incremental sync (embed+encode
+    # of the drop's keys only), a takedown propagating to the index,
+    # and the zero-Exchange IVFADC search through the frozen model.
+    # Same restore discipline as the derived segment.
+    from ocr_spark.plans.ann_index import (search_ann_index,
+                                           sync_ann_index)
+    ann: dict = {"corpus_docs": derived["full_docs"]}
+    inc_docs = (extract_pages(pages, n_buckets=16, salt_n=8)
+                .select("url", "extracted_text")
+                .where((half == 1) &
+                       (F.pmod(F.xxhash64("url", F.lit(1)),
+                               F.lit(32)) == 0))
+                .withColumn("drop_id", F.lit("inc"))).persist()
+    idx_tmp = tempfile.mkdtemp(prefix="bench_annidx_")
+    try:
+        t0 = time.perf_counter()
+        sync_ann_index(spark, vd.root, idx_tmp, n_buckets=16,
+                       kmeans_iters=2, pq_iters=2)
+        ann["build_s"] = round(time.perf_counter() - t0, 3)
+        vd.commit(inc_docs, "drop_id")
+        t0 = time.perf_counter()
+        r = sync_ann_index(spark, vd.root, idx_tmp, n_buckets=16)
+        ann["incr_sync_s"] = round(time.perf_counter() - t0, 3)
+        ann["incr_keys"] = r["keys_inserted"]
+        victim = inc_docs.select("url").orderBy("url").first()[0]
+        vd.delete_where([("url", "==", victim)])
+        t0 = time.perf_counter()
+        sync_ann_index(spark, vd.root, idx_tmp, n_buckets=16)
+        ann["takedown_sync_s"] = round(time.perf_counter() - t0, 3)
+        qtext = vd.read().select("extracted_text")             .where(F.length("extracted_text") > 50).first()[0]
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            search_ann_index(spark, idx_tmp, query_text=qtext, k=10,
+                             nprobe=2).collect()
+            runs.append(time.perf_counter() - t0)
+        ann["search_s"] = round(min(runs), 3)
+        spreads.append(max(runs) / min(runs))
+    finally:
+        inc_docs.unpersist()
+        shutil.rmtree(idx_tmp, ignore_errors=True)
+        vd.commit(vd.read().where(F.lit(False)), "drop_id",
+                  drop_partitions=["inc"])
+        vd.expire_snapshots(keep_last=1)
+
     total = round(sum(v for k, v in timings.items()
                       if k != "extract_docs_per_sec"), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -403,6 +450,7 @@ def run_default() -> None:
         "mor_takedown": mor,
         "neardup": nd,
         "derived": derived,
+        "ann": ann,
         # host-noise evidence: max/min ratio of the two timed runs per
         # query — median ~1 means a quiet round, a large max means some
         # query's min may still sit in a noise spike
