@@ -175,6 +175,36 @@ def sync_ann_index(spark: SparkSession, results_root: str,
     return res
 
 
+def search_ann_index_batch(spark: SparkSession, index_root: str,
+                           queries: list[tuple], k: int = 5,
+                           nprobe: int = 2,
+                           snapshot_id: int | None = None) -> DataFrame:
+    """Batch query workload against the index: ``queries`` is a list of
+    ``(qid, text)`` pairs, all embedded driver-side through the frozen
+    model and answered in ONE pass over the codes table
+    (:func:`ocr_spark.operators.similarity.ivf_pq_search_batch` —
+    single scan + broadcast LUT join + windowed top-k). Returns
+    (qid, url, cell, ivfpq_adc, rank); each qid's ranking equals the
+    single-query :func:`search_ann_index`."""
+    from ocr_spark.operators.similarity import ivf_pq_search_batch
+
+    model = load_ann_model(index_root)
+    if model is None:
+        raise ValueError(f"no ANN model sidecar at {index_root}")
+    feat = E.MLPFeaturizer(model["embed_seed"], model["dim_in"],
+                           model["dim_hidden"], model["dim_out"])
+    texts = [t for _, t in queries]
+    vecs = feat.embed(texts)
+    qdf = spark.createDataFrame(
+        [(qid, vecs[i].tolist()) for i, (qid, _) in enumerate(queries)],
+        ["qid", "qvec"])  # qid type inferred — callers keep their ids
+    vt = VersionedTable(spark, index_root)
+    codes = vt.read(snapshot_id=snapshot_id)
+    return ivf_pq_search_batch(codes, model["key_col"], qdf, "qid",
+                               "qvec", model["centroids"],
+                               model["codebooks"], k=k, nprobe=nprobe)
+
+
 def search_ann_index(spark: SparkSession, index_root: str,
                      query_text: str | None = None,
                      query_vec: list[float] | None = None,

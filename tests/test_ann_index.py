@@ -155,3 +155,28 @@ def test_conflicting_model_refused(spark, tmp_path):
     # missing sidecar on search is a clear error
     with pytest.raises(ValueError, match="no ANN model"):
         search_ann_index(spark, str(tmp_path / "nope"), query_text="x")
+
+
+def test_batch_text_search_matches_single(spark, tmp_path):
+    """search_ann_index_batch: a text-query workload answered in one
+    pass equals the per-query search_ann_index rank-for-rank."""
+    from ocr_spark.plans.ann_index import search_ann_index_batch
+
+    res_root = str(tmp_path / "results")
+    idx_root = str(tmp_path / "annidx")
+    _mk_results(spark, res_root, DAY1)
+    sync_ann_index(spark, res_root, idx_root, n_buckets=4, **TRAIN_KW)
+    queries = [(f"q{i}", DAY1[i * 3][2]) for i in range(3)]
+    got = search_ann_index_batch(spark, idx_root, queries, k=3,
+                                 nprobe=TRAIN_KW["n_cells"])
+    by_q: dict[str, list] = {}
+    for r in got.collect():
+        by_q.setdefault(r["qid"], []).append(
+            (r["rank"], r["url"], r["ivfpq_adc"]))
+    assert set(by_q) == {"q0", "q1", "q2"}
+    for qid, text in queries:
+        single = [(i + 1, r["url"], r["ivfpq_adc"]) for i, r in
+                  enumerate(search_ann_index(
+                      spark, idx_root, query_text=text, k=3,
+                      nprobe=TRAIN_KW["n_cells"]).collect())]
+        assert sorted(by_q[qid]) == single, qid

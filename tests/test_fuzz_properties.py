@@ -335,3 +335,23 @@ def test_tokenize_master_matches_on_synth_corpus():
         _tokens_equal(decoded)
         n += 1
     assert n > 300
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=4000))
+def test_lzw_roundtrip_property(data: bytes):
+    """decode(encode(x)) == x for arbitrary bytes (both EarlyChange
+    conventions) — the LZW pair is an exact codec, not best-effort."""
+    from ocr_spark.core.pdf import _lzw_decode, lzw_encode
+    assert _lzw_decode(lzw_encode(data)) == data
+    assert _lzw_decode(lzw_encode(data, early=0), early=0) == data
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=2000))
+def test_lzw_decoder_total_on_garbage(data: bytes):
+    """The decoder never raises on arbitrary input: it returns bytes
+    (a valid prefix decoded) or None (malformed code)."""
+    from ocr_spark.core.pdf import _lzw_decode
+    out = _lzw_decode(data)
+    assert out is None or isinstance(out, bytes)
