@@ -170,7 +170,13 @@ def sync_ann_index(spark: SparkSession, results_root: str,
         spark, results_root, index_root, _encode_transform(frozen),
         key_col=frozen["key_col"], n_buckets=n_buckets,
         note="ann-index sync", full_resync=full_resync,
-        contract_extra={"ann_model": model_fingerprint(frozen)})
+        contract_extra={"ann_model": model_fingerprint(frozen)},
+        # search-side layout: every index file comes out internally
+        # CELL-clustered (task-local sort) with cell min/max in the
+        # file manifest, so a probe file-skips to its nprobe cells
+        # driver-side before any scan — the url-hash bucketing keeps
+        # owning takedown locality, cell stats own search locality
+        sink_props={"stats_cols": ["cell"], "sort_order": ["cell"]})
     res["model_fingerprint"] = model_fingerprint(frozen)
     return res
 
@@ -198,8 +204,14 @@ def search_ann_index_batch(spark: SparkSession, index_root: str,
     qdf = spark.createDataFrame(
         [(qid, vecs[i].tolist()) for i, (qid, _) in enumerate(queries)],
         ["qid", "qvec"])  # qid type inferred — callers keep their ids
+    from ocr_spark.operators.similarity import nearest_cells
+    all_cells = sorted({c for v in vecs
+                        for c in nearest_cells(v.tolist(),
+                                               model["centroids"],
+                                               nprobe)})
     vt = VersionedTable(spark, index_root)
-    codes = vt.read(snapshot_id=snapshot_id)
+    codes = vt.read(snapshot_id=snapshot_id,
+                    where=[("cell", "in", all_cells)])
     return ivf_pq_search_batch(codes, model["key_col"], qdf, "qid",
                                "qvec", model["centroids"],
                                model["codebooks"], k=k, nprobe=nprobe)
@@ -224,7 +236,14 @@ def search_ann_index(spark: SparkSession, index_root: str,
                                model["dim_hidden"], model["dim_out"])
         query_vec = feat.embed([query_text])[0].tolist()
     vt = VersionedTable(spark, index_root)
-    codes = vt.read(snapshot_id=snapshot_id)
+    from ocr_spark.operators.similarity import nearest_cells
+    cells = nearest_cells(query_vec, model["centroids"], nprobe)
+    # driver-side file skipping: only files whose cell bounds intersect
+    # the probed cells are scanned (the sink's cell sort order + stats
+    # property); the exact cell filter inside ivf_pq_search still
+    # applies, so a stats-less index only loses the pruning
+    codes = vt.read(snapshot_id=snapshot_id,
+                    where=[("cell", "in", cells)])
     return ivf_pq_search(codes, model["key_col"], query_vec,
                          model["centroids"], model["codebooks"],
                          k=k, nprobe=nprobe)

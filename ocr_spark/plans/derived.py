@@ -228,7 +228,8 @@ def sync_keyed(spark: SparkSession, src_root: str, dst_root: str,
                key_col: str, n_buckets: int = 16,
                bucket_col: str = "shard_bucket",
                note: str = "", full_resync: bool = False,
-               contract_extra: dict | None = None) -> dict:
+               contract_extra: dict | None = None,
+               sink_props: dict | None = None) -> dict:
     """Sync a derived table with its OWN hash-bucketed layout: derived
     rows carry ``key_col`` (one source row -> any number of derived
     rows — chunks, index entries) and live in
@@ -254,6 +255,12 @@ def sync_keyed(spark: SparkSession, src_root: str, dst_root: str,
     (replay/exactly-once rides on it, see module docstring).
     ``contract_extra`` folds caller parameters that shape the derived
     rows (e.g. chunk size) into the recorded first-sync contract.
+    ``sink_props`` forwards table-property kwargs (``stats_cols`` /
+    ``bloom_cols`` / ``sort_order``) to every derived commit — layout
+    only, never semantics: the first commit establishes the inherited
+    property (e.g. a cell-sorted, cell-stats ANN index whose searches
+    file-skip to the probed cells) and re-passing the same values on
+    later syncs is a no-op re-validation.
 
     Returns ``{"synced", "src_snapshot", "buckets_rewritten",
     "buckets_dropped", "keys_deleted", "keys_inserted",
@@ -285,10 +292,13 @@ def sync_keyed(spark: SparkSession, src_root: str, dst_root: str,
 
     state = {"mode": "keyed", "src_root": src_root, **contract,
              "src_snapshot": latest}
+    props = {k: list(v) for k, v in (sink_props or {}).items()
+             if k in ("stats_cols", "bloom_cols", "sort_order")}
     if full_resync:
         out = derive(src.read(snapshot_id=latest))
         sid = dst.commit(out, bucket_col, replace_all=True,
-                         note=note or f"full resync @{latest}")
+                         note=note or f"full resync @{latest}",
+                         **props)
         _save_state(dst_root, {**state, "dst_snapshot": sid})
         return {"synced": True, "src_snapshot": latest,
                 "buckets_rewritten": None, "buckets_dropped": None,
@@ -372,7 +382,8 @@ def sync_keyed(spark: SparkSession, src_root: str, dst_root: str,
                      if b not in present and str(b) in live]
             sid = dst.commit(out, bucket_col,
                              drop_partitions=drops or None,
-                             note=note or f"sync ({lo}, {hi}]")
+                             note=note or f"sync ({lo}, {hi}]",
+                             **props)
             out.unpersist()
         finally:
             changes.unpersist()

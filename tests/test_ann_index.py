@@ -180,3 +180,37 @@ def test_batch_text_search_matches_single(spark, tmp_path):
                       spark, idx_root, query_text=text, k=3,
                       nprobe=TRAIN_KW["n_cells"]).collect())]
         assert sorted(by_q[qid]) == single, qid
+
+
+def test_index_cell_layout_and_pruned_search(spark, tmp_path):
+    """The index sink declares cell stats + cell write sort order
+    (sync_keyed sink_props): searches read through
+    `where=[("cell","in",probed)]`, and after a bare compaction —
+    whose range distribution inherits the sort order, making files
+    CELL-DISJOINT — the probe file-skips to the probed cells. Search
+    results are identical before and after maintenance."""
+    res_root = str(tmp_path / "results")
+    idx_root = str(tmp_path / "annidx")
+    _mk_results(spark, res_root, DAY1)
+    sync_ann_index(spark, res_root, idx_root, n_buckets=4,
+                   n_cells=4, m=4, ksub=4, kmeans_iters=2, pq_iters=2)
+    vt = VersionedTable(spark, idx_root)
+    snap = vt.snapshots()[-1]
+    assert snap.get("stats_cols") == ["cell"]
+    assert snap.get("sort_order") == ["cell"]
+    target = DAY1[2]
+    before = [(r["url"], r["ivfpq_adc"]) for r in search_ann_index(
+        spark, idx_root, query_text=target[2], k=5, nprobe=1).collect()]
+    # bare compaction: range distribution follows the inherited sort
+    # order -> cell-disjoint files -> the single-cell probe skips files
+    vt.rewrite_files()
+    m = load_ann_model(idx_root)
+    from ocr_spark.operators import embedding as E
+    from ocr_spark.operators.similarity import nearest_cells
+    qv = E.MLPFeaturizer(m["embed_seed"]).embed([target[2]])[0].tolist()
+    cells = nearest_cells(qv, m["centroids"], 1)
+    plan = vt.plan_files(where=[("cell", "in", cells)])
+    assert plan["files_skipped"] >= 1, plan
+    after = [(r["url"], r["ivfpq_adc"]) for r in search_ann_index(
+        spark, idx_root, query_text=target[2], k=5, nprobe=1).collect()]
+    assert after == before
