@@ -10,9 +10,13 @@ STREAMS (inert to the scan-based reader, never a parse error), a
 /ToUnicode CMap subset (bfchar + bfrange incl. the array form, 1- and
 2-byte codes, UTF-16BE targets; fonts without a CMap pass latin-1
 bytes through), and text operators BT/ET, Tf, TL, Td/TD/Tm/T*,
-Tj/TJ/'/". Still OUT of scope (r5 line): DCT/JPX/encryption,
-CID-keyed /Encoding CMaps without ToUnicode, and cross-reference-
-driven page selection (the reader scans every stream).
+Tj/TJ/'/", and the RC4 STANDARD SECURITY HANDLER (R2/R3, empty user
+password — the ubiquitous permissions-only encryption of crawled
+PDFs; streams decrypted in place pre-pipeline, wrong keys fail closed
+to ""). Still OUT of scope (r5 line): DCT/JPX image codecs, AES
+handlers (R>=4 AESV2/V3), CID-keyed /Encoding CMaps without
+ToUnicode, and cross-reference-driven page selection (the reader
+scans every stream).
 
 Reading-order rule (fixed; the analog of RTL ordering + line-offset
 rebasing, /root/reference/utils.py:175 and
@@ -254,6 +258,170 @@ def _strip_stream_eol(body: bytes) -> bytes:
     if body.endswith(b"\n") or body.endswith(b"\r"):
         return body[:-1]
     return body
+
+
+# -------------------------------------------- standard security handler --
+
+# password pad string, PDF 32000 Table 20-1 (Algorithm 2 step a)
+_PWD_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E,
+    0x56, 0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68,
+    0x3E, 0x80, 0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A])
+
+_ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+\d+\s+R")
+_ID_RE = re.compile(rb"/ID\s*\[\s*<([0-9a-fA-F]*)>")
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """Plain RC4 (the spec's cipher for V1/V2 — from scratch, no
+    crypto libs in the environment)."""
+    S = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + S[i] + key[i % len(key)]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, b in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[n] = b ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+def _pdf_string_field(d: bytes, name: bytes) -> bytes | None:
+    """A literal-or-hex string value of /name in dict bytes d."""
+    m = re.search(rb"/" + name + rb"\s*", d)
+    if not m:
+        return None
+    i = m.end()
+    if i >= len(d):
+        return None
+    if d[i] == 0x3C:  # hex string
+        j = d.find(b">", i + 1)
+        if j < 0:
+            return None
+        hexs = re.sub(rb"\s", b"", d[i + 1:j])
+        if len(hexs) % 2:
+            hexs += b"0"
+        try:
+            return bytes.fromhex(hexs.decode("ascii"))
+        except ValueError:
+            return None
+    if d[i] == 0x28:  # literal string with escapes
+        depth, j = 1, i + 1
+        start = j
+        while j < len(d) and depth:
+            c = d[j]
+            if c == 0x5C:
+                j += 2
+                continue
+            if c == 0x28:
+                depth += 1
+            elif c == 0x29:
+                depth -= 1
+            j += 1
+        return _decode_pdf_string(d[start:j - 1]).encode("latin-1",
+                                                         "ignore")
+    return None
+
+
+def _std_security_key(enc: bytes, id0: bytes,
+                      password: bytes = b"") -> bytes | None:
+    """Algorithm 2 (PDF 32000 §7.6.3.3): padded password + /O + /P +
+    file id -> the file encryption key. Supports the RC4 handlers
+    R2 (40-bit) and R3/R4 (/Length bits, 50x MD5 strengthening);
+    AES (R>=4 with AESV2/V3 CF) is out of scope and returns None."""
+    import hashlib as _hl
+    import struct
+    if b"/Standard" not in enc or b"AESV" in enc:
+        return None
+    mr = re.search(rb"/R\s+(\d+)", enc)
+    mp = re.search(rb"/P\s+(-?\d+)", enc)
+    O = _pdf_string_field(enc, b"O")
+    if not mr or not mp or O is None or len(O) < 32:
+        return None
+    r = int(mr.group(1))
+    if r not in (2, 3, 4):
+        return None
+    ml = re.search(rb"/Length\s+(\d+)", enc)
+    n = (int(ml.group(1)) // 8) if (ml and r >= 3) else 5
+    if not 5 <= n <= 16:
+        return None
+    h = _hl.md5()
+    h.update((password + _PWD_PAD)[:32])
+    h.update(O[:32])
+    h.update(struct.pack("<i", int(mp.group(1))))
+    h.update(id0)
+    if r >= 4 and re.search(rb"/EncryptMetadata\s+false", enc):
+        h.update(b"\xff\xff\xff\xff")
+    key = h.digest()
+    if r >= 3:
+        for _ in range(50):
+            key = _hl.md5(key[:n]).digest()
+    return key[:n]
+
+
+def _object_key(file_key: bytes, objnum: int, gen: int) -> bytes:
+    """Algorithm 1: per-object RC4 key = MD5(key + objnum[3] + gen[2])
+    truncated to min(len+5, 16)."""
+    import hashlib as _hl
+    h = _hl.md5(file_key + objnum.to_bytes(3, "little")
+                + gen.to_bytes(2, "little")).digest()
+    return h[:min(len(file_key) + 5, 16)]
+
+
+_OBJHDR_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+
+
+def _decrypt_document(data: bytes) -> bytes:
+    """When a trailer names a supported /Encrypt dict, return a
+    byte-equivalent document with every top-level stream body RC4-
+    decrypted in place (RC4 is length-preserving, so offsets never
+    move) — the rest of the pipeline then runs unchanged. The empty
+    USER password (the overwhelmingly common "permissions-only"
+    encryption on crawled PDFs) is assumed; a wrong key just yields
+    undecodable streams and the usual total "" fallback. xref streams
+    and the /Encrypt object itself are never encrypted (spec) and are
+    left alone."""
+    mref = _ENCRYPT_REF_RE.search(data)
+    if not mref:
+        return data
+    enc_num = int(mref.group(1))
+    mid = _ID_RE.search(data)
+    id0 = bytes.fromhex(mid.group(1).decode("ascii")) if mid and \
+        len(mid.group(1)) % 2 == 0 else b""
+    out = bytearray(data)
+    changed = False
+    for om in _OBJHDR_RE.finditer(data):
+        objnum, gen = int(om.group(1)), int(om.group(2))
+        if objnum == enc_num:
+            continue
+        end = data.find(b"endobj", om.end())
+        body = data[om.end():end if end >= 0 else len(data)]
+        sm = _STREAM_RE.search(body)
+        if not sm or b"/XRef" in sm.group(1):
+            continue
+        if not changed:
+            enc_m = None
+            for em in _OBJHDR_RE.finditer(data):
+                if int(em.group(1)) == enc_num:
+                    e_end = data.find(b"endobj", em.end())
+                    enc_m = data[em.end():e_end if e_end >= 0
+                                 else len(data)]
+                    break
+            if enc_m is None:
+                return data
+            file_key = _std_security_key(enc_m, id0)
+            if file_key is None:
+                return data  # unsupported handler: total fallback
+            changed = True
+        raw = _strip_stream_eol(sm.group(2))
+        dec = _rc4(_object_key(file_key, objnum, gen), raw)
+        start = om.end() + sm.start(2)
+        out[start:start + len(raw)] = dec
+    return bytes(out)
 
 
 # ------------------------------------- object table + ToUnicode CMaps --
@@ -616,6 +784,8 @@ def extract_pdf_text(data: bytes) -> str:
     text operators. xref streams and other non-text streams fall out
     naturally (no BT after decode, or an unknown filter)."""
     try:
+        if b"/Encrypt" in data:
+            data = _decrypt_document(data)
         cmaps: dict[str, tuple] = {}
         # fast-path gate: the font graph is only walked when a CMap can
         # exist — the marker may hide inside a compressed ObjStm, so

@@ -341,6 +341,99 @@ def make_pdf_modern(lines: list[str], encoder: str = "ascii85",
     return bytes(out)
 
 
+def make_pdf_encrypted(lines: list[str], r: int = 3,
+                       owner_pwd: bytes = b"owner",
+                       user_pwd: bytes = b"") -> bytes:
+    """RC4 standard-security-handler PDF (PDF 32000 §7.6.3) with the
+    SAME text as :func:`make_pdf`: real /O (Algorithm 3) and /U
+    (Algorithm 4 for R2, Algorithm 5 for R3) entries — any conforming
+    reader could open it — with the content stream RC4-encrypted under
+    the per-object key. The empty user password (the ubiquitous
+    permissions-only encryption of crawled PDFs) is the default."""
+    import hashlib
+
+    from ocr_spark.core.pdf import (_PWD_PAD, _object_key, _rc4,
+                                    _std_security_key)
+
+    if r not in (2, 3):
+        raise ValueError("r must be 2 (RC4-40) or 3 (RC4-128)")
+    length_bits = 40 if r == 2 else 128
+    P = -44
+    id0 = hashlib.md5(b"ocr-spark-fixture|"
+                      + "|".join(lines).encode()).digest()
+
+    def pad(p: bytes) -> bytes:
+        return (p + _PWD_PAD)[:32]
+
+    # Algorithm 3: the owner entry
+    okey = hashlib.md5(pad(owner_pwd)).digest()
+    if r >= 3:
+        for _ in range(50):
+            okey = hashlib.md5(okey).digest()
+    okey = okey[:length_bits // 8]
+    O = _rc4(okey, pad(user_pwd))
+    if r >= 3:
+        for i in range(1, 20):
+            O = _rc4(bytes(b ^ i for b in okey), O)
+    # Algorithm 2 via the SAME derivation the reader uses (U is not an
+    # input, so a provisional U-less dict suffices)
+    prov = (f"<< /Filter /Standard /V {1 if r == 2 else 2} /R {r} "
+            f"/Length {length_bits} /P {P} /O <{O.hex()}> "
+            f">>").encode("ascii")
+    key = _std_security_key(prov, id0, password=user_pwd)
+    assert key is not None
+    # Algorithm 4 / 5: the user entry
+    if r == 2:
+        U = _rc4(key, _PWD_PAD)
+    else:
+        U = hashlib.md5(_PWD_PAD + id0).digest()
+        for i in range(20):
+            U = _rc4(bytes(b ^ i for b in key), U)
+        U = U + bytes(16)
+    enc_dict = (f"<< /Filter /Standard /V {1 if r == 2 else 2} /R {r} "
+                f"/Length {length_bits} /P {P} /O <{O.hex()}> "
+                f"/U <{U.hex()}> >>").encode("ascii")
+
+    def esc(s: str) -> str:
+        return s.replace("\\", r"\\").replace("(", r"\(") \
+                .replace(")", r"\)")
+
+    ops = ["BT", "/F1 12 Tf", "72 720 Td", "14 TL"]
+    for i, ln in enumerate(lines):
+        if i:
+            ops.append("T*")
+        ops.append(f"({esc(ln)}) Tj")
+    ops.append("ET")
+    content = _rc4(_object_key(key, 4, 0),
+                   zlib.compress("\n".join(ops).encode("latin-1")))
+    objs: list[bytes] = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length " + str(len(content)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + content
+        + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        enc_dict,
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R "
+        f"/Encrypt 6 0 R /ID [<{id0.hex()}> <{id0.hex()}>] >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n").encode()
+    return bytes(out)
+
+
 def _tmpl_pdf(rng: random.Random, two_column: bool = False) -> bytes:
     lines = [_sentence(rng, rng.randint(4, 9)) for _ in range(rng.randint(4, 14))]
     return make_pdf(lines, two_column=two_column)

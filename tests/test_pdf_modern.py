@@ -187,3 +187,45 @@ def test_totality_fuzz_on_modern_pdfs():
                 mut[rng.randrange(len(mut))] = rng.randrange(256)
             out = extract_pdf_text(bytes(mut))  # must never raise
             assert isinstance(out, str)
+
+
+def test_encrypted_pdf_rc4_both_revisions():
+    """RC4 standard security handler (empty user password — the
+    ubiquitous permissions-only encryption of crawled PDFs): R2
+    (40-bit) and R3 (128-bit, 50x MD5 strengthening) both extract
+    byte-identical to the plaintext generator; a severed /Encrypt
+    reference or a real (non-empty) user password fails CLOSED to ""
+    — never garbage, never a raise."""
+    from ocr_spark.synth import make_pdf_encrypted
+
+    plain = extract_pdf_text(make_pdf(LINES))
+    for r in (2, 3):
+        enc = make_pdf_encrypted(LINES, r=r)
+        assert b"/Encrypt" in enc and b"/Standard" in enc
+        assert plain not in enc.decode("latin-1")  # actually encrypted
+        assert extract_pdf_text(enc) == plain, r
+        severed = enc.replace(b"/Encrypt 6 0 R", b"/NoCrypt  6 0 R")
+        assert extract_pdf_text(severed) == ""
+    assert extract_pdf_text(
+        make_pdf_encrypted(LINES, r=3, user_pwd=b"secret")) == ""
+
+
+def test_encrypted_pdf_totality_fuzz():
+    from ocr_spark.synth import make_pdf_encrypted
+
+    rng = random.Random(7)
+    base = bytearray(make_pdf_encrypted(LINES, r=3))
+    for _ in range(60):
+        mut = bytearray(base)
+        for _ in range(rng.randrange(1, 8)):
+            mut[rng.randrange(len(mut))] = rng.randrange(256)
+        assert isinstance(extract_pdf_text(bytes(mut)), str)
+
+
+def test_rc4_known_vector():
+    """RFC 6229-style sanity: RC4('Key','Plaintext') is the classic
+    published vector — the cipher is the real one, not a lookalike."""
+    from ocr_spark.core.pdf import _rc4
+    out = _rc4(b"Key", b"Plaintext")
+    assert out.hex() == "bbf316e8d940af0ad3"
+    assert _rc4(b"Key", out) == b"Plaintext"
