@@ -290,6 +290,150 @@ def _rc4(key: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
+# ---- AES-128 (FIPS-197, from scratch — no crypto libs in the env) ----
+
+def _gf_mul(a: int, b: int) -> int:
+    p = 0
+    for _ in range(8):
+        if b & 1:
+            p ^= a
+        hi = a & 0x80
+        a = (a << 1) & 0xFF
+        if hi:
+            a ^= 0x1B
+        b >>= 1
+    return p
+
+
+def _build_sbox() -> tuple[bytes, bytes]:
+    """S-box derived from the spec's definition (multiplicative inverse
+    in GF(2^8) + affine transform) rather than pasted tables."""
+    inv = [0] * 256
+    for x in range(1, 256):
+        for y in range(1, 256):
+            if _gf_mul(x, y) == 1:
+                inv[x] = y
+                break
+    sbox = bytearray(256)
+    for x in range(256):
+        b = inv[x]
+        s = 0
+        for i in range(8):
+            bit = ((b >> i) ^ (b >> ((i + 4) % 8)) ^ (b >> ((i + 5) % 8))
+                   ^ (b >> ((i + 6) % 8)) ^ (b >> ((i + 7) % 8))
+                   ^ (0x63 >> i)) & 1
+            s |= bit << i
+        sbox[x] = s
+    isbox = bytearray(256)
+    for x in range(256):
+        isbox[sbox[x]] = x
+    return bytes(sbox), bytes(isbox)
+
+
+_SBOX, _ISBOX = _build_sbox()
+
+
+def _aes_expand_key(key: bytes) -> list[list[int]]:
+    """Round keys for AES-128 (Nk=4, Nr=10) as 44 words."""
+    w = [list(key[4 * i:4 * i + 4]) for i in range(4)]
+    rcon = 1
+    for i in range(4, 44):
+        t = list(w[i - 1])
+        if i % 4 == 0:
+            t = t[1:] + t[:1]
+            t = [_SBOX[b] for b in t]
+            t[0] ^= rcon
+            rcon = _gf_mul(rcon, 2)
+        w.append([a ^ b for a, b in zip(w[i - 4], t)])
+    return w
+
+
+def _aes_block(block: bytes, rk: list[list[int]],
+               decrypt: bool) -> bytes:
+    """One 16-byte block through the (Inv)Cipher. State is column-major
+    (s[r][c] = in[r + 4c]) per FIPS-197 §3.4."""
+    s = [[block[r + 4 * c] for c in range(4)] for r in range(4)]
+
+    def add_rk(rnd: int) -> None:
+        for c in range(4):
+            for r in range(4):
+                s[r][c] ^= rk[4 * rnd + c][r]
+
+    def sub(box: bytes) -> None:
+        for r in range(4):
+            for c in range(4):
+                s[r][c] = box[s[r][c]]
+
+    def shift(inv: bool) -> None:
+        for r in range(1, 4):
+            k = -r if inv else r
+            s[r] = s[r][k:] + s[r][:k]
+
+    def mix(inv: bool) -> None:
+        m = ((14, 11, 13, 9) if inv else (2, 3, 1, 1))
+        for c in range(4):
+            col = [s[r][c] for r in range(4)]
+            for r in range(4):
+                s[r][c] = (_gf_mul(col[0], m[(0 - r) % 4])
+                           ^ _gf_mul(col[1], m[(1 - r) % 4])
+                           ^ _gf_mul(col[2], m[(2 - r) % 4])
+                           ^ _gf_mul(col[3], m[(3 - r) % 4]))
+
+    if not decrypt:
+        add_rk(0)
+        for rnd in range(1, 10):
+            sub(_SBOX)
+            shift(False)
+            mix(False)
+            add_rk(rnd)
+        sub(_SBOX)
+        shift(False)
+        add_rk(10)
+    else:
+        add_rk(10)
+        for rnd in range(9, 0, -1):
+            shift(True)
+            sub(_ISBOX)
+            add_rk(rnd)
+            mix(True)
+        shift(True)
+        sub(_ISBOX)
+        add_rk(0)
+    return bytes(s[r][c] for c in range(4) for r in range(4))
+
+
+def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes | None:
+    """PDF AESV2 stream layout: 16-byte IV prefix + CBC ciphertext +
+    RFC 2898 padding (1-16 bytes). None on any malformed shape."""
+    if len(data) < 32 or len(data) % 16:
+        return None
+    rk = _aes_expand_key(key)
+    iv, out = data[:16], bytearray()
+    for i in range(16, len(data), 16):
+        blk = data[i:i + 16]
+        dec = _aes_block(blk, rk, decrypt=True)
+        out += bytes(a ^ b for a, b in zip(dec, iv))
+        iv = blk
+    pad = out[-1]
+    if not 1 <= pad <= 16 or len(out) < pad:
+        return None
+    return bytes(out[:-pad])
+
+
+def _aes_cbc_encrypt(key: bytes, data: bytes, iv: bytes) -> bytes:
+    """Generator-side twin (real CBC + RFC 2898 padding)."""
+    rk = _aes_expand_key(key)
+    pad = 16 - len(data) % 16
+    data = data + bytes([pad]) * pad
+    out = bytearray(iv)
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = bytes(a ^ b for a, b in zip(data[i:i + 16], prev))
+        prev = _aes_block(blk, rk, decrypt=False)
+        out += prev
+    return bytes(out)
+
+
 def _pdf_string_field(d: bytes, name: bytes) -> bytes | None:
     """A literal-or-hex string value of /name in dict bytes d."""
     m = re.search(rb"/" + name + rb"\s*", d)
@@ -335,8 +479,8 @@ def _std_security_key(enc: bytes, id0: bytes,
     AES (R>=4 with AESV2/V3 CF) is out of scope and returns None."""
     import hashlib as _hl
     import struct
-    if b"/Standard" not in enc or b"AESV" in enc:
-        return None
+    if b"/Standard" not in enc or b"AESV3" in enc:
+        return None  # AES-256 (R5/6) uses a different derivation
     mr = re.search(rb"/R\s+(\d+)", enc)
     mp = re.search(rb"/P\s+(-?\d+)", enc)
     O = _pdf_string_field(enc, b"O")
@@ -346,7 +490,10 @@ def _std_security_key(enc: bytes, id0: bytes,
     if r not in (2, 3, 4):
         return None
     ml = re.search(rb"/Length\s+(\d+)", enc)
-    n = (int(ml.group(1)) // 8) if (ml and r >= 3) else 5
+    if b"/AESV2" in enc:
+        n = 16  # AESV2 crypt filter is AES-128 by definition
+    else:
+        n = (int(ml.group(1)) // 8) if (ml and r >= 3) else 5
     if not 5 <= n <= 16:
         return None
     h = _hl.md5()
@@ -363,12 +510,14 @@ def _std_security_key(enc: bytes, id0: bytes,
     return key[:n]
 
 
-def _object_key(file_key: bytes, objnum: int, gen: int) -> bytes:
-    """Algorithm 1: per-object RC4 key = MD5(key + objnum[3] + gen[2])
-    truncated to min(len+5, 16)."""
+def _object_key(file_key: bytes, objnum: int, gen: int,
+                aes: bool = False) -> bytes:
+    """Algorithm 1: per-object key = MD5(key + objnum[3] + gen[2]
+    [+ "sAlT" for AESV2]) truncated to min(len+5, 16)."""
     import hashlib as _hl
     h = _hl.md5(file_key + objnum.to_bytes(3, "little")
-                + gen.to_bytes(2, "little")).digest()
+                + gen.to_bytes(2, "little")
+                + (b"sAlT" if aes else b"")).digest()
     return h[:min(len(file_key) + 5, 16)]
 
 
@@ -392,8 +541,23 @@ def _decrypt_document(data: bytes) -> bytes:
     mid = _ID_RE.search(data)
     id0 = bytes.fromhex(mid.group(1).decode("ascii")) if mid and \
         len(mid.group(1)) % 2 == 0 else b""
-    out = bytearray(data)
-    changed = False
+    enc_m = None
+    for em in _OBJHDR_RE.finditer(data):
+        if int(em.group(1)) == enc_num:
+            e_end = data.find(b"endobj", em.end())
+            enc_m = data[em.end():e_end if e_end >= 0 else len(data)]
+            break
+    if enc_m is None:
+        return data
+    file_key = _std_security_key(enc_m, id0)
+    if file_key is None:
+        return data  # unsupported handler: total fallback
+    aes = b"/AESV2" in enc_m
+    # rebuilt (not spliced in place): AES plaintext is shorter than its
+    # IV+padded ciphertext — fine, this reader never trusts xref
+    # offsets or /Length, it scans
+    pieces: list[bytes] = []
+    pos = 0
     for om in _OBJHDR_RE.finditer(data):
         objnum, gen = int(om.group(1)), int(om.group(2))
         if objnum == enc_num:
@@ -403,25 +567,18 @@ def _decrypt_document(data: bytes) -> bytes:
         sm = _STREAM_RE.search(body)
         if not sm or b"/XRef" in sm.group(1):
             continue
-        if not changed:
-            enc_m = None
-            for em in _OBJHDR_RE.finditer(data):
-                if int(em.group(1)) == enc_num:
-                    e_end = data.find(b"endobj", em.end())
-                    enc_m = data[em.end():e_end if e_end >= 0
-                                 else len(data)]
-                    break
-            if enc_m is None:
-                return data
-            file_key = _std_security_key(enc_m, id0)
-            if file_key is None:
-                return data  # unsupported handler: total fallback
-            changed = True
         raw = _strip_stream_eol(sm.group(2))
-        dec = _rc4(_object_key(file_key, objnum, gen), raw)
-        start = om.end() + sm.start(2)
-        out[start:start + len(raw)] = dec
-    return bytes(out)
+        okey = _object_key(file_key, objnum, gen, aes=aes)
+        dec = (_aes_cbc_decrypt(okey, raw) if aes
+               else _rc4(okey, raw))
+        if dec is None:
+            continue  # malformed ciphertext: leave as-is, total
+        abs_start = om.end() + sm.start(2)
+        pieces.append(data[pos:abs_start])
+        pieces.append(dec + sm.group(2)[len(raw):])  # keep the EOL
+        pos = abs_start + len(sm.group(2))
+    pieces.append(data[pos:])
+    return b"".join(pieces)
 
 
 # ------------------------------------- object table + ToUnicode CMaps --

@@ -347,16 +347,20 @@ def make_pdf_encrypted(lines: list[str], r: int = 3,
     """RC4 standard-security-handler PDF (PDF 32000 §7.6.3) with the
     SAME text as :func:`make_pdf`: real /O (Algorithm 3) and /U
     (Algorithm 4 for R2, Algorithm 5 for R3) entries — any conforming
-    reader could open it — with the content stream RC4-encrypted under
+    reader could open it — with the content stream encrypted under
     the per-object key. The empty user password (the ubiquitous
-    permissions-only encryption of crawled PDFs) is the default."""
+    permissions-only encryption of crawled PDFs) is the default.
+    ``r=4`` emits the AESV2 crypt filter (AES-128-CBC, deterministic
+    IV, RFC 2898 pad)."""
     import hashlib
 
-    from ocr_spark.core.pdf import (_PWD_PAD, _object_key, _rc4,
+    from ocr_spark.core.pdf import (_PWD_PAD, _aes_cbc_encrypt,
+                                    _object_key, _rc4,
                                     _std_security_key)
 
-    if r not in (2, 3):
-        raise ValueError("r must be 2 (RC4-40) or 3 (RC4-128)")
+    if r not in (2, 3, 4):
+        raise ValueError(
+            "r must be 2 (RC4-40), 3 (RC4-128) or 4 (AESV2)")
     length_bits = 40 if r == 2 else 128
     P = -44
     id0 = hashlib.md5(b"ocr-spark-fixture|"
@@ -377,8 +381,12 @@ def make_pdf_encrypted(lines: list[str], r: int = 3,
             O = _rc4(bytes(b ^ i for b in okey), O)
     # Algorithm 2 via the SAME derivation the reader uses (U is not an
     # input, so a provisional U-less dict suffices)
-    prov = (f"<< /Filter /Standard /V {1 if r == 2 else 2} /R {r} "
-            f"/Length {length_bits} /P {P} /O <{O.hex()}> "
+    cf = (" /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "
+          "/Length 16 >> >> /StmF /StdCF /StrF /StdCF"
+          if r == 4 else "")
+    v = {2: 1, 3: 2, 4: 4}[r]
+    prov = (f"<< /Filter /Standard /V {v} /R {r} "
+            f"/Length {length_bits} /P {P} /O <{O.hex()}>{cf} "
             f">>").encode("ascii")
     key = _std_security_key(prov, id0, password=user_pwd)
     assert key is not None
@@ -390,9 +398,9 @@ def make_pdf_encrypted(lines: list[str], r: int = 3,
         for i in range(20):
             U = _rc4(bytes(b ^ i for b in key), U)
         U = U + bytes(16)
-    enc_dict = (f"<< /Filter /Standard /V {1 if r == 2 else 2} /R {r} "
+    enc_dict = (f"<< /Filter /Standard /V {v} /R {r} "
                 f"/Length {length_bits} /P {P} /O <{O.hex()}> "
-                f"/U <{U.hex()}> >>").encode("ascii")
+                f"/U <{U.hex()}>{cf} >>").encode("ascii")
 
     def esc(s: str) -> str:
         return s.replace("\\", r"\\").replace("(", r"\(") \
@@ -404,8 +412,13 @@ def make_pdf_encrypted(lines: list[str], r: int = 3,
             ops.append("T*")
         ops.append(f"({esc(ln)}) Tj")
     ops.append("ET")
-    content = _rc4(_object_key(key, 4, 0),
-                   zlib.compress("\n".join(ops).encode("latin-1")))
+    plain = zlib.compress("\n".join(ops).encode("latin-1"))
+    if r == 4:
+        iv = hashlib.md5(b"iv|" + id0 + b"|4").digest()  # deterministic
+        content = _aes_cbc_encrypt(_object_key(key, 4, 0, aes=True),
+                                   plain, iv)
+    else:
+        content = _rc4(_object_key(key, 4, 0), plain)
     objs: list[bytes] = [
         b"<< /Type /Catalog /Pages 2 0 R >>",
         b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",

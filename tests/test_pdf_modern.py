@@ -199,27 +199,51 @@ def test_encrypted_pdf_rc4_both_revisions():
     from ocr_spark.synth import make_pdf_encrypted
 
     plain = extract_pdf_text(make_pdf(LINES))
-    for r in (2, 3):
+    for r in (2, 3, 4):  # RC4-40, RC4-128, AES-128 (AESV2)
         enc = make_pdf_encrypted(LINES, r=r)
         assert b"/Encrypt" in enc and b"/Standard" in enc
+        assert (b"/AESV2" in enc) == (r == 4)
         assert plain not in enc.decode("latin-1")  # actually encrypted
         assert extract_pdf_text(enc) == plain, r
         severed = enc.replace(b"/Encrypt 6 0 R", b"/NoCrypt  6 0 R")
         assert extract_pdf_text(severed) == ""
-    assert extract_pdf_text(
-        make_pdf_encrypted(LINES, r=3, user_pwd=b"secret")) == ""
+        assert extract_pdf_text(
+            make_pdf_encrypted(LINES, r=r, user_pwd=b"secret")) == ""
 
 
 def test_encrypted_pdf_totality_fuzz():
     from ocr_spark.synth import make_pdf_encrypted
 
     rng = random.Random(7)
-    base = bytearray(make_pdf_encrypted(LINES, r=3))
+    base = bytearray(make_pdf_encrypted(
+        LINES, r=rng.choice((3, 4))))
     for _ in range(60):
         mut = bytearray(base)
         for _ in range(rng.randrange(1, 8)):
             mut[rng.randrange(len(mut))] = rng.randrange(256)
         assert isinstance(extract_pdf_text(bytes(mut)), str)
+
+
+def test_aes_fips197_vector():
+    """FIPS-197 Appendix C.1: the AES-128 core is the real cipher —
+    forward and inverse pinned against the published vector, and the
+    S-box is DERIVED (GF(2^8) inverse + affine), not pasted."""
+    from ocr_spark.core.pdf import (_aes_block, _aes_cbc_decrypt,
+                                    _aes_cbc_encrypt, _aes_expand_key)
+    key = bytes(range(16))
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    rk = _aes_expand_key(key)
+    ct = _aes_block(pt, rk, decrypt=False)
+    assert ct.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
+    assert _aes_block(ct, rk, decrypt=True) == pt
+    rng = random.Random(4)
+    for n in (0, 1, 15, 16, 17, 400):
+        data = bytes(rng.randrange(256) for _ in range(n))
+        iv = bytes(rng.randrange(256) for _ in range(16))
+        assert _aes_cbc_decrypt(key, _aes_cbc_encrypt(key, data,
+                                                      iv)) == data
+    assert _aes_cbc_decrypt(key, b"short") is None
+    assert _aes_cbc_decrypt(key, bytes(33)) is None
 
 
 def test_rc4_known_vector():
