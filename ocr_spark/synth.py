@@ -341,6 +341,114 @@ def make_pdf_modern(lines: list[str], encoder: str = "ascii85",
     return bytes(out)
 
 
+def _std_handler_entries(r: int, owner_pwd: bytes, user_pwd: bytes,
+                         id0: bytes) -> tuple[bytes, bytes]:
+    """(encrypt dict bytes, file key) for the standard security
+    handler — real /O (Algorithm 3) and /U (Algorithm 4/5) entries;
+    r=2 RC4-40, r=3 RC4-128, r=4 AESV2 crypt filter."""
+    import hashlib
+
+    from ocr_spark.core.pdf import _PWD_PAD, _rc4, _std_security_key
+
+    if r not in (2, 3, 4):
+        raise ValueError(
+            "r must be 2 (RC4-40), 3 (RC4-128) or 4 (AESV2)")
+    length_bits = 40 if r == 2 else 128
+    P = -44
+
+    def pad(p: bytes) -> bytes:
+        return (p + _PWD_PAD)[:32]
+
+    okey = hashlib.md5(pad(owner_pwd)).digest()
+    if r >= 3:
+        for _ in range(50):
+            okey = hashlib.md5(okey).digest()
+    okey = okey[:length_bits // 8]
+    O = _rc4(okey, pad(user_pwd))
+    if r >= 3:
+        for i in range(1, 20):
+            O = _rc4(bytes(b ^ i for b in okey), O)
+    cf = (" /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "
+          "/Length 16 >> >> /StmF /StdCF /StrF /StdCF"
+          if r == 4 else "")
+    v = {2: 1, 3: 2, 4: 4}[r]
+    prov = (f"<< /Filter /Standard /V {v} /R {r} "
+            f"/Length {length_bits} /P {P} /O <{O.hex()}>{cf} "
+            f">>").encode("ascii")
+    key = _std_security_key(prov, id0, password=user_pwd)
+    assert key is not None
+    if r == 2:
+        U = _rc4(key, _PWD_PAD)
+    else:
+        U = hashlib.md5(_PWD_PAD + id0).digest()
+        for i in range(20):
+            U = _rc4(bytes(b ^ i for b in key), U)
+        U = U + bytes(16)
+    enc_dict = (f"<< /Filter /Standard /V {v} /R {r} "
+                f"/Length {length_bits} /P {P} /O <{O.hex()}> "
+                f"/U <{U.hex()}>{cf} >>").encode("ascii")
+    return enc_dict, key
+
+
+def encrypt_pdf_bytes(data: bytes, r: int = 3,
+                      owner_pwd: bytes = b"owner",
+                      user_pwd: bytes = b"") -> bytes:
+    """Encrypt an EXISTING classic-trailer PDF under the standard
+    security handler: every top-level non-XRef stream body is
+    encrypted with its per-object key (so ObjStm containers, ToUnicode
+    CMaps and content streams all ride the real decrypt path), the
+    encrypt dict lands as a new object, and the trailer gains
+    /Encrypt + /ID. The xref table is NOT rebuilt — like the reader,
+    this generator treats offsets as advisory (scan-based)."""
+    import hashlib
+    import re as _re
+
+    from ocr_spark.core.pdf import (_OBJHDR_RE, _STREAM_RE,
+                                    _aes_cbc_encrypt, _object_key,
+                                    _rc4, _strip_stream_eol)
+
+    id0 = hashlib.md5(b"encpdf|" + data[:64]).digest()
+    enc_dict, key = _std_handler_entries(r, owner_pwd, user_pwd, id0)
+    pieces: list[bytes] = []
+    pos = 0
+    max_obj = 0
+    for om in _OBJHDR_RE.finditer(data):
+        objnum, gen = int(om.group(1)), int(om.group(2))
+        max_obj = max(max_obj, objnum)
+        end = data.find(b"endobj", om.end())
+        body = data[om.end():end if end >= 0 else len(data)]
+        sm = _STREAM_RE.search(body)
+        if not sm or b"/XRef" in sm.group(1):
+            continue
+        raw = _strip_stream_eol(sm.group(2))
+        if r == 4:
+            iv = hashlib.md5(b"iv|" + id0
+                             + str(objnum).encode()).digest()
+            ct = _aes_cbc_encrypt(_object_key(key, objnum, gen,
+                                              aes=True), raw, iv)
+        else:
+            ct = _rc4(_object_key(key, objnum, gen), raw)
+        abs_start = om.end() + sm.start(2)
+        pieces.append(data[pos:abs_start])
+        pieces.append(ct + sm.group(2)[len(raw):])
+        pos = abs_start + len(sm.group(2))
+    pieces.append(data[pos:])
+    out = b"".join(pieces)
+    enc_num = max_obj + 1
+    enc_obj = (f"{enc_num} 0 obj\n".encode() + enc_dict
+               + b"\nendobj\n")
+    # append the encrypt object before the trailer, patch the trailer
+    # dict (last '>>' before startxref) with /Encrypt + /ID
+    m = _re.search(rb"trailer\s*<<", out)
+    if not m:
+        raise ValueError("encrypt_pdf_bytes needs a classic trailer")
+    out = out[:m.start()] + enc_obj + out[m.start():]
+    extra = (f" /Encrypt {enc_num} 0 R /ID [<{id0.hex()}> "
+             f"<{id0.hex()}>] >>").encode("ascii")
+    t = out.rfind(b">>", out.rfind(b"trailer"))
+    return out[:t] + extra + out[t + 2:]
+
+
 def make_pdf_encrypted(lines: list[str], r: int = 3,
                        owner_pwd: bytes = b"owner",
                        user_pwd: bytes = b"") -> bytes:
@@ -354,53 +462,12 @@ def make_pdf_encrypted(lines: list[str], r: int = 3,
     IV, RFC 2898 pad)."""
     import hashlib
 
-    from ocr_spark.core.pdf import (_PWD_PAD, _aes_cbc_encrypt,
-                                    _object_key, _rc4,
-                                    _std_security_key)
+    from ocr_spark.core.pdf import (_aes_cbc_encrypt, _object_key,
+                                    _rc4)
 
-    if r not in (2, 3, 4):
-        raise ValueError(
-            "r must be 2 (RC4-40), 3 (RC4-128) or 4 (AESV2)")
-    length_bits = 40 if r == 2 else 128
-    P = -44
     id0 = hashlib.md5(b"ocr-spark-fixture|"
                       + "|".join(lines).encode()).digest()
-
-    def pad(p: bytes) -> bytes:
-        return (p + _PWD_PAD)[:32]
-
-    # Algorithm 3: the owner entry
-    okey = hashlib.md5(pad(owner_pwd)).digest()
-    if r >= 3:
-        for _ in range(50):
-            okey = hashlib.md5(okey).digest()
-    okey = okey[:length_bits // 8]
-    O = _rc4(okey, pad(user_pwd))
-    if r >= 3:
-        for i in range(1, 20):
-            O = _rc4(bytes(b ^ i for b in okey), O)
-    # Algorithm 2 via the SAME derivation the reader uses (U is not an
-    # input, so a provisional U-less dict suffices)
-    cf = (" /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "
-          "/Length 16 >> >> /StmF /StdCF /StrF /StdCF"
-          if r == 4 else "")
-    v = {2: 1, 3: 2, 4: 4}[r]
-    prov = (f"<< /Filter /Standard /V {v} /R {r} "
-            f"/Length {length_bits} /P {P} /O <{O.hex()}>{cf} "
-            f">>").encode("ascii")
-    key = _std_security_key(prov, id0, password=user_pwd)
-    assert key is not None
-    # Algorithm 4 / 5: the user entry
-    if r == 2:
-        U = _rc4(key, _PWD_PAD)
-    else:
-        U = hashlib.md5(_PWD_PAD + id0).digest()
-        for i in range(20):
-            U = _rc4(bytes(b ^ i for b in key), U)
-        U = U + bytes(16)
-    enc_dict = (f"<< /Filter /Standard /V {v} /R {r} "
-                f"/Length {length_bits} /P {P} /O <{O.hex()}> "
-                f"/U <{U.hex()}>{cf} >>").encode("ascii")
+    enc_dict, key = _std_handler_entries(r, owner_pwd, user_pwd, id0)
 
     def esc(s: str) -> str:
         return s.replace("\\", r"\\").replace("(", r"\(") \

@@ -253,3 +253,22 @@ def test_rc4_known_vector():
     out = _rc4(b"Key", b"Plaintext")
     assert out.hex() == "bbf316e8d940af0ad3"
     assert _rc4(b"Key", out) == b"Plaintext"
+
+
+def test_encrypted_modern_layout_full_matrix():
+    """The interaction matrix: encryption (RC4-40/128, AES-128) OVER
+    the modern layout (LZW-chained content + ObjStm-packed page/font
+    dicts + ToUnicode CMap) — decrypt -> ObjStm expand -> CMap resolve
+    -> filter chain must compose, still byte-identical to the
+    plaintext classic generator."""
+    from ocr_spark.synth import encrypt_pdf_bytes
+
+    plain = extract_pdf_text(make_pdf(LINES))
+    modern = make_pdf_modern(LINES, encoder="lzw", use_objstm=True,
+                             xref_stream=False)
+    assert extract_pdf_text(modern) == plain
+    for r in (2, 3, 4):
+        enc = encrypt_pdf_bytes(modern, r=r)
+        assert extract_pdf_text(enc) == plain, r
+        assert extract_pdf_text(
+            encrypt_pdf_bytes(modern, r=r, user_pwd=b"pw")) == ""
