@@ -10,13 +10,17 @@ STREAMS (inert to the scan-based reader, never a parse error), a
 /ToUnicode CMap subset (bfchar + bfrange incl. the array form, 1- and
 2-byte codes, UTF-16BE targets; fonts without a CMap pass latin-1
 bytes through), and text operators BT/ET, Tf, TL, Td/TD/Tm/T*,
-Tj/TJ/'/", and the RC4 STANDARD SECURITY HANDLER (R2/R3, empty user
-password — the ubiquitous permissions-only encryption of crawled
-PDFs; streams decrypted in place pre-pipeline, wrong keys fail closed
-to ""). Still OUT of scope (r5 line): DCT/JPX image codecs, AES
-handlers (R>=4 AESV2/V3), CID-keyed /Encoding CMaps without
-ToUnicode, and cross-reference-driven page selection (the reader
-scans every stream).
+Tj/TJ/'/", and the FULL STANDARD SECURITY HANDLER — RC4 (R2/R3),
+AES-128-CBC (R4 /AESV2) and AES-256-CBC (V5 /AESV3, both the R5
+SHA-256 and R6 iterated-KDF derivations with /U verification and /UE
+file-key unwrap) — from-scratch FIPS-197 AES pinned by the spec's own
+C.1/C.3 vectors, empty user password (the ubiquitous permissions-only
+encryption of crawled PDFs); streams decrypted pre-pipeline, wrong
+keys fail closed to "". The pure-Python R6 KDF costs ~1 s per
+encrypted document (derived once per file — a rare-doc path by
+construction). Still OUT of scope (r5 line): DCT/JPX image codecs,
+CID-keyed /Encoding CMaps without ToUnicode, and cross-reference-
+driven page selection (the reader scans every stream).
 
 Reading-order rule (fixed; the analog of RTL ordering + line-offset
 rebasing, /root/reference/utils.py:175 and
@@ -331,20 +335,32 @@ def _build_sbox() -> tuple[bytes, bytes]:
 
 
 _SBOX, _ISBOX = _build_sbox()
+# precomputed GF(2^8) multiplication columns for the (Inv)MixColumns
+# coefficients — the hot path of the pure-Python cipher (the R6 KDF
+# runs thousands of blocks per key derivation)
+_GF_TAB = {c: bytes(_gf_mul(x, c) for x in range(256))
+           for c in (1, 2, 3, 9, 11, 13, 14)}
 
 
 def _aes_expand_key(key: bytes) -> list[list[int]]:
-    """Round keys for AES-128 (Nk=4, Nr=10) as 44 words."""
-    w = [list(key[4 * i:4 * i + 4]) for i in range(4)]
+    """Round keys (FIPS-197 §5.2): AES-128 (Nk=4, Nr=10, 44 words) or
+    AES-256 (Nk=8, Nr=14, 60 words) by key length."""
+    nk = len(key) // 4
+    if nk not in (4, 8):
+        raise ValueError("AES key must be 16 or 32 bytes")
+    nr = {4: 10, 8: 14}[nk]
+    w = [list(key[4 * i:4 * i + 4]) for i in range(nk)]
     rcon = 1
-    for i in range(4, 44):
+    for i in range(nk, 4 * (nr + 1)):
         t = list(w[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             t = t[1:] + t[:1]
             t = [_SBOX[b] for b in t]
             t[0] ^= rcon
             rcon = _gf_mul(rcon, 2)
-        w.append([a ^ b for a, b in zip(w[i - 4], t)])
+        elif nk == 8 and i % nk == 4:
+            t = [_SBOX[b] for b in t]
+        w.append([a ^ b for a, b in zip(w[i - nk], t)])
     return w
 
 
@@ -352,6 +368,7 @@ def _aes_block(block: bytes, rk: list[list[int]],
                decrypt: bool) -> bytes:
     """One 16-byte block through the (Inv)Cipher. State is column-major
     (s[r][c] = in[r + 4c]) per FIPS-197 §3.4."""
+    nr = len(rk) // 4 - 1
     s = [[block[r + 4 * c] for c in range(4)] for r in range(4)]
 
     def add_rk(rnd: int) -> None:
@@ -371,27 +388,29 @@ def _aes_block(block: bytes, rk: list[list[int]],
 
     def mix(inv: bool) -> None:
         m = ((14, 11, 13, 9) if inv else (2, 3, 1, 1))
+        t0, t1, t2, t3 = (_GF_TAB[m[0]], _GF_TAB[m[1]],
+                          _GF_TAB[m[2]], _GF_TAB[m[3]])
+        r0, r1, r2, r3 = s
         for c in range(4):
-            col = [s[r][c] for r in range(4)]
-            for r in range(4):
-                s[r][c] = (_gf_mul(col[0], m[(0 - r) % 4])
-                           ^ _gf_mul(col[1], m[(1 - r) % 4])
-                           ^ _gf_mul(col[2], m[(2 - r) % 4])
-                           ^ _gf_mul(col[3], m[(3 - r) % 4]))
+            a, b_, cc, d = r0[c], r1[c], r2[c], r3[c]
+            r0[c] = t0[a] ^ t1[b_] ^ t2[cc] ^ t3[d]
+            r1[c] = t3[a] ^ t0[b_] ^ t1[cc] ^ t2[d]
+            r2[c] = t2[a] ^ t3[b_] ^ t0[cc] ^ t1[d]
+            r3[c] = t1[a] ^ t2[b_] ^ t3[cc] ^ t0[d]
 
     if not decrypt:
         add_rk(0)
-        for rnd in range(1, 10):
+        for rnd in range(1, nr):
             sub(_SBOX)
             shift(False)
             mix(False)
             add_rk(rnd)
         sub(_SBOX)
         shift(False)
-        add_rk(10)
+        add_rk(nr)
     else:
-        add_rk(10)
-        for rnd in range(9, 0, -1):
+        add_rk(nr)
+        for rnd in range(nr - 1, 0, -1):
             shift(True)
             sub(_ISBOX)
             add_rk(rnd)
@@ -432,6 +451,76 @@ def _aes_cbc_encrypt(key: bytes, data: bytes, iv: bytes) -> bytes:
         prev = _aes_block(blk, rk, decrypt=False)
         out += prev
     return bytes(out)
+
+
+def _aes_cbc_nopad(key: bytes, data: bytes, iv: bytes,
+                   decrypt: bool) -> bytes | None:
+    """Raw CBC without padding (the /UE-/OE and 2.B KDF shapes)."""
+    if len(data) % 16:
+        return None
+    rk = _aes_expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = data[i:i + 16]
+        if decrypt:
+            out += bytes(a ^ b
+                         for a, b in zip(_aes_block(blk, rk, True),
+                                         prev))
+            prev = blk
+        else:
+            prev = _aes_block(bytes(a ^ b for a, b in zip(blk, prev)),
+                              rk, False)
+            out += prev
+    return bytes(out)
+
+
+def _hash_2b(password: bytes, salt: bytes,
+             udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B (the R6 iterated KDF): SHA-256 seed,
+    then rounds of AES-128-CBC over 64 repetitions of
+    (password || K || udata) with the digest family picked by the
+    ciphertext — >= 64 rounds, stop when E[-1] <= round - 32."""
+    import hashlib as _hl
+    K = _hl.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        K1 = (password + K + udata) * 64
+        E = _aes_cbc_nopad(K[:16], K1, K[16:32], decrypt=False)
+        K = (_hl.sha256, _hl.sha384, _hl.sha512)[
+            sum(E[:16]) % 3](E).digest()
+        i += 1
+        if i >= 64 and E[-1] <= i - 32:
+            return K[:32]
+
+
+def _std_security_key_v5(enc: bytes,
+                         password: bytes = b"") -> bytes | None:
+    """AESV3 (V5, R5/R6 — AES-256) file key via the USER password
+    path: verify the /U hash (R6 = Algorithm 2.B with the validation
+    salt, R5 = plain SHA-256), then decrypt the file key from /UE
+    with the key-salt-derived intermediate key (CBC, zero IV, no
+    pad). None -> fail closed (wrong password or malformed)."""
+    import hashlib as _hl
+    mr = re.search(rb"/R\s+(\d+)", enc)
+    U = _pdf_string_field(enc, b"U")
+    UE = _pdf_string_field(enc, b"UE")
+    if not mr or U is None or UE is None or len(U) < 48 \
+            or len(UE) < 32:
+        return None
+    r = int(mr.group(1))
+    if r not in (5, 6):
+        return None
+    vsalt, ksalt = U[32:40], U[40:48]
+    if r == 6:
+        good = _hash_2b(password, vsalt) == U[:32]
+        inter = _hash_2b(password, ksalt)
+    else:
+        good = _hl.sha256(password + vsalt).digest() == U[:32]
+        inter = _hl.sha256(password + ksalt).digest()
+    if not good:
+        return None
+    return _aes_cbc_nopad(inter, UE[:32], bytes(16), decrypt=True)
 
 
 def _pdf_string_field(d: bytes, name: bytes) -> bytes | None:
@@ -549,10 +638,16 @@ def _decrypt_document(data: bytes) -> bytes:
             break
     if enc_m is None:
         return data
-    file_key = _std_security_key(enc_m, id0)
+    v5 = b"/AESV3" in enc_m or re.search(rb"/V\s+5\b", enc_m)
+    if v5:
+        # AES-256: one file key for every object, no per-object MD5
+        file_key = _std_security_key_v5(enc_m)
+        aes, per_object = True, False
+    else:
+        file_key = _std_security_key(enc_m, id0)
+        aes, per_object = b"/AESV2" in enc_m, True
     if file_key is None:
-        return data  # unsupported handler: total fallback
-    aes = b"/AESV2" in enc_m
+        return data  # unsupported handler / wrong key: total fallback
     # rebuilt (not spliced in place): AES plaintext is shorter than its
     # IV+padded ciphertext — fine, this reader never trusts xref
     # offsets or /Length, it scans
@@ -568,7 +663,8 @@ def _decrypt_document(data: bytes) -> bytes:
         if not sm or b"/XRef" in sm.group(1):
             continue
         raw = _strip_stream_eol(sm.group(2))
-        okey = _object_key(file_key, objnum, gen, aes=aes)
+        okey = (_object_key(file_key, objnum, gen, aes=aes)
+                if per_object else file_key)
         dec = (_aes_cbc_decrypt(okey, raw) if aes
                else _rc4(okey, raw))
         if dec is None:

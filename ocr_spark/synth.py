@@ -348,11 +348,47 @@ def _std_handler_entries(r: int, owner_pwd: bytes, user_pwd: bytes,
     r=2 RC4-40, r=3 RC4-128, r=4 AESV2 crypt filter."""
     import hashlib
 
-    from ocr_spark.core.pdf import _PWD_PAD, _rc4, _std_security_key
+    from ocr_spark.core.pdf import (_PWD_PAD, _aes_block,
+                                    _aes_cbc_nopad, _aes_expand_key,
+                                    _hash_2b, _rc4, _std_security_key)
 
-    if r not in (2, 3, 4):
-        raise ValueError(
-            "r must be 2 (RC4-40), 3 (RC4-128) or 4 (AESV2)")
+    if r not in (2, 3, 4, 5, 6):
+        raise ValueError("r must be 2 (RC4-40), 3 (RC4-128), "
+                         "4 (AESV2) or 5/6 (AESV3 AES-256)")
+    if r in (5, 6):
+        # AESV3: 32-byte file key wrapped by password-derived keys
+        # (ISO 32000-2 §7.6.4); R6 = the 2.B iterated KDF, R5 = the
+        # older plain-SHA-256 Adobe supplement
+        P = -44
+        vs_u = hashlib.md5(b"vsU|" + id0).digest()[:8]
+        ks_u = hashlib.md5(b"ksU|" + id0).digest()[:8]
+        vs_o = hashlib.md5(b"vsO|" + id0).digest()[:8]
+        ks_o = hashlib.md5(b"ksO|" + id0).digest()[:8]
+        file_key = hashlib.sha256(b"fk|" + id0).digest()
+
+        def kdf(pwd: bytes, salt: bytes, ud: bytes = b"") -> bytes:
+            if r == 6:
+                return _hash_2b(pwd, salt, ud)
+            return hashlib.sha256(pwd + salt + ud).digest()
+
+        U = kdf(user_pwd, vs_u) + vs_u + ks_u
+        UE = _aes_cbc_nopad(kdf(user_pwd, ks_u), file_key,
+                            bytes(16), decrypt=False)
+        O = kdf(owner_pwd, vs_o, U) + vs_o + ks_o
+        OE = _aes_cbc_nopad(kdf(owner_pwd, ks_o, U), file_key,
+                            bytes(16), decrypt=False)
+        perms_blk = ((P & 0xFFFFFFFF).to_bytes(4, "little")
+                     + b"\xff\xff\xff\xffTadb" + bytes(4))
+        perms = _aes_block(perms_blk, _aes_expand_key(file_key),
+                           decrypt=False)
+        enc_dict = (
+            f"<< /Filter /Standard /V 5 /R {r} /Length 256 /P {P} "
+            f"/O <{O.hex()}> /U <{U.hex()}> /OE <{OE.hex()}> "
+            f"/UE <{UE.hex()}> /Perms <{perms.hex()}> "
+            f"/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen "
+            f"/Length 32 >> >> /StmF /StdCF /StrF /StdCF "
+            f">>").encode("ascii")
+        return enc_dict, file_key
     length_bits = 40 if r == 2 else 128
     P = -44
 
@@ -421,11 +457,12 @@ def encrypt_pdf_bytes(data: bytes, r: int = 3,
         if not sm or b"/XRef" in sm.group(1):
             continue
         raw = _strip_stream_eol(sm.group(2))
-        if r == 4:
+        if r >= 4:
             iv = hashlib.md5(b"iv|" + id0
                              + str(objnum).encode()).digest()
-            ct = _aes_cbc_encrypt(_object_key(key, objnum, gen,
-                                              aes=True), raw, iv)
+            okey = (key if r >= 5
+                    else _object_key(key, objnum, gen, aes=True))
+            ct = _aes_cbc_encrypt(okey, raw, iv)
         else:
             ct = _rc4(_object_key(key, objnum, gen), raw)
         abs_start = om.end() + sm.start(2)
@@ -480,10 +517,11 @@ def make_pdf_encrypted(lines: list[str], r: int = 3,
         ops.append(f"({esc(ln)}) Tj")
     ops.append("ET")
     plain = zlib.compress("\n".join(ops).encode("latin-1"))
-    if r == 4:
+    if r >= 4:
         iv = hashlib.md5(b"iv|" + id0 + b"|4").digest()  # deterministic
-        content = _aes_cbc_encrypt(_object_key(key, 4, 0, aes=True),
-                                   plain, iv)
+        okey = (key if r >= 5
+                else _object_key(key, 4, 0, aes=True))
+        content = _aes_cbc_encrypt(okey, plain, iv)
     else:
         content = _rc4(_object_key(key, 4, 0), plain)
     objs: list[bytes] = [

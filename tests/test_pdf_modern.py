@@ -199,10 +199,12 @@ def test_encrypted_pdf_rc4_both_revisions():
     from ocr_spark.synth import make_pdf_encrypted
 
     plain = extract_pdf_text(make_pdf(LINES))
-    for r in (2, 3, 4):  # RC4-40, RC4-128, AES-128 (AESV2)
+    # RC4-40, RC4-128, AES-128 (AESV2), AES-256 (AESV3 R5 + R6 KDF)
+    for r in (2, 3, 4, 5, 6):
         enc = make_pdf_encrypted(LINES, r=r)
         assert b"/Encrypt" in enc and b"/Standard" in enc
         assert (b"/AESV2" in enc) == (r == 4)
+        assert (b"/AESV3" in enc) == (r >= 5)
         assert plain not in enc.decode("latin-1")  # actually encrypted
         assert extract_pdf_text(enc) == plain, r
         severed = enc.replace(b"/Encrypt 6 0 R", b"/NoCrypt  6 0 R")
@@ -246,6 +248,23 @@ def test_aes_fips197_vector():
     assert _aes_cbc_decrypt(key, bytes(33)) is None
 
 
+def test_aes256_fips197_vector_and_kdf():
+    """FIPS-197 Appendix C.3 (AES-256) + the R6 KDF's structural
+    properties: deterministic, salt- and password-sensitive."""
+    from ocr_spark.core.pdf import (_aes_block, _aes_expand_key,
+                                    _hash_2b)
+    key = bytes(range(32))
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    rk = _aes_expand_key(key)
+    ct = _aes_block(pt, rk, decrypt=False)
+    assert ct.hex() == "8ea2b7ca516745bfeafc49904b496089"
+    assert _aes_block(ct, rk, decrypt=True) == pt
+    a = _hash_2b(b"", b"saltsalt")
+    assert a == _hash_2b(b"", b"saltsalt") and len(a) == 32
+    assert a != _hash_2b(b"", b"other!!!")
+    assert a != _hash_2b(b"pwd", b"saltsalt")
+
+
 def test_rc4_known_vector():
     """RFC 6229-style sanity: RC4('Key','Plaintext') is the classic
     published vector — the cipher is the real one, not a lookalike."""
@@ -267,7 +286,7 @@ def test_encrypted_modern_layout_full_matrix():
     modern = make_pdf_modern(LINES, encoder="lzw", use_objstm=True,
                              xref_stream=False)
     assert extract_pdf_text(modern) == plain
-    for r in (2, 3, 4):
+    for r in (2, 3, 4, 5, 6):
         enc = encrypt_pdf_bytes(modern, r=r)
         assert extract_pdf_text(enc) == plain, r
         assert extract_pdf_text(
