@@ -311,13 +311,19 @@ def _gf_mul(a: int, b: int) -> int:
 
 def _build_sbox() -> tuple[bytes, bytes]:
     """S-box derived from the spec's definition (multiplicative inverse
-    in GF(2^8) + affine transform) rather than pasted tables."""
+    in GF(2^8) + affine transform) rather than pasted tables; inverses
+    via log/antilog over the generator 3 — O(256), so the per-worker
+    import cost stays negligible."""
+    exp = [0] * 255
+    log = [0] * 256
+    x = 1
+    for i in range(255):
+        exp[i] = x
+        log[x] = i
+        x = _gf_mul(x, 3)
     inv = [0] * 256
-    for x in range(1, 256):
-        for y in range(1, 256):
-            if _gf_mul(x, y) == 1:
-                inv[x] = y
-                break
+    for v in range(1, 256):
+        inv[v] = exp[(255 - log[v]) % 255]
     sbox = bytearray(256)
     for x in range(256):
         b = inv[x]
